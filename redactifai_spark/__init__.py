@@ -1,0 +1,18 @@
+"""redactifai_spark — a from-scratch PySpark-native webtext extraction/redaction engine.
+
+Reimplements the semantics of ssgrummons/RedactifAI (reference at /root/reference,
+studied for behavior only): detect character-offset PII spans, merge overlapping
+spans with interval union, mask in place, emit per-document lineage/metrics —
+retargeted from TIFF/OCR pages to Common-Crawl-style web pages.
+
+Architecture:
+- ``kernels/``  : pure-Python, Spark-free kernels. Single source of truth for
+  byte-identical semantics; used both as the test oracle and inside the
+  Arrow-batched pandas UDFs (no per-row Python UDFs anywhere).
+- ``operators/``: Spark DataFrame operators — the three pandas UDF stages
+  (extract, detect, redact), Catalyst-native span filters, partitioning/salting,
+  metrics side-output, resume, dedup/similarity/text-analysis extensions.
+- ``sources/``  : deterministic synthetic pages generator + table loaders.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,1 @@
+"""Pure-Python kernels: Spark-free, deterministic, the byte-identity source of truth."""

@@ -1,0 +1,164 @@
+"""PII span detection: regex bank + capitalized-name heuristic with skip-phrases.
+
+Behavioral parity with the reference's mock detector
+(/root/reference/src/services/mock_phi_detection_service.py):
+- per-category regex lists, case-insensitive, confidence 0.95 (PATTERNS :29-55, loop :57-86)
+- name heuristic: consecutive capitalized words (:102), skip-phrase anti-filter
+  (:108-120), 10-char lookbehind for provider titles (:123-129), confidence 0.90
+- masking-level category policy (phi_detection_service.py:43-76)
+
+One deliberate difference for byte-identity: the reference sorts spans by offset
+only (a stable sort over dict-iteration insertion order); we sort by the TOTAL
+key (offset, length, category, text) so output order never depends on pattern
+registration order (SURVEY.md §7 "What's hard").
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+SAFE_HARBOR = "safe_harbor"
+LIMITED_DATASET = "limited_dataset"
+CUSTOM = "custom"
+
+# Categories not masked under limited_dataset (phi_detection_service.py:62-71).
+PROVIDER_CATEGORIES = frozenset(
+    {"HealthcareProfessional", "Doctor", "Physician", "Organization", "Hospital"}
+)
+
+# Regex bank — semantics of mock_phi_detection_service.PATTERNS (:29-55),
+# kept as data so it is swappable/configurable.
+PATTERNS: dict[str, tuple[str, ...]] = {
+    "Date": (
+        r"\b\d{1,2}/\d{1,2}/\d{4}\b",
+        r"\b\d{1,2}-\d{1,2}-\d{4}\b",
+    ),
+    "PhoneNumber": (
+        r"\(\d{3}\)\s*\d{3}-\d{4}",
+        r"\d{3}-\d{3}-\d{4}",
+    ),
+    "Email": (
+        r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b",
+    ),
+    "SSN": (
+        r"\b\d{3}-\d{2}-\d{4}\b",
+    ),
+    "MedicalRecordNumber": (
+        r"\bMRN:\s*\d+\b",
+        r"\bMedical Record\s*#?:?\s*\d+\b",
+    ),
+    "InsuranceID": (
+        r"\bMember ID:\s*[A-Z0-9]+\b",
+    ),
+    "Address": (
+        r"\b\d+\s+[A-Z][a-z]+\s+(?:Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd)"
+        r"[,\s]+[A-Z][a-z]+[,\s]+[A-Z]{2}\s+\d{5}\b",
+    ),
+}
+
+_COMPILED: list[tuple[str, re.Pattern]] = [
+    (cat, re.compile(p, re.IGNORECASE)) for cat, pats in PATTERNS.items() for p in pats
+]
+
+# Name heuristic (mock_phi_detection_service.py:102): 2+ consecutive capitalized words.
+_NAME_RE = re.compile(r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)+)\b")
+
+# Skip-phrase anti-filter (:108-120).
+SKIP_PHRASES = frozenset(
+    {"Chief Complaint", "History Of", "Present Illness", "Past Medical",
+     "Social History", "Blue Cross", "Blue Shield", "New England"}
+)
+
+_PROVIDER_TITLES = ("Dr.", "Dr ", "Doctor", "Physician")
+
+
+@dataclass(frozen=True)
+class SpanEntity:
+    """Detected span — the 1-D PHIEntity (/root/reference/src/models/domain.py:132-167)."""
+
+    text: str
+    category: str
+    offset: int
+    length: int
+    confidence: float
+    subcategory: str | None = None
+
+    @property
+    def end_offset(self) -> int:  # domain.py:160-163
+        return self.offset + self.length
+
+    def overlaps_with(self, other: "SpanEntity") -> bool:  # domain.py:165-167
+        return self.offset < other.end_offset and other.offset < self.end_offset
+
+    def sort_key(self):
+        return (self.offset, self.length, self.category, self.text)
+
+    def as_dict(self) -> dict:
+        return {
+            "text": self.text,
+            "category": self.category,
+            "offset": self.offset,
+            "length": self.length,
+            "confidence": self.confidence,
+            "subcategory": self.subcategory,
+        }
+
+
+def should_include_category(category: str, masking_level: str,
+                            custom_categories: frozenset[str] | None = None) -> bool:
+    """Masking-level policy (phi_detection_service.py:43-76)."""
+    if masking_level == SAFE_HARBOR:
+        return True
+    if masking_level == LIMITED_DATASET:
+        return category not in PROVIDER_CATEGORIES
+    if masking_level == CUSTOM:
+        return custom_categories is None or category in custom_categories
+    raise ValueError(f"unknown masking level: {masking_level}")
+
+
+def detect_pii(
+    text: str,
+    masking_level: str = SAFE_HARBOR,
+    custom_categories: frozenset[str] | None = None,
+) -> list[SpanEntity]:
+    """Detect PII spans in ``text``; sorted by (offset, length, category, text)."""
+    entities: list[SpanEntity] = []
+    for category, pattern in _COMPILED:
+        if not should_include_category(category, masking_level, custom_categories):
+            continue
+        for m in pattern.finditer(text):
+            g = m.group()
+            entities.append(
+                SpanEntity(text=g, category=category, offset=m.start(),
+                           length=len(g), confidence=0.95)
+            )
+    entities.extend(_detect_names(text, masking_level, custom_categories))
+    entities.sort(key=SpanEntity.sort_key)
+    return entities
+
+
+def _detect_names(
+    text: str, masking_level: str, custom_categories: frozenset[str] | None
+) -> list[SpanEntity]:
+    names: list[SpanEntity] = []
+    for m in _NAME_RE.finditer(text):
+        matched = m.group()
+        if any(skip in matched for skip in SKIP_PHRASES):
+            continue
+        lookbehind = text[max(0, m.start() - 10):m.start()]  # :123-129
+        is_provider = any(t in lookbehind for t in _PROVIDER_TITLES)
+        category = "HealthcareProfessional" if is_provider else "Person"
+        if should_include_category(category, masking_level, custom_categories):
+            names.append(
+                SpanEntity(text=matched, category=category, offset=m.start(),
+                           length=len(matched), confidence=0.90,
+                           subcategory="PersonName")
+            )
+    return names
+
+
+def filter_confidence(entities: list[SpanEntity], threshold: float) -> list[SpanEntity]:
+    """Confidence gate (entity_matcher.py:99-105) — Catalyst F.filter in the
+    Spark plan; kept here so the oracle applies the identical rule."""
+    return [e for e in entities if e.confidence >= threshold]

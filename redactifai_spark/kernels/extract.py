@@ -1,0 +1,184 @@
+"""HTML -> main-content text extraction (pure Python, stdlib html.parser).
+
+The webtext analog of the reference's page-load + OCR stages
+(/root/reference/src/utils/tiff_processor.py:43-91 load;
+/root/reference/src/services/mock_ocr_service.py:116-132 page segmentation):
+the DOM is segmented into block-level text runs, boilerplate blocks are dropped
+by link-density / text-length heuristics (the north-rule heuristics), and the
+surviving blocks are joined with "\n" — the exact analog of the reference's
+full_text construction (mock_ocr_service.py:73-75), which all downstream span
+offsets index into. Everything is deterministic: fixed tag sets, fixed
+whitespace normalization, no randomness — the byte-identical contract.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+_WS_RE = re.compile(r"\s+")
+
+# Tags whose content is never text (dropped subtree).
+SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "head", "svg", "iframe",
+     "object", "embed", "canvas", "audio", "video", "map", "button",
+     "select", "option", "textarea", "form"}
+)
+
+# Tags that delimit text blocks (flush the current block on open AND close).
+BLOCK_TAGS = frozenset(
+    {"p", "div", "section", "article", "main", "aside", "header", "footer",
+     "nav", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "dl",
+     "dt", "dd", "table", "thead", "tbody", "tr", "td", "th", "blockquote",
+     "pre", "figure", "figcaption", "hr", "br", "address", "fieldset",
+     "legend", "details", "summary", "body", "html"}
+)
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Boilerplate-stripping knobs. Defaults are the engine contract — changing
+    them changes the golden extracted text."""
+
+    max_link_density: float = 0.5   # drop blocks with > this fraction of link chars...
+    long_block_chars: int = 80      # ...unless the block is at least this long
+    min_block_chars: int = 5        # drop very short fragments (chrome crumbs)
+    encoding: str = "utf-8"
+
+
+@dataclass
+class Block:
+    block_id: int          # 1-indexed among KEPT blocks (page_number analog)
+    text: str              # normalized block text
+    start: int             # half-open char interval in the joined extracted text
+    end: int
+    link_density: float
+    raw_index: int         # index among all raw blocks pre-filter (lineage)
+
+
+class _BlockCollector(HTMLParser):
+    """Walk the DOM once; emit raw text blocks with per-block link-char counts."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._link_depth = 0
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self.raw_blocks: list[tuple[str, int]] = []  # (normalized text, link_chars)
+
+    def _flush(self) -> None:
+        if not self._parts:
+            return
+        joined = _WS_RE.sub(" ", "".join(self._parts)).strip()
+        if joined:
+            self.raw_blocks.append((joined, min(self._link_chars, len(joined))))
+        self._parts = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if self._skip_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SKIP_TAGS:
+            if self._skip_depth:
+                self._skip_depth -= 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            if self._link_depth:
+                self._link_depth -= 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data:
+            return
+        norm = _WS_RE.sub(" ", data)
+        if norm and norm != " ":
+            self._parts.append(norm)
+            if self._link_depth:
+                self._link_chars += len(norm.strip())
+        elif norm == " " and self._parts:
+            self._parts.append(" ")
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def extract_blocks(
+    html: bytes | str | None, config: ExtractConfig = ExtractConfig()
+) -> tuple[str, list[Block]]:
+    """html -> (extracted_text, kept blocks with offsets into extracted_text).
+
+    extracted_text = "\\n".join(kept block texts) — byte-stable; every span
+    offset downstream indexes into this string (the T3 contract,
+    mock_ocr_service.py:73-75).
+    """
+    if html is None:
+        return "", []
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode(config.encoding, errors="replace")
+    parser = _BlockCollector()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        # Malformed beyond the tolerant parser: keep whatever was collected.
+        parser._flush()
+
+    kept: list[Block] = []
+    offset = 0
+    for raw_index, (text, link_chars) in enumerate(parser.raw_blocks):
+        n = len(text)
+        if n < config.min_block_chars:
+            continue
+        density = link_chars / n if n else 0.0
+        if density > config.max_link_density and n < config.long_block_chars:
+            continue
+        if kept:
+            offset += 1  # the "\n" joiner
+        kept.append(
+            Block(
+                block_id=len(kept) + 1,
+                text=text,
+                start=offset,
+                end=offset + n,
+                link_density=density,
+                raw_index=raw_index,
+            )
+        )
+        offset += n
+    extracted = "\n".join(b.text for b in kept)
+    return extracted, kept
+
+
+def extract_text(html: bytes | str | None, config: ExtractConfig = ExtractConfig()) -> str:
+    """Convenience: extracted text only."""
+    return extract_blocks(html, config)[0]
+
+
+def block_of_offset(blocks: list[Block], offset: int) -> int:
+    """block_id containing a char offset (joiner chars belong to the next block);
+    0 if no block contains it."""
+    for b in blocks:
+        if b.start <= offset < b.end:
+            return b.block_id
+    return 0

@@ -1,0 +1,186 @@
+"""1-D EntityMatcher: map detected spans onto a (possibly noisy) token stream.
+
+Behavioral port of the reference's crown jewel
+(/root/reference/src/services/entity_matcher.py, 441 LoC) with pixel boxes
+replaced by char intervals and pages by blocks:
+
+- offset-map build: lockstep walk of full_text and token stream, whitespace
+  skipping, exact-prefix then fuzzy window match          (:138-253)
+- span<->token half-open interval-overlap join            (:255-277, :43-45)
+- post-join Levenshtein validation of the combined text   (:279-299)
+- gated fuzzy sequence-search fallback, first match only  (:301-372)
+- group-by block + interval-union merge with padding      (:374-442)
+
+In the production webtext pipeline the detector's offsets index the extracted
+text directly, so this matcher is exact-by-construction there; it earns its keep
+on noisy token streams (the OCR-corruption fixtures, SURVEY.md §5) and is the
+kernel behind the matcher-scenario golden tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .textdist import levenshtein, within_distance
+
+
+@dataclass(frozen=True)
+class Token:
+    """A token as produced by a (noisy) tokenizer: text + block it lives in.
+    Char position in full_text is recovered by the offset-map build."""
+
+    text: str
+    block: int = 1
+
+
+@dataclass(frozen=True)
+class TokenOffset:
+    """Token with its recovered [start, end) interval (WordOffset analog, :25-45)."""
+
+    token: Token
+    start: int
+    end: int
+
+    def overlaps(self, start: int, end: int) -> bool:
+        return not (self.end <= start or end <= self.start)
+
+
+@dataclass(frozen=True)
+class MaskRegion1D:
+    """Merged masking interval within one block (MaskRegion analog, domain.py:171-196)."""
+
+    block: int
+    start: int
+    end: int
+    category: str
+    confidence: float
+
+
+class EntityMatcher1D:
+    def __init__(
+        self,
+        fuzzy_match_threshold: int = 2,
+        confidence_threshold: float = 0.0,
+        padding: int = 0,
+    ) -> None:
+        self.fuzzy_match_threshold = fuzzy_match_threshold
+        self.confidence_threshold = confidence_threshold
+        self.padding = padding
+
+    # -- offset map ---------------------------------------------------------
+
+    def build_offset_map(self, full_text: str, tokens: list[Token]) -> list[TokenOffset]:
+        """Walk full_text and the token stream in lockstep (ref :138-203):
+        skip whitespace, exact-prefix match, else fuzzy window; unlocatable
+        tokens are skipped without advancing the text cursor."""
+        out: list[TokenOffset] = []
+        pos = 0
+        n = len(full_text)
+        for tok in tokens:
+            if pos >= n:
+                break
+            while pos < n and full_text[pos].isspace():
+                pos += 1
+            if pos >= n:
+                break
+            word = tok.text.strip()
+            loc = self._locate(full_text, word, pos)
+            if loc is not None:
+                start, length = loc
+                out.append(TokenOffset(token=tok, start=start, end=start + length))
+                pos = start + length
+        return out
+
+    def _locate(self, text: str, word: str, pos: int) -> tuple[int, int] | None:
+        """Exact prefix, else fuzzy candidates of length word_len-2..word_len+2
+        within a word_len+5 window, accepted at Levenshtein <= threshold (:205-253)."""
+        if not word:
+            return None
+        wl = len(word)
+        if pos + wl <= len(text) and text[pos:pos + wl] == word:
+            return pos, wl
+        window = min(wl + 5, len(text) - pos)
+        if window > 0:
+            sub = text[pos:pos + window]
+            for length in range(max(1, wl - 2), min(len(sub), wl + 3)):
+                cand = sub[:length]
+                if not cand.strip():
+                    continue
+                if within_distance(word, cand, self.fuzzy_match_threshold):
+                    return pos, length
+        return None
+
+    # -- matching -----------------------------------------------------------
+
+    def match(
+        self,
+        full_text: str,
+        tokens: list[Token],
+        entities: list[dict],
+    ) -> list[MaskRegion1D]:
+        """entities: dicts with text/category/offset/length/confidence
+        (kernels.detect.SpanEntity.as_dict shape). Returns merged per-block
+        regions, one per (entity, block) like the reference (:115-127)."""
+        offset_map = self.build_offset_map(full_text, tokens)
+        regions: list[MaskRegion1D] = []
+        for ent in entities:
+            if ent["confidence"] < self.confidence_threshold:
+                continue
+            matched = self._find_overlapping(ent, offset_map, full_text)
+            if not matched:
+                continue
+            by_block: dict[int, list[TokenOffset]] = {}
+            for to in matched:
+                by_block.setdefault(to.token.block, []).append(to)
+            for block in sorted(by_block):
+                group = by_block[block]
+                start = max(0, min(t.start for t in group) - self.padding)
+                end = min(len(full_text), max(t.end for t in group) + self.padding)
+                regions.append(
+                    MaskRegion1D(block=block, start=start, end=end,
+                                 category=ent["category"],
+                                 confidence=ent["confidence"])
+                )
+        return regions
+
+    def _find_overlapping(
+        self, ent: dict, offset_map: list[TokenOffset], full_text: str
+    ) -> list[TokenOffset]:
+        e_start = ent["offset"]
+        e_end = ent["offset"] + ent["length"]
+        hits = [to for to in offset_map if to.overlaps(e_start, e_end)]
+        if hits:
+            # Reject coincidental offset alignment (:279-299).
+            combined = " ".join(to.token.text for to in hits)
+            target = ent["text"].strip()
+            max_dist = max(len(target) // 3, self.fuzzy_match_threshold)
+            if levenshtein(combined.lower(), target.lower(), cap=max_dist) > max_dist:
+                hits = []
+        if not hits and ent["text"].lower() in full_text.lower():
+            hits = self._fuzzy_sequence_search(ent, offset_map)
+        return hits
+
+    def _fuzzy_sequence_search(
+        self, ent: dict, offset_map: list[TokenOffset]
+    ) -> list[TokenOffset]:
+        """Sliding consecutive-token window; per-word exact or Levenshtein <= 1
+        for words >= 3 chars; entities < 3 chars skipped; first match only (:311-372)."""
+        target = ent["text"].strip().lower()
+        if len(target) < 3:
+            return []
+        words = target.split()
+        for i in range(len(offset_map)):
+            matched: list[TokenOffset] = []
+            for j, w in enumerate(words):
+                if i + j >= len(offset_map):
+                    break
+                tok_word = offset_map[i + j].token.text.strip().lower()
+                if tok_word == w:
+                    matched.append(offset_map[i + j])
+                elif len(w) >= 3 and within_distance(tok_word, w, 1):
+                    matched.append(offset_map[i + j])
+                else:
+                    break
+            if len(matched) == len(words):
+                return matched
+        return []

@@ -1,0 +1,83 @@
+"""Single-document pipeline oracle: extract -> detect -> filter -> merge -> mask.
+
+Pure Python, no Spark. This is (a) the golden generator for the DataFrame-level
+tests (SURVEY.md §5 port plan) and (b) the fused per-document kernel used by the
+single-UDF fast path — the same code paths the staged pandas UDFs call, so the
+Spark pipeline is byte-identical to this oracle by construction.
+
+Mirrors the reference's six-stage orchestration
+(/root/reference/src/services/deidentification_service.py:105-201) minus the
+image legs; per-document failure isolation follows X2 but never emits unredacted
+text on error (SURVEY.md §4 note) — failed rows carry status='failed'.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .detect import SAFE_HARBOR, detect_pii, filter_confidence
+from .extract import ExtractConfig, extract_blocks
+from .spans import DEFAULT_MASK_CHAR, mask_text, merge_spans, total_masked_chars
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """The engine contract knobs — a row's golden output is a pure function of
+    (html/text, this config)."""
+
+    masking_level: str = SAFE_HARBOR
+    custom_categories: frozenset[str] | None = None
+    confidence_threshold: float = 0.0
+    mask_char: str = DEFAULT_MASK_CHAR
+    span_padding: int = 0
+    extract: ExtractConfig = field(default_factory=ExtractConfig)
+    prefer_text_column: bool = False  # True: skip HTML extraction, use `text` as-is
+
+
+def process_document(
+    html: bytes | str | None,
+    text: str | None = None,
+    config: PipelineConfig = PipelineConfig(),
+) -> dict:
+    """Run the full pipeline on one document; returns the output-row dict.
+
+    Keys: extracted_text, redacted_text, spans (detected, post-filter),
+    merged_spans, n_spans, n_masked_chars, n_blocks, status, error.
+    """
+    try:
+        if config.prefer_text_column or html is None:
+            extracted = text or ""
+            blocks = []
+        else:
+            extracted, blocks = extract_blocks(html, config.extract)
+        entities = detect_pii(extracted, config.masking_level, config.custom_categories)
+        entities = filter_confidence(entities, config.confidence_threshold)
+        merged = merge_spans(
+            [(e.offset, e.end_offset) for e in entities],
+            padding=config.span_padding,
+            clamp_len=len(extracted),
+        )
+        redacted = mask_text(extracted, merged, config.mask_char)
+        return {
+            "extracted_text": extracted,
+            "redacted_text": redacted,
+            "spans": [e.as_dict() for e in entities],
+            "merged_spans": [{"start": s, "end": e} for s, e in merged],
+            "n_spans": len(entities),
+            "n_masked_chars": total_masked_chars(merged, len(extracted)),
+            "n_blocks": len(blocks),
+            "status": "complete",
+            "error": None,
+        }
+    except Exception as exc:  # X2: never lose a row, never emit unredacted text
+        return {
+            "extracted_text": "",
+            "redacted_text": "",
+            "spans": [],
+            "merged_spans": [],
+            "n_spans": 0,
+            "n_masked_chars": 0,
+            "n_blocks": 0,
+            "status": "failed",
+            "error": f"{type(exc).__name__}: {exc}",
+        }

@@ -1,0 +1,105 @@
+"""Half-open character-interval spans: overlap, interval-union merge, in-place masking.
+
+This is the 1-D retarget of the reference's geometry kernel:
+- overlap predicate       ~ PHIEntity.overlaps_with   (/root/reference/src/models/domain.py:165-167)
+- interval-union merge    ~ EntityMatcher._merge_bounding_boxes min/max + padding clamp
+                            (/root/reference/src/services/entity_matcher.py:397-442)
+- in-place masking        ~ ImageMaskingService region fill
+                            (/root/reference/src/services/image_masking_service.py:100-146)
+
+Pure Python, deterministic, no deps. Imported by BOTH the pytest oracle and the
+pandas UDFs — single source of truth for the byte-identity contract.
+
+A span is a plain ``(start, end)`` int tuple with ``start < end`` (half-open).
+"""
+
+from __future__ import annotations
+
+DEFAULT_MASK_CHAR = "█"  # full block — the textual analog of the black box fill
+
+
+def spans_overlap(a_start: int, a_end: int, b_start: int, b_end: int) -> bool:
+    """Half-open interval overlap (reference: domain.py:165-167)."""
+    return a_start < b_end and b_start < a_end
+
+
+def merge_spans(
+    spans: list[tuple[int, int]],
+    padding: int = 0,
+    clamp_len: int | None = None,
+) -> list[tuple[int, int]]:
+    """Union of possibly-overlapping half-open intervals.
+
+    Sort by (start, end), then a single linear sweep merging any span that
+    overlaps OR touches (end == next start after padding) the current run.
+    ``padding`` widens each input span on both sides first (the 1-D analog of
+    the reference's box_padding_px, entity_matcher.py:427-434), clamped at 0
+    and — if ``clamp_len`` is given — at the text length.
+
+    Deterministic: output sorted by start, non-overlapping, non-touching.
+    """
+    if not spans:
+        return []
+    padded = []
+    for s, e in spans:
+        if e <= s:
+            continue
+        ps = s - padding
+        pe = e + padding
+        if ps < 0:
+            ps = 0
+        if clamp_len is not None and pe > clamp_len:
+            pe = clamp_len
+        if pe > ps:
+            padded.append((ps, pe))
+    if not padded:
+        return []
+    padded.sort()
+    out = []
+    cur_s, cur_e = padded[0]
+    for s, e in padded[1:]:
+        if s <= cur_e:  # overlap or touch -> extend run
+            if e > cur_e:
+                cur_e = e
+        else:
+            out.append((cur_s, cur_e))
+            cur_s, cur_e = s, e
+    out.append((cur_s, cur_e))
+    return out
+
+
+def mask_text(
+    text: str,
+    merged_spans: list[tuple[int, int]],
+    mask_char: str = DEFAULT_MASK_CHAR,
+) -> str:
+    """Apply merged spans to ``text`` in place, right-to-left, length-preserving.
+
+    Each character inside a span becomes ``mask_char`` — output length equals
+    input length, characters outside spans are byte-identical (the contract
+    the reference asserts pixel-exactly in test_image_masking_service.py:28-55).
+    Spans beyond the text are clamped. Right-to-left application mirrors the
+    reference's in-place region fill on page copies; with length-preserving
+    replacement the order is observationally irrelevant but kept as the contract.
+    """
+    if not merged_spans:
+        return text
+    n = len(text)
+    parts = list(text)
+    for s, e in sorted(merged_spans, reverse=True):
+        s = max(0, s)
+        e = min(n, e)
+        for i in range(s, e):
+            parts[i] = mask_char
+    return "".join(parts)
+
+
+def total_masked_chars(merged_spans: list[tuple[int, int]], text_len: int) -> int:
+    """Number of characters covered by the (already-disjoint) merged spans."""
+    total = 0
+    for s, e in merged_spans:
+        s = max(0, s)
+        e = min(text_len, e)
+        if e > s:
+            total += e - s
+    return total

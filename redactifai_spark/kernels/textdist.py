@@ -1,0 +1,50 @@
+"""Capped Levenshtein edit distance (pure Python, no external deps).
+
+Semantics match the reference's use of ``Levenshtein.distance`` in
+/root/reference/src/services/entity_matcher.py:247,288,357 — plain
+unit-cost edit distance. A cap lets us abort early: every call site in
+the matcher only needs to know whether distance <= threshold.
+"""
+
+from __future__ import annotations
+
+
+def levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Edit distance between ``a`` and ``b``; if ``cap`` is given and the true
+    distance exceeds it, returns ``cap + 1`` (early abort)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb if cap is None else min(lb, cap + 1)
+    if lb == 0:
+        return la if cap is None else min(la, cap + 1)
+    if cap is not None and abs(la - lb) > cap:
+        return cap + 1
+    # Ensure b is the longer string so the row is short.
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    cur = [0] * (la + 1)
+    for j in range(1, lb + 1):
+        cur[0] = j
+        bj = b[j - 1]
+        row_min = cur[0]
+        for i in range(1, la + 1):
+            cost = 0 if a[i - 1] == bj else 1
+            v = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + cost)
+            cur[i] = v
+            if v < row_min:
+                row_min = v
+        if cap is not None and row_min > cap:
+            return cap + 1
+        prev, cur = cur, prev
+    d = prev[la]
+    if cap is not None and d > cap:
+        return cap + 1
+    return d
+
+
+def within_distance(a: str, b: str, threshold: int) -> bool:
+    """True iff levenshtein(a, b) <= threshold."""
+    return levenshtein(a, b, cap=threshold) <= threshold

@@ -1,0 +1,25 @@
+"""Tokenization with character offsets — the webtext analog of the OCR word stream.
+
+The reference's mock OCR lays words out with pixel geometry
+(/root/reference/src/services/mock_ocr_service.py:134-184); here geometry is the
+half-open char interval of each whitespace-delimited token in the extracted text.
+Because the tokenizer emits offsets directly, the reference's offset-map build
+(entity_matcher.py:138-203) is exact by construction on clean text; the fuzzy
+walk in kernels/match.py is only needed when the token stream is noisy
+(the OCR-corruption fixtures).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """Whitespace tokenization -> [(token, start, end)] half-open char intervals."""
+    return [(m.group(), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+
+
+def count_tokens(text: str) -> int:
+    return sum(1 for _ in _TOKEN_RE.finditer(text))

@@ -1,0 +1,91 @@
+"""Detector kernel tests — precision on the reference's sample record.
+
+Ports detector-precision goldens (/root/reference/tests/integration/
+test_mocked_pipeline.py:31-95): expected category set detected, spans sorted by
+the total key, limited_dataset excludes provider categories.
+"""
+
+from redactifai_spark.kernels.detect import (
+    LIMITED_DATASET, SAFE_HARBOR, detect_pii, filter_confidence,
+    should_include_category,
+)
+
+# The reference's sample medical record text
+# (/root/reference/src/services/mock_ocr_service.py:79-114), used as fixture input.
+SAMPLE = """Patient: Samuel Grummons
+DOB: 03/15/1985
+MRN: 12345678
+
+Chief Complaint: Follow-up for vasectomy consultation
+
+Social History:
+Patient works as a software engineer at TechCorp Inc. He lives at
+123 Main Street, Boston, MA 02101. Contact phone: (617) 555-1234.
+Email: samuel.grummons@email.com
+
+Insurance: Blue Cross Blue Shield Member ID: ABC123456789
+
+Attending Physician: Dr. Sarah Johnson, MD
+Date of Service: 09/30/2023"""
+
+
+def test_expected_categories_detected():
+    cats = {e.category for e in detect_pii(SAMPLE)}
+    assert {"Person", "Date", "PhoneNumber", "Email",
+            "MedicalRecordNumber", "Address", "InsuranceID"} <= cats
+
+
+def test_spans_sorted_by_total_key():
+    ents = detect_pii(SAMPLE)
+    keys = [e.sort_key() for e in ents]
+    assert keys == sorted(keys)
+
+
+def test_offsets_index_into_text():
+    for e in detect_pii(SAMPLE):
+        assert SAMPLE[e.offset:e.offset + e.length] == e.text
+
+
+def test_provider_lookbehind():
+    ents = detect_pii(SAMPLE)
+    sarah = [e for e in ents if "Sarah Johnson" in e.text]
+    assert sarah and all(e.category == "HealthcareProfessional" for e in sarah)
+    samuel = [e for e in ents if e.text == "Samuel Grummons"]
+    assert samuel and all(e.category == "Person" for e in samuel)
+
+
+def test_skip_phrases_not_detected_as_names():
+    names = {e.text for e in detect_pii(SAMPLE) if e.category == "Person"}
+    assert not any("Chief Complaint" in n or "Blue Cross" in n for n in names)
+
+
+def test_limited_dataset_subset_and_excludes_providers():
+    safe = detect_pii(SAMPLE, SAFE_HARBOR)
+    limited = detect_pii(SAMPLE, LIMITED_DATASET)
+    assert len(limited) < len(safe)
+    assert all(e.category != "HealthcareProfessional" for e in limited)
+    limited_set = {(e.offset, e.length, e.category) for e in limited}
+    safe_set = {(e.offset, e.length, e.category) for e in safe}
+    assert limited_set <= safe_set
+
+
+def test_masking_level_policy():
+    assert should_include_category("Person", SAFE_HARBOR)
+    assert should_include_category("HealthcareProfessional", SAFE_HARBOR)
+    assert not should_include_category("HealthcareProfessional", LIMITED_DATASET)
+    assert should_include_category("Person", LIMITED_DATASET)
+
+
+def test_confidence_filter():
+    ents = detect_pii(SAMPLE)
+    kept = filter_confidence(ents, 0.92)
+    assert kept and all(e.confidence >= 0.92 for e in kept)
+    assert all(e.category != "Person" for e in kept)  # names are 0.90
+
+
+def test_regex_categories():
+    ents = detect_pii("SSN 123-45-6789 phone 617-555-1234 on 03/15/1985")
+    cats = {(e.text, e.category) for e in ents}
+    assert ("123-45-6789", "SSN") in cats
+    assert ("617-555-1234", "PhoneNumber") in cats
+    assert ("03/15/1985", "Date") in cats

@@ -1,0 +1,96 @@
+"""HTML extraction kernel tests: block segmentation, boilerplate heuristics,
+deterministic "\n" joining, offsets (T2/T3 contract, SURVEY.md §2.2)."""
+
+from redactifai_spark.kernels.extract import (
+    ExtractConfig, block_of_offset, extract_blocks, extract_text,
+)
+
+HTML = b"""<html><head><title>Site</title><style>p{color:red}</style>
+<script>var x = 1;</script></head>
+<body>
+<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">More</a></nav>
+<article>
+<h1>Main Headline Goes Here</h1>
+<p>This is the first paragraph of the main content with plenty of text in it.</p>
+<p>Second paragraph mentions John Doe and the email john@example.com here.</p>
+</article>
+<footer><a href="/p">Privacy</a> <a href="/t">Terms</a></footer>
+</body></html>"""
+
+
+def test_boilerplate_dropped_content_kept():
+    text, blocks = extract_blocks(HTML)
+    assert "Main Headline Goes Here" in text
+    assert "first paragraph" in text
+    assert "john@example.com" in text
+    assert "Home" not in text        # nav: high link density
+    assert "Privacy" not in text     # footer links
+    assert "var x" not in text       # script
+    assert "color:red" not in text   # style
+    assert "Site" not in text        # head/title
+
+
+def test_blocks_offsets_index_text():
+    text, blocks = extract_blocks(HTML)
+    assert len(blocks) == 3
+    for b in blocks:
+        assert text[b.start:b.end] == b.text
+    assert [b.block_id for b in blocks] == [1, 2, 3]
+    # joined with single \n
+    assert text == "\n".join(b.text for b in blocks)
+
+
+def test_deterministic():
+    assert extract_text(HTML) == extract_text(HTML)
+
+
+def test_whitespace_normalized():
+    html = b"<p>hello\n   world\t\tagain</p>"
+    assert extract_text(html) == "hello world again"
+
+
+def test_entities_decoded():
+    assert extract_text(b"<p>Tom &amp; Jerry &lt;3 caf&eacute;</p>") == "Tom & Jerry <3 caf\xe9"
+
+
+def test_long_link_block_kept():
+    # link-dense but long blocks survive (long_block_override)
+    inner = "word " * 30
+    html = f'<p><a href="x">{inner}</a></p>'.encode()
+    assert inner.strip() in extract_text(html)
+
+
+def test_min_block_chars():
+    html = b"<p>ok</p><p>this one is long enough to keep</p>"
+    text, blocks = extract_blocks(html)
+    assert text == "this one is long enough to keep"
+
+
+def test_none_and_malformed():
+    assert extract_text(None) == ""
+    # unclosed tags, stray brackets: parser is tolerant, never raises
+    out = extract_text(b"<div><p>good text stays visible<div></span>< <p>more text here okay")
+    assert "good text stays visible" in out
+
+
+def test_bytes_decode_errors_replaced():
+    out = extract_text(b"<p>caf\xff invalid bytes but text is long enough</p>")
+    assert "invalid bytes" in out
+
+
+def test_block_of_offset():
+    text, blocks = extract_blocks(HTML)
+    assert block_of_offset(blocks, blocks[1].start) == 2
+    assert block_of_offset(blocks, blocks[0].end) == 0  # the "\n" joiner
+
+
+def test_br_splits_blocks():
+    text, blocks = extract_blocks(b"<p>first line of text here<br>second line of text here</p>")
+    assert len(blocks) == 2
+    assert text == "first line of text here\nsecond line of text here"
+
+
+def test_config_overrides():
+    cfg = ExtractConfig(min_block_chars=1)
+    text, blocks = extract_blocks(b"<p>ok</p><p>second block text</p>", cfg)
+    assert text.startswith("ok\n")

@@ -1,0 +1,132 @@
+"""Matcher scenario goldens — the 9 reference fixtures in 1-D (FIXTURES.md §4,
+from /root/reference/tests/unit/test_entity_matcher.py)."""
+
+from redactifai_spark.kernels.match import EntityMatcher1D, Token
+
+
+def ent(text, offset, length=None, category="Person", confidence=0.9):
+    return {"text": text, "category": category, "offset": offset,
+            "length": length if length is not None else len(text),
+            "confidence": confidence}
+
+
+def toks(*words, block=1):
+    return [Token(w, block) for w in words]
+
+
+M = EntityMatcher1D()
+
+
+def test_1_whitespace_mismatch_still_matches():
+    # tokens "John","Doe" over text with double space; span text "John Doe" len 8
+    # (test_entity_matcher.py:26-59)
+    full = "John  Doe"
+    regions = M.match(full, toks("John", "Doe"), [ent("John Doe", 0, 8)])
+    assert len(regions) == 1
+    r = regions[0]
+    assert r.start == 0 and r.end == 9  # covers both tokens incl. the gap
+
+
+def test_2_single_char_entity_bounded():
+    # "J" must never fan out to many regions (:61-99)
+    full = "J went to the store J again J"
+    regions = M.match(full, toks(*full.split()), [ent("J", 0, 1)])
+    assert len(regions) <= 1
+
+
+def test_3_offset_collision_rejected():
+    # offsets align but text is completely different -> Levenshtein validation rejects
+    # (:101-148)
+    full = "Totally unrelated words here"
+    regions = M.match(full, toks(*full.split()), [ent("Zebra Quagga", 0, 12)])
+    assert regions == []
+
+
+def test_4_wrong_offset_fuzzy_rescue():
+    # detector offset is wrong (500) but the text is present -> fuzzy search finds it
+    # (:150-183)
+    full = "Intro text here. Patient John Doe was seen today."
+    regions = M.match(full, toks(*full.split()), [ent("John Doe", 500, 8)])
+    assert len(regions) == 1
+    r = regions[0]
+    assert full[r.start:r.end].startswith("John")
+    assert "Doe" in full[r.start:r.end]
+
+
+def test_5_newline_vs_space_matches():
+    # entity text has a space where full_text has a newline (:185-220)
+    full = "Patient name John\nDoe follow-up"
+    regions = M.match(full, toks(*full.split()), [ent("John Doe", 13, 8)])
+    assert len(regions) == 1
+
+
+def test_6_multi_block_entity_isolated_to_block():
+    # entity in block 2 only -> exactly one region, in block 2 (:222-275)
+    block1 = "General notes about the visit"
+    block2 = "Contact John Doe for details"
+    full = block1 + "\n" + block2
+    tokens = toks(*block1.split(), block=1) + toks(*block2.split(), block=2)
+    offset = full.index("John")
+    regions = M.match(full, tokens, [ent("John Doe", offset, 8)])
+    assert len(regions) == 1
+    assert regions[0].block == 2
+
+
+def test_7_short_entity_wrong_offset_no_fuzzy():
+    # "J" with wrong offset -> 0 regions (fuzzy min length 3, :339-374)
+    full = "J was here and J was there"
+    regions = M.match(full, toks(*full.split()), [ent("J", 500, 1)])
+    assert regions == []
+
+
+def test_8_non_consecutive_words_rejected():
+    # "John" ... "Doe" far apart, never consecutive -> 0 regions (:376-421)
+    full = "John went to the store and later Doe arrived"
+    regions = M.match(full, toks(*full.split()), [ent("John Doe", 500, 8)])
+    assert regions == []
+
+
+def test_9_first_match_only():
+    # duplicate "John Smith" -> only the first occurrence matched (:423-466)
+    full = "Dr John Smith saw patient then John Smith left the building"
+    regions = M.match(full, toks(*full.split()), [ent("John Smith", 500, 10)])
+    assert len(regions) == 1
+    first = full.index("John")
+    assert regions[0].start == first
+
+
+def test_ocr_noise_first_token_corrupted():
+    # corrupted token (S->5 per mock_ocr_service.py:186-220) still maps via the
+    # fuzzy window walk; the entity region covers the full name
+    full = "Samuel Grummons lives in Boston"
+    noisy = toks("5amuel", "Grummons", "lives", "in", "Boston")
+    regions = M.match(full, noisy, [ent("Samuel Grummons", 0, 15)])
+    assert len(regions) == 1
+    assert regions[0].start == 0 and regions[0].end == 15
+
+
+def test_ocr_noise_middle_token_corrupted():
+    full = "Samuel Grummons lives in Boston"
+    noisy = toks("Samuel", "Grumm0ns", "lives", "in", "Boston")
+    regions = M.match(full, noisy, [ent("Samuel Grummons", 0, 15)])
+    assert len(regions) == 1
+    # fuzzy rescue recovers the name; the recovered token interval may run a
+    # char short of the clean text (the reference absorbs this with box padding)
+    assert regions[0].start == 0 and regions[0].end >= 14
+
+
+def test_confidence_threshold_skips():
+    M2 = EntityMatcher1D(confidence_threshold=0.95)
+    full = "John Doe was here"
+    regions = M2.match(full, toks(*full.split()),
+                       [ent("John Doe", 0, 8, confidence=0.5)])
+    assert regions == []
+
+
+def test_padding_applied_and_clamped():
+    M3 = EntityMatcher1D(padding=5)
+    full = "John Doe was here"
+    regions = M3.match(full, toks(*full.split()), [ent("John Doe", 0, 8)])
+    assert len(regions) == 1
+    assert regions[0].start == 0  # clamped at 0
+    assert regions[0].end == 13  # 8 + 5

@@ -1,0 +1,74 @@
+"""Span kernel tests — interval union + mask fidelity.
+
+Ports the reference's mask-fidelity assertions
+(/root/reference/tests/unit/test_image_masking_service.py:28-129) to 1-D:
+masked range == mask char, outside range unchanged, no-span rows byte-identical,
+overlapping spans union correctly.
+"""
+
+from redactifai_spark.kernels.spans import (
+    mask_text, merge_spans, spans_overlap, total_masked_chars,
+)
+
+
+def test_overlap_half_open():
+    assert spans_overlap(0, 5, 4, 10)
+    assert not spans_overlap(0, 5, 5, 10)  # touching, half-open
+    assert not spans_overlap(5, 10, 0, 5)
+    assert spans_overlap(0, 10, 3, 4)
+
+
+def test_merge_disjoint_kept():
+    assert merge_spans([(0, 3), (5, 8)]) == [(0, 3), (5, 8)]
+
+
+def test_merge_overlapping_and_touching():
+    assert merge_spans([(0, 5), (4, 10)]) == [(0, 10)]
+    assert merge_spans([(0, 5), (5, 10)]) == [(0, 10)]  # touching merges
+    assert merge_spans([(3, 4), (0, 10), (8, 12)]) == [(0, 12)]
+
+
+def test_merge_unsorted_input_deterministic():
+    spans = [(20, 25), (0, 5), (4, 9), (24, 30), (40, 41)]
+    assert merge_spans(spans) == [(0, 9), (20, 30), (40, 41)]
+    assert merge_spans(list(reversed(spans))) == [(0, 9), (20, 30), (40, 41)]
+
+
+def test_merge_padding_clamps():
+    # padding 2 widens, clamped at 0 and text length (entity_matcher.py:427-434 analog)
+    assert merge_spans([(1, 3), (10, 12)], padding=2, clamp_len=13) == [(0, 5), (8, 13)]
+    # padding can cause previously-disjoint spans to union
+    assert merge_spans([(0, 4), (6, 10)], padding=1, clamp_len=100) == [(0, 11)]
+
+
+def test_merge_drops_empty_spans():
+    assert merge_spans([(3, 3), (5, 4)]) == []
+
+
+def test_mask_exact_range():
+    text = "call 617-555-1234 now"
+    out = mask_text(text, [(5, 17)], mask_char="X")
+    assert out == "call XXXXXXXXXXXX now"
+    assert len(out) == len(text)
+
+
+def test_mask_outside_unchanged_and_no_spans_identity():
+    text = "hello world"
+    assert mask_text(text, []) == text  # byte-identical passthrough
+    out = mask_text(text, [(0, 5)], mask_char="#")
+    assert out[5:] == text[5:]
+
+
+def test_mask_overlapping_spans_union():
+    text = "abcdefghij"
+    merged = merge_spans([(0, 4), (2, 6)])
+    assert mask_text(text, merged, "#") == "######ghij"
+
+
+def test_mask_clamps_out_of_range():
+    assert mask_text("abc", [(-5, 2), (2, 99)], "#") == "###"
+
+
+def test_total_masked_chars():
+    assert total_masked_chars([(0, 3), (5, 9)], 100) == 7
+    assert total_masked_chars([(95, 120)], 100) == 5
