@@ -1,0 +1,2 @@
+"""Spark DataFrame operators: UDF stages, Catalyst span filters, partitioning,
+metrics, resume, dedup/similarity/text-analysis extensions."""

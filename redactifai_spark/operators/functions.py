@@ -1,0 +1,68 @@
+"""Catalyst-native span-array functions — no Python, pure expressions.
+
+D3 (masking-level category policy, phi_detection_service.py:43-76) and
+D4 (confidence gate, entity_matcher.py:99-105) as higher-order ``F.filter``
+over the span array; runs inside whole-stage codegen between the detect and
+redact UDF stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from ..kernels.detect import CUSTOM, LIMITED_DATASET, PROVIDER_CATEGORIES, SAFE_HARBOR
+
+
+def filter_spans(
+    spans: Column | str,
+    masking_level: str = SAFE_HARBOR,
+    custom_categories: frozenset[str] | None = None,
+    confidence_threshold: float = 0.0,
+) -> Column:
+    """Policy filter over array<span>: masking level (D3) + confidence (D4)."""
+    col = F.col(spans) if isinstance(spans, str) else spans
+
+    def pred(s):
+        cond = s["confidence"] >= F.lit(float(confidence_threshold))
+        if masking_level == LIMITED_DATASET:
+            cond = cond & ~s["category"].isin(*sorted(PROVIDER_CATEGORIES))
+        elif masking_level == CUSTOM and custom_categories is not None:
+            cond = cond & s["category"].isin(*sorted(custom_categories))
+        return cond
+
+    return F.filter(col, pred)
+
+
+def spans_sorted(spans: Column | str) -> Column:
+    """D6: canonical ordering. Struct field order (offset first after text?) —
+    our span struct starts with text, so sort on an explicit key tuple."""
+    col = F.col(spans) if isinstance(spans, str) else spans
+    return F.array_sort(
+        col,
+        lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
+        .when(a["offset"] > b["offset"], F.lit(1))
+        .when(a["length"] < b["length"], F.lit(-1))
+        .when(a["length"] > b["length"], F.lit(1))
+        .when(a["category"] < b["category"], F.lit(-1))
+        .when(a["category"] > b["category"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def suppress_span_text(spans: Column | str, include_text: bool) -> Column:
+    """M4: PHI-text suppression projection (api/main.py:381-396) — null out the
+    surface text of each span unless explicitly requested."""
+    col = F.col(spans) if isinstance(spans, str) else spans
+    if include_text:
+        return col
+    return F.transform(
+        col,
+        lambda s: F.struct(
+            F.lit(None).cast("string").alias("text"),
+            s["category"].alias("category"),
+            s["offset"].alias("offset"),
+            s["length"].alias("length"),
+            s["confidence"].alias("confidence"),
+            s["subcategory"].alias("subcategory"),
+        ),
+    )

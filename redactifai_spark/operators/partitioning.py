@@ -1,0 +1,47 @@
+"""Explicit partitioning & skew handling (north rule; X5 in SURVEY.md §2.8).
+
+The redaction pipeline itself is embarrassingly parallel (a pure per-row map),
+so at 100 TB the *only* shuffle anyone should pay is an optional one-time
+re-balance of pathological input splits. Host-level skew matters the moment
+anything groups by host (metrics, per-host dedup): Common-Crawl host
+distributions are Zipf-heavy, so those aggregations go through a salted
+two-phase aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def url_host(url: Column | str) -> Column:
+    """Host portion of a url — pure Catalyst (parse_url is JVM-side)."""
+    col = F.col(url) if isinstance(url, str) else url
+    return F.parse_url(col, F.lit("HOST"))
+
+
+def repartition_by_url(df: DataFrame, n_partitions: int) -> DataFrame:
+    """Hash-repartition on xxhash64(url): uniform placement regardless of input
+    layout (urls from one hot host spread across all partitions). This is the
+    north rule's explicit re-balance; skip it when the source is already
+    well-bucketed — it is a full shuffle."""
+    return df.repartition(n_partitions, F.xxhash64("url"))
+
+
+def with_salted_host(df: DataFrame, url_col: str = "url", n_salts: int = 16) -> DataFrame:
+    """Add ``host`` and ``salted_host`` = host#pmod(xxhash64(url), n_salts).
+
+    Any per-host aggregation should group by ``salted_host`` first (partial),
+    then re-aggregate by ``host`` (final) — the classic two-phase salted agg
+    that keeps one hot host from pinning a single reducer."""
+    return df.withColumn("host", url_host(url_col)).withColumn(
+        "salted_host",
+        F.concat_ws("#", F.col("host"),
+                    F.pmod(F.xxhash64(url_col), F.lit(n_salts)).cast("string")),
+    )
+
+
+def per_host_doc_counts(df: DataFrame, url_col: str = "url", n_salts: int = 16) -> DataFrame:
+    """Skew-safe per-host doc count: salted partial agg -> final agg by host."""
+    salted = with_salted_host(df, url_col, n_salts)
+    partial = salted.groupBy("host", "salted_host").agg(F.count("*").alias("n_part"))
+    return partial.groupBy("host").agg(F.sum("n_part").alias("n_docs"))

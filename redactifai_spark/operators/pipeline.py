@@ -1,0 +1,99 @@
+"""The end-to-end redaction pipeline: compose read -> (optional re-balance) ->
+extract UDF -> detect UDF -> Catalyst policy filters -> redact UDF -> output.
+
+Spark mapping of the reference's 6-stage orchestration
+(/root/reference/src/services/deidentification_service.py:105-201); SURVEY.md §3.1
+"Spark equivalent". Two physical strategies with identical bytes:
+
+- staged  (default): three pandas UDFs with the D3/D4 policy filters as native
+  Catalyst ``F.filter`` between detect and redact — the declarative plan.
+- fused: one ``mapInPandas`` hop running the whole per-document kernel — one
+  Arrow round-trip instead of three; the policy is applied inside the kernel
+  (same pure predicate). Used when the policy is static for the run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernels.oracle import PipelineConfig
+from .functions import filter_spans
+from .partitioning import repartition_by_url
+from .udfs import (
+    FUSED_OUTPUT_SCHEMA, make_detect_udf, make_extract_udf, make_fused_map,
+    make_redact_udf,
+)
+
+OUTPUT_COLUMNS = [
+    "url", "warc_ts", "lang", "extracted_text", "redacted_text", "spans",
+    "merged_spans", "n_spans", "n_masked_chars", "n_blocks", "status", "error",
+]
+
+
+def run_pipeline(
+    df: DataFrame,
+    config: PipelineConfig = PipelineConfig(),
+    n_partitions: int | None = None,
+    fused: bool = False,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> redacted output DataFrame.
+
+    Pure map — no shuffle unless ``n_partitions`` asks for the explicit
+    re-balance. Lazy: callers write/collect.
+    """
+    if n_partitions:
+        df = repartition_by_url(df, n_partitions)
+    if fused:
+        return df.mapInPandas(make_fused_map(config), FUSED_OUTPUT_SCHEMA)
+
+    extract = make_extract_udf(config.extract)
+    detect = make_detect_udf()
+    redact = make_redact_udf(config.mask_char, config.span_padding)
+
+    if config.prefer_text_column:
+        staged = df.withColumns(
+            {
+                "extracted_text": F.coalesce(F.col("text"), F.lit("")),
+                "n_blocks": F.lit(0),
+                "extract_error": F.lit(None).cast("string"),
+            }
+        )
+    else:
+        staged = (
+            df.withColumn("_ex", extract(F.col("html")))
+            .withColumns(
+                {
+                    "extracted_text": F.col("_ex.extracted_text"),
+                    "n_blocks": F.col("_ex.n_blocks"),
+                    "extract_error": F.col("_ex.extract_error"),
+                }
+            )
+            .drop("_ex")
+        )
+
+    staged = staged.withColumn("_spans_all", detect(F.col("extracted_text")))
+    # D3/D4 as Catalyst expressions — codegen, no Python.
+    staged = staged.withColumn(
+        "spans",
+        filter_spans(
+            F.col("_spans_all"),
+            masking_level=config.masking_level,
+            custom_categories=config.custom_categories,
+            confidence_threshold=config.confidence_threshold,
+        ),
+    ).drop("_spans_all")
+
+    staged = staged.withColumn("_red", redact(F.col("extracted_text"), F.col("spans")))
+    staged = staged.withColumns(
+        {
+            "redacted_text": F.col("_red.redacted_text"),
+            "merged_spans": F.col("_red.merged_spans"),
+            "n_masked_chars": F.col("_red.n_masked_chars"),
+            "n_spans": F.size("spans").cast("long"),
+            "status": F.when(F.col("extract_error").isNotNull(), F.lit("failed"))
+            .otherwise(F.lit("complete")),
+            "error": F.col("extract_error"),
+        }
+    ).drop("_red", "extract_error")
+
+    return staged.select(*OUTPUT_COLUMNS)

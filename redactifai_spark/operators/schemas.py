@@ -1,0 +1,68 @@
+"""Shared StructTypes — the engine's fixed schema system (SURVEY.md §1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Detected span — 1-D PHIEntity (/root/reference/src/models/domain.py:132-167).
+SPAN_TYPE = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("subcategory", T.StringType()),
+    ]
+)
+
+# Merged masking interval — 1-D MaskRegion (domain.py:171-196).
+MERGED_SPAN_TYPE = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("end", T.LongType()),
+    ]
+)
+
+# Extract-stage output struct.
+EXTRACT_TYPE = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("extract_error", T.StringType()),
+    ]
+)
+
+# Redact-stage output struct.
+REDACT_TYPE = T.StructType(
+    [
+        T.StructField("redacted_text", T.StringType()),
+        T.StructField("merged_spans", T.ArrayType(MERGED_SPAN_TYPE)),
+        T.StructField("n_masked_chars", T.LongType()),
+    ]
+)
+
+# Input pages table (BASELINE.json input_hint).
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+# Per-partition lineage/metrics row (X6; reference Job row, src/tasks.py:147-187).
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_failed", T.LongType()),
+        T.StructField("n_spans", T.LongType()),
+        T.StructField("n_masked_chars", T.LongType()),
+        T.StructField("wall_ms", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ]
+)

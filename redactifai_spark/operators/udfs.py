@@ -1,0 +1,155 @@
+"""The three Arrow-batched pandas UDF stages (+ a fused fast path).
+
+SURVEY.md §2.8: Python is confined to exactly three vectorized stages —
+extract (S4/T1-T3), detect (D1/D2), redact (A1/M1) — with every filter, join
+and aggregation between them in native Catalyst expressions. All UDFs call the
+pure kernels in ``redactifai_spark.kernels``, so Spark output is byte-identical
+to the pure-Python oracle by construction. No per-row Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels.detect import SAFE_HARBOR, detect_pii
+from ..kernels.extract import ExtractConfig, extract_blocks
+from ..kernels.oracle import PipelineConfig, process_document
+from ..kernels.spans import mask_text, merge_spans, total_masked_chars
+from .schemas import EXTRACT_TYPE, REDACT_TYPE, SPAN_TYPE
+
+from pyspark.sql import types as T
+
+SPAN_ARRAY = T.ArrayType(SPAN_TYPE)
+
+
+def make_extract_udf(config: ExtractConfig = ExtractConfig()):
+    """html:binary -> struct(extracted_text, n_blocks, extract_error).
+
+    Spark mapping of S4 (TIFF load) + T2 (segmentation) + T3 (full_text join):
+    the DOM parse happens per Arrow batch inside the executor's Python worker.
+    """
+
+    @pandas_udf(EXTRACT_TYPE)
+    def extract(html: pd.Series) -> pd.DataFrame:
+        texts: list[str] = []
+        n_blocks: list[int] = []
+        errors: list[str | None] = []
+        for payload in html:
+            try:
+                text, blocks = extract_blocks(payload, config)
+                texts.append(text)
+                n_blocks.append(len(blocks))
+                errors.append(None)
+            except Exception as exc:  # X2: per-row failure isolation
+                texts.append("")
+                n_blocks.append(0)
+                errors.append(f"{type(exc).__name__}: {exc}")
+        return pd.DataFrame(
+            {"extracted_text": texts, "n_blocks": n_blocks, "extract_error": errors}
+        )
+
+    return extract
+
+
+def make_detect_udf():
+    """extracted_text -> array<span>. Detects ALL categories; the masking-level
+    and confidence policies are applied afterwards as Catalyst ``F.filter`` on
+    the span array (D3/D4) — equivalent to the reference's in-detector filter
+    (phi_detection_service.py:43-76) because the policy is a pure per-entity
+    category predicate."""
+
+    @pandas_udf(SPAN_ARRAY)
+    def detect(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if not t:
+                out.append([])
+                continue
+            out.append([e.as_dict() for e in detect_pii(t, SAFE_HARBOR)])
+        return pd.Series(out)
+
+    return detect
+
+
+def make_redact_udf(mask_char: str, span_padding: int = 0):
+    """(extracted_text, spans) -> struct(redacted_text, merged_spans, n_masked_chars).
+
+    The interval-union merge (A1, entity_matcher.py:397-442 semantics in 1-D)
+    plus in-place masking (M1, image_masking_service.py:100-146 analog)."""
+
+    @pandas_udf(REDACT_TYPE)
+    def redact(text: pd.Series, spans: pd.Series) -> pd.DataFrame:
+        red, merged_out, n_masked = [], [], []
+        for t, row_spans in zip(text, spans):
+            t = t or ""
+            intervals = (
+                [(int(s["offset"]), int(s["offset"]) + int(s["length"]))
+                 for s in row_spans]
+                if row_spans is not None and len(row_spans) else []
+            )
+            merged = merge_spans(intervals, padding=span_padding, clamp_len=len(t))
+            red.append(mask_text(t, merged, mask_char))
+            merged_out.append([{"start": s, "end": e} for s, e in merged])
+            n_masked.append(total_masked_chars(merged, len(t)))
+        return pd.DataFrame(
+            {"redacted_text": red, "merged_spans": merged_out,
+             "n_masked_chars": n_masked}
+        )
+
+    return redact
+
+
+# ---------------------------------------------------------------------------
+# Fused fast path: one Arrow hop for the whole per-document pipeline.
+# Same kernels, same config -> identical bytes (asserted in tests). Used by
+# bench for the throughput headline; the staged path is the default because it
+# keeps the policy filters visible to Catalyst.
+# ---------------------------------------------------------------------------
+
+FUSED_OUTPUT_FIELDS = [
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("extracted_text", T.StringType()),
+    T.StructField("redacted_text", T.StringType()),
+    T.StructField("spans", SPAN_ARRAY),
+    T.StructField("merged_spans", T.ArrayType(
+        T.StructType([T.StructField("start", T.LongType()),
+                      T.StructField("end", T.LongType())]))),
+    T.StructField("n_spans", T.LongType()),
+    T.StructField("n_masked_chars", T.LongType()),
+    T.StructField("n_blocks", T.IntegerType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("error", T.StringType()),
+]
+FUSED_OUTPUT_SCHEMA = T.StructType(FUSED_OUTPUT_FIELDS)
+
+
+def make_fused_map(config: PipelineConfig):
+    """mapInPandas function running extract→detect→filter→merge→mask per batch."""
+
+    def fused(batches):
+        for pdf in batches:
+            rows = []
+            for url, warc_ts, html, text, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
+            ):
+                r = process_document(html, text, config)
+                rows.append(
+                    {
+                        "url": url, "warc_ts": warc_ts, "lang": lang,
+                        "extracted_text": r["extracted_text"],
+                        "redacted_text": r["redacted_text"],
+                        "spans": r["spans"],
+                        "merged_spans": r["merged_spans"],
+                        "n_spans": r["n_spans"],
+                        "n_masked_chars": r["n_masked_chars"],
+                        "n_blocks": r["n_blocks"],
+                        "status": r["status"], "error": r["error"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FUSED_OUTPUT_FIELDS])
+
+    return fused

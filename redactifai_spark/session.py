@@ -1,0 +1,60 @@
+"""SparkSession builder with the engine's tuning defaults."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+_PKG_ROOT = str(Path(__file__).resolve().parents[1])
+
+
+def _ensure_package_visible_to_workers() -> None:
+    """Executor Python workers resolve imports from PYTHONPATH, not the driver's
+    sys.path — without this, any run launched outside the repo dies with
+    ModuleNotFoundError inside the UDF deserializer. On a real cluster the
+    equivalent is ``spark-submit --py-files redactifai_spark.zip``."""
+    existing = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_PKG_ROOT}{os.pathsep}{existing}" if existing else _PKG_ROOT
+        )
+
+
+def get_spark(
+    app_name: str = "redactifai_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a session tuned for the redaction pipeline.
+
+    Scale notes (100 TB / 1000-executor target):
+    - AQE on: runtime coalescing + skew-join splitting handle Common-Crawl host skew
+      after our explicit salting gets the first-order problem.
+    - Arrow enabled with a bounded batch size so the three pandas-UDF stages
+      stream bounded memory (the analog of the reference's page micro-batching,
+      deidentification_service.py:112-124).
+    """
+    _ensure_package_visible_to_workers()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

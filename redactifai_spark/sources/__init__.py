@@ -1,0 +1,1 @@
+"""Sources: deterministic synthetic pages generator + testdata table loaders."""

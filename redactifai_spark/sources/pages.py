@@ -1,0 +1,117 @@
+"""Deterministic synthetic Common-Crawl-style pages — pure Catalyst generation.
+
+Every column is a pure function of ``id`` built from JVM-side expressions
+(no Python, no RNG): generating the sf0.1 bench input is itself distributed
+and reproducible on any cluster size (TESTDATA/FIXTURES contract: seedless
+determinism, no external data).
+
+Shape per FIXTURES.md §1: (url, warc_ts, html:binary, text, lang) with
+- Zipf-ish host skew (two hot hosts ≈ 75% of rows) to exercise salting,
+- HTML with high-link-density nav/footer chrome wrapping an <article>,
+- PII seeded from the reference's sample record shapes
+  (/root/reference/src/services/mock_ocr_service.py:79-114): names, dates,
+  phones, emails, SSNs, MRNs, addresses, Dr.-prefixed provider names,
+- ``text`` = the golden main-content extraction (asserted byte-equal to
+  kernels.extract output in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+NAMES = [
+    "Alice Johnson", "Robert Smith", "Maria Garcia", "James Brown",
+    "Linda Davis", "Michael Miller", "Barbara Wilson", "William Moore",
+    "Elizabeth Taylor", "David Anderson", "Jennifer Thomas", "Richard Jackson",
+    "Susan White", "Joseph Harris", "Jessica Martin", "Thomas Thompson",
+    "Sarah Lewis", "Charles Walker", "Karen Hall", "Daniel Young",
+]
+
+_EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def generate_pages(spark: SparkSession, n_rows: int, n_partitions: int | None = None) -> DataFrame:
+    """n_rows synthetic pages; deterministic function of row id."""
+    df = spark.range(0, n_rows, 1, n_partitions or spark.sparkContext.defaultParallelism)
+    sid = F.col("id")
+
+    host = (
+        F.when(F.pmod(sid, 16) < 8, F.lit("popular-news.com"))
+        .when(F.pmod(sid, 16) < 12, F.lit("big-blog.org"))
+        .otherwise(F.concat(F.lit("site-"), F.pmod(sid, 997), F.lit(".example.com")))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/article/"), sid)
+    warc_ts = F.timestamp_seconds(F.lit(_EPOCH_2024) + F.pmod(sid * 977, 31536000))
+    lang = (
+        F.when(F.pmod(sid, 17) == 0, F.lit("de"))
+        .when(F.pmod(sid, 23) == 0, F.lit("fr"))
+        .otherwise(F.lit("en"))
+    )
+
+    names_arr = F.array(*[F.lit(n) for n in NAMES])
+    name = F.element_at(names_arr, (F.pmod(sid, 20) + 1).cast("int"))
+    # ~1/7 of pages attribute the story to a provider (exercises the D2 lookbehind)
+    byline = F.when(F.pmod(sid, 7) == 0, F.concat(F.lit("Dr. "), name)).otherwise(name)
+
+    phone = F.concat(
+        F.lit("("), (F.pmod(sid, 800) + 200).cast("string"), F.lit(") 555-"),
+        F.lpad(F.pmod(sid * 7, 10000).cast("string"), 4, "0"),
+    )
+    email = F.concat(F.lit("contact"), sid, F.lit("@example"), F.pmod(sid, 5), F.lit(".com"))
+    date = F.concat(
+        F.lpad((F.pmod(sid, 12) + 1).cast("string"), 2, "0"), F.lit("/"),
+        F.lpad((F.pmod(sid, 28) + 1).cast("string"), 2, "0"), F.lit("/"),
+        (F.lit(1950) + F.pmod(sid, 70)).cast("string"),
+    )
+    ssn = F.concat(
+        F.lpad((F.pmod(sid * 13, 900) + 100).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(F.pmod(sid, 100).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad(F.pmod(sid * 31, 10000).cast("string"), 4, "0"),
+    )
+    addr = F.concat(
+        (F.pmod(sid, 9000) + 100).cast("string"), F.lit(" Main Street, Boston, MA 0"),
+        F.lpad(F.pmod(sid, 10000).cast("string"), 4, "0"),
+    )
+    mrn = (F.pmod(sid * 17, 100000000) + 10000000).cast("string")
+
+    h1 = F.concat(F.lit("Report number "), sid, F.lit(" from the field"))
+    p1 = F.concat(
+        F.lit("Our correspondent "), byline, F.lit(" filed this story on "), date,
+        F.lit(". Contact the desk at "), phone, F.lit(" or "), email, F.lit("."),
+    )
+    p2 = F.concat(
+        F.rtrim(F.repeat(F.lit("The quick brown fox jumps over the lazy dog. "),
+                         (F.pmod(sid, 6) + 2).cast("int"))),
+        F.lit(" Story segment "), F.pmod(sid, 100), F.lit(" concludes."),
+    )
+    has_p3 = F.pmod(sid, 3) == 0
+    p3 = F.concat(
+        F.lit("Records show SSN "), ssn, F.lit(" and MRN: "), mrn,
+        F.lit(" on file at "), addr, F.lit("."),
+    )
+
+    html = F.concat(
+        F.lit("<html><head><title>Synthetic page</title>"
+              "<style>body{margin:0}</style><script>var t=1;</script></head><body>"
+              '<nav><a href="/">Home</a> <a href="/about">About</a> '
+              '<a href="/contact">Contact</a></nav>'
+              "<article><h1>"),
+        h1,
+        F.lit("</h1><p>"), p1,
+        F.lit("</p><p>"), p2, F.lit("</p>"),
+        F.when(has_p3, F.concat(F.lit("<p>"), p3, F.lit("</p>"))).otherwise(F.lit("")),
+        F.lit('</article><footer><a href="/privacy">Privacy</a> '
+              '<a href="/terms">Terms</a></footer></body></html>'),
+    )
+    text = F.concat(
+        h1, F.lit("\n"), p1, F.lit("\n"), p2,
+        F.when(has_p3, F.concat(F.lit("\n"), p3)).otherwise(F.lit("")),
+    )
+
+    return df.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )

@@ -1,0 +1,11 @@
+import pytest
+
+from redactifai_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="redactifai-tests", master="local[4]",
+                  shuffle_partitions=4)
+    yield s
+    s.stop()

@@ -1,0 +1,136 @@
+"""End-to-end DataFrame pipeline tests: Spark output byte-identical to the
+pure-Python oracle per url; fused == staged; golden text column matches the
+extractor (SURVEY.md §5 port plan, §7 determinism contract)."""
+
+import pytest
+
+from redactifai_spark.kernels.detect import LIMITED_DATASET
+from redactifai_spark.kernels.extract import extract_text
+from redactifai_spark.kernels.oracle import PipelineConfig, process_document
+from redactifai_spark.operators.pipeline import run_pipeline
+from redactifai_spark.operators.metrics import partition_metrics, resume_filter
+from redactifai_spark.operators.partitioning import per_host_doc_counts
+from redactifai_spark.sources.pages import generate_pages
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = generate_pages(spark, N, n_partitions=4)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def pages_rows(pages):
+    return {r["url"]: r for r in pages.collect()}
+
+
+def test_text_column_is_extractor_golden(pages_rows):
+    # The generator's `text` column IS what the extractor emits from `html` —
+    # locks the byte-identical extracted-text invariant end to end.
+    assert len(pages_rows) == N
+    for url, row in pages_rows.items():
+        assert extract_text(row["html"]) == row["text"], url
+
+
+def test_staged_output_matches_oracle(spark, pages, pages_rows):
+    out = {r["url"]: r for r in run_pipeline(pages).collect()}
+    assert len(out) == N
+    for url, row in out.items():
+        golden = process_document(pages_rows[url]["html"])
+        assert row["extracted_text"] == golden["extracted_text"], url
+        assert row["redacted_text"] == golden["redacted_text"], url
+        assert row["n_spans"] == golden["n_spans"], url
+        assert row["n_masked_chars"] == golden["n_masked_chars"], url
+        assert [(m["start"], m["end"]) for m in row["merged_spans"]] == [
+            (m["start"], m["end"]) for m in golden["merged_spans"]
+        ], url
+        assert row["status"] == "complete"
+
+
+def test_fused_identical_to_staged(spark, pages):
+    staged = {r["url"]: r for r in run_pipeline(pages).collect()}
+    fused = {r["url"]: r for r in run_pipeline(pages, fused=True).collect()}
+    assert staged.keys() == fused.keys()
+    for url in staged:
+        s, f = staged[url], fused[url]
+        assert s["redacted_text"] == f["redacted_text"], url
+        assert s["extracted_text"] == f["extracted_text"], url
+        assert s["n_spans"] == f["n_spans"], url
+
+
+def test_spans_detected_and_masked(spark, pages):
+    rows = run_pipeline(pages).collect()
+    cats = {s["category"] for r in rows for s in r["spans"]}
+    assert {"Person", "Date", "PhoneNumber", "Email", "SSN",
+            "MedicalRecordNumber", "Address", "HealthcareProfessional"} <= cats
+    for r in rows:
+        # masked chars replaced, outside chars unchanged
+        assert len(r["redacted_text"]) == len(r["extracted_text"])
+        for m in r["merged_spans"]:
+            seg = r["redacted_text"][m["start"]:m["end"]]
+            assert seg == "█" * len(seg)
+        if not r["merged_spans"]:
+            assert r["redacted_text"] == r["extracted_text"]
+
+
+def test_limited_dataset_policy_in_catalyst(spark, pages):
+    cfg = PipelineConfig(masking_level=LIMITED_DATASET)
+    rows = run_pipeline(pages, cfg).collect()
+    cats = {s["category"] for r in rows for s in r["spans"]}
+    assert "HealthcareProfessional" not in cats
+    assert "Person" in cats
+    # provider bylines stay readable
+    safe = {r["url"]: r for r in run_pipeline(pages).collect()}
+    lim = {r["url"]: r for r in rows}
+    assert any(lim[u]["n_masked_chars"] < safe[u]["n_masked_chars"] for u in lim)
+
+
+def test_confidence_threshold_policy(spark, pages):
+    cfg = PipelineConfig(confidence_threshold=0.92)
+    rows = run_pipeline(pages, cfg).collect()
+    assert all(s["confidence"] >= 0.92 for r in rows for s in r["spans"])
+    cats = {s["category"] for r in rows for s in r["spans"]}
+    assert "Person" not in cats  # names are 0.90
+
+
+def test_partition_metrics(spark, pages):
+    out = run_pipeline(pages)
+    m = partition_metrics(out, run_id="test-run").collect()
+    assert sum(r["n_docs"] for r in m) == N
+    assert all(r["run_id"] == "test-run" for r in m)
+    assert sum(r["n_spans"] for r in m) > 0
+    assert all(r["status"] == "complete" for r in m)
+
+
+def test_resume_anti_join(spark, pages):
+    committed = run_pipeline(pages.limit(50))
+    remaining = resume_filter(pages, committed)
+    assert remaining.count() == N - 50
+    # committed urls are excluded
+    done = {r["url"] for r in committed.select("url").collect()}
+    rest = {r["url"] for r in remaining.select("url").collect()}
+    assert not (done & rest)
+
+
+def test_per_host_counts_salted(spark, pages):
+    counts = {r["host"]: r["n_docs"] for r in per_host_doc_counts(pages).collect()}
+    assert sum(counts.values()) == N
+    assert counts["popular-news.com"] >= N // 3  # the hot host is hot
+
+
+def test_malformed_html_fails_safe(spark):
+    import pyspark.sql.functions as F
+    from redactifai_spark.operators.schemas import PAGES_SCHEMA
+    rows = [
+        ("u1", None, None, None, "en"),          # null html
+        ("u2", None, b"\xff\xfe garbage<<<", None, "en"),
+    ]
+    df = spark.createDataFrame(rows, schema="url string, warc_ts timestamp, html binary, text string, lang string")
+    out = {r["url"]: r for r in run_pipeline(df).collect()}
+    # never crash; never emit unredacted surprises; null html -> empty text
+    assert out["u1"]["extracted_text"] == ""
+    assert out["u1"]["status"] == "complete"
+    assert out["u2"]["status"] in ("complete", "failed")
