@@ -1,38 +1,399 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship redaction pipeline on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible query.
+
+Column names and types are aligned pairwise (counts -> BIGINT, ratios -> DOUBLE)
+because the driver hash-compares values after sorting columns by name.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
+from redactifai_spark.kernels.oracle import PipelineConfig
+from redactifai_spark.operators.pipeline import run_pipeline
+from redactifai_spark.sources.pages import wrap_documents_as_pages
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: wrap sf0.001 documents as HTML pages, run the full
+# extract -> detect -> policy-filter -> merge -> mask pipeline.
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    docs = _t(spark, SF_SMALL, "documents")
+    pages = wrap_documents_as_pages(docs)
+    out = run_pipeline(pages, PipelineConfig())
+    return out.select(
+        "url", "lang", "extracted_text", "redacted_text", "n_spans",
+        "n_masked_chars", "n_blocks", "status",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — each callable: (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def _events_type_counts(spark, sf_dir):
+    # O2/A4: filter-free group-by count
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _events_recent_page(spark, sf_dir):
+    # O1: order-by + offset/limit pagination (api/main.py:252-258 analog)
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .select("event_id", "user_id", "event_type")
+        .offset(100)
+        .limit(100)
+    )
+
+
+def _events_error_by_user(spark, sf_dir):
+    # O2: status filter + per-user count (api/main.py:244-246 analog)
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_errors"))
+    )
+
+
+def _events_first_event(spark, sf_dir):
+    # O3: first-match-only per key (entity_matcher.py:364-370 analog)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("event_type").alias("first_event_type"),
+        )
+    )
+
+
+def _events_top_users(spark, sf_dir):
+    # O1 top-k + A4 aggregate; min/max are float-exact
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+def _events_type_isin(spark, sf_dir):
+    # O4/D3: category set membership
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _docs_lang_stats(spark, sf_dir):
+    # A4/A5: group-by with count + exact integer sum
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def _docs_token_counts(spark, sf_dir):
+    # T1 analog: per-doc whitespace token count via JVM-side regexp
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+
+
+def _docs_word_match_counts(spark, sf_dir):
+    # D1: regex detector bank shape — per-lang match counts
+    n = lambda pat: F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", n(r"\bmerge\b").alias("c_merge"), n(r"\bscan\b").alias("c_scan"))
+        .groupBy("lang")
+        .agg(F.sum("c_merge").alias("n_merge"), F.sum("c_scan").alias("n_scan"))
+    )
+
+
+def _docs_distinct_tokens(spark, sf_dir):
+    # text analysis: per-doc vocabulary size
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def _docs_prefix_dedup(spark, sf_dir):
+    # exact dedup by content-prefix hash: keeper = min doc_id per group
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.substring("text", 1, 40)).alias("group_key"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _docs_skip_phrase_filter(spark, sf_dir):
+    # O5: skip-phrase anti-filter (mock_phi_detection_service.py:106-120 analog)
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(~(F.col("text").like("%scan%") | F.col("text").like("%merge%")))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_clean"))
+    )
+
+
+def _span_interval_union(spark, sf_dir):
+    # A1: interval-union merge as a native Catalyst window (gaps-and-islands) —
+    # the SQL-expressible twin of kernels.spans.merge_spans
+    li = _t(spark, sf_dir, "lineitem")
+    spans = li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        (F.col("l_linenumber") * 7 + F.col("l_partkey") % 50).alias("s"),
+        (F.col("l_linenumber") * 7 + F.col("l_partkey") % 50 + 3
+         + F.col("l_suppkey") % 25).alias("e"),
+    )
+    w_prev = W.partitionBy("doc_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.partitionBy("doc_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, 0)
+    marked = spans.withColumn(
+        "new_grp",
+        F.when(F.col("s") > F.max("e").over(w_prev), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("grp", F.sum("new_grp").over(w_cum))
+    return (
+        marked.groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("m_start"), F.max("e").alias("m_end"),
+             F.count("*").alias("n_merged"))
+        .select("doc_id", "m_start", "m_end", "n_merged")
+    )
+
+
+def _span_overlap_join(spark, sf_dir):
+    # J4: span<->token half-open interval-overlap range join
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    tok = li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        (F.col("l_linenumber") * 10).alias("ts_"),
+        (F.col("l_linenumber") * 10 + 8).alias("te_"),
+    )
+    sp = od.select(
+        F.col("o_orderkey").alias("doc_id"),
+        (F.col("o_custkey") % 40).alias("ss_"),
+        (F.col("o_custkey") % 40 + 5 + F.col("o_orderkey") % 10).alias("se_"),
+    )
+    joined = tok.join(sp, "doc_id").filter(
+        (F.col("ts_") < F.col("se_")) & (F.col("ss_") < F.col("te_"))
+    )
+    return joined.groupBy("doc_id").agg(F.count("*").alias("n_overlaps"))
+
+
+def _embeddings_cosine_topk(spark, sf_dir):
+    # similarity search baseline: brute-force cosine top-k against vec_id=0
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
+    q = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .withColumn("ev", as_double("embedding"))
+        .select(
+            "vec_id",
+            (dot(F.col("ev"), F.col("qv"))
+             / F.sqrt(dot(F.col("ev"), F.col("ev")) * dot(F.col("qv"), F.col("qv")))
+             ).alias("cos"),
+        )
+    )
+    return (
+        sims.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
+        .limit(20)
+    )
+
+
+def _redact_documents(spark, sf_dir):
+    # full detect -> policy filter -> merge -> mask UDF path over documents.text;
+    # clean corpus => byte-identical passthrough and zero spans (no false positives)
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+    out = run_pipeline(
+        pages.select("url", "warc_ts", "html", "text", "lang"),
+        PipelineConfig(prefer_text_column=True),
+    )
+    return (
+        out.join(pages.select("url", "doc_id"), "url")
+        .select("doc_id", "redacted_text", F.col("n_spans").cast("long").alias("n_spans"))
+    )
+
+
+def _redact_pages(spark, sf_dir):
+    # rows-only: full HTML pipeline over documents wrapped as synthetic pages
+    # (PII injected deterministically) — not SQL-expressible
+    pages = wrap_documents_as_pages(_t(spark, sf_dir, "documents"))
+    out = run_pipeline(pages, PipelineConfig())
+    return out.select("url", "lang", "redacted_text", "n_spans", "n_masked_chars",
+                      "n_blocks", "status")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "events_type_counts": _events_type_counts,
+        "events_recent_page": _events_recent_page,
+        "events_error_by_user": _events_error_by_user,
+        "events_first_event": _events_first_event,
+        "events_top_users": _events_top_users,
+        "events_type_isin": _events_type_isin,
+        "docs_lang_stats": _docs_lang_stats,
+        "docs_token_counts": _docs_token_counts,
+        "docs_word_match_counts": _docs_word_match_counts,
+        "docs_distinct_tokens": _docs_distinct_tokens,
+        "docs_prefix_dedup": _docs_prefix_dedup,
+        "docs_skip_phrase_filter": _docs_skip_phrase_filter,
+        "span_interval_union": _span_interval_union,
+        "span_overlap_join": _span_overlap_join,
+        "embeddings_cosine_topk": _embeddings_cosine_topk,
+        "redact_documents": _redact_documents,
+        "redact_pages": _redact_pages,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "events_type_counts": (
+            "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+        ),
+        "events_recent_page": (
+            "SELECT event_id, user_id, event_type FROM events "
+            "ORDER BY ts DESC, event_id ASC LIMIT 100 OFFSET 100"
+        ),
+        "events_error_by_user": (
+            "SELECT user_id, COUNT(*) AS n_errors FROM events "
+            "WHERE event_type = 'error' GROUP BY user_id"
+        ),
+        "events_first_event": (
+            "SELECT user_id, first_event_id, first_event_type FROM ("
+            "  SELECT user_id, event_id AS first_event_id, event_type AS first_event_type, "
+            "         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "  FROM events) t WHERE rn = 1"
+        ),
+        "events_top_users": (
+            "SELECT user_id, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value "
+            "FROM events GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 50"
+        ),
+        "events_type_isin": (
+            "SELECT event_type, COUNT(*) AS n FROM events "
+            "WHERE event_type IN ('click', 'view') GROUP BY event_type"
+        ),
+        "docs_lang_stats": (
+            "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "docs_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+            "n_chars FROM documents"
+        ),
+        "docs_word_match_counts": (
+            "SELECT lang, "
+            "CAST(SUM(len(regexp_extract_all(text, '\\bmerge\\b'))) AS BIGINT) AS n_merge, "
+            "CAST(SUM(len(regexp_extract_all(text, '\\bscan\\b'))) AS BIGINT) AS n_scan "
+            "FROM documents GROUP BY lang"
+        ),
+        "docs_distinct_tokens": (
+            "SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) "
+            "AS n_distinct_tokens FROM documents"
+        ),
+        "docs_prefix_dedup": (
+            "SELECT md5(substr(text, 1, 40)) AS group_key, MIN(doc_id) AS keeper_id, "
+            "COUNT(*) AS n_copies FROM documents GROUP BY md5(substr(text, 1, 40))"
+        ),
+        "docs_skip_phrase_filter": (
+            "SELECT lang, COUNT(*) AS n_clean FROM documents "
+            "WHERE NOT (text LIKE '%scan%' OR text LIKE '%merge%') GROUP BY lang"
+        ),
+        "span_interval_union": (
+            "WITH spans AS ("
+            "  SELECT l_orderkey AS doc_id, "
+            "         l_linenumber * 7 + l_partkey % 50 AS s, "
+            "         l_linenumber * 7 + l_partkey % 50 + 3 + l_suppkey % 25 AS e "
+            "  FROM lineitem), "
+            "marked AS ("
+            "  SELECT doc_id, s, e, CASE WHEN s > MAX(e) OVER ("
+            "    PARTITION BY doc_id ORDER BY s, e "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS new_grp "
+            "  FROM spans), "
+            "grp AS ("
+            "  SELECT doc_id, s, e, SUM(new_grp) OVER ("
+            "    PARTITION BY doc_id ORDER BY s, e "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g "
+            "  FROM marked) "
+            "SELECT doc_id, MIN(s) AS m_start, MAX(e) AS m_end, COUNT(*) AS n_merged "
+            "FROM grp GROUP BY doc_id, g"
+        ),
+        "span_overlap_join": (
+            "WITH tok AS ("
+            "  SELECT l_orderkey AS doc_id, l_linenumber * 10 AS ts_, "
+            "         l_linenumber * 10 + 8 AS te_ FROM lineitem), "
+            "sp AS ("
+            "  SELECT o_orderkey AS doc_id, o_custkey % 40 AS ss_, "
+            "         o_custkey % 40 + 5 + o_orderkey % 10 AS se_ FROM orders) "
+            "SELECT tok.doc_id AS doc_id, COUNT(*) AS n_overlaps "
+            "FROM tok JOIN sp ON tok.doc_id = sp.doc_id "
+            "WHERE tok.ts_ < sp.se_ AND sp.ss_ < tok.te_ "
+            "GROUP BY tok.doc_id"
+        ),
+        "embeddings_cosine_topk": (
+            "WITH q AS ("
+            "  SELECT UNNEST(embedding) AS qv, generate_subscripts(embedding, 1) AS i "
+            "  FROM embeddings WHERE vec_id = 0), "
+            "e AS ("
+            "  SELECT vec_id, UNNEST(embedding) AS ev, generate_subscripts(embedding, 1) AS i "
+            "  FROM embeddings), "
+            "d AS ("
+            "  SELECT e.vec_id, SUM(CAST(e.ev AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot, "
+            "         SUM(CAST(e.ev AS DOUBLE) * CAST(e.ev AS DOUBLE)) AS nrm, "
+            "         SUM(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS qn "
+            "  FROM e JOIN q USING (i) GROUP BY e.vec_id) "
+            "SELECT vec_id, ROUND(dot / sqrt(nrm * qn), 6) AS cos_sim FROM d "
+            "ORDER BY dot / sqrt(nrm * qn) DESC, vec_id ASC LIMIT 20"
+        ),
+        "redact_documents": (
+            "SELECT doc_id, text AS redacted_text, CAST(0 AS BIGINT) AS n_spans "
+            "FROM documents"
+        ),
+        # redact_pages: intentionally no oracle (full HTML pipeline, rows-only check)
+    }

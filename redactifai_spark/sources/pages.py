@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+__all__ = ["generate_pages", "wrap_documents_as_pages", "NAMES"]
+
 NAMES = [
     "Alice Johnson", "Robert Smith", "Maria Garcia", "James Brown",
     "Linda Davis", "Michael Miller", "Barbara Wilson", "William Moore",
@@ -114,4 +116,58 @@ def generate_pages(spark: SparkSession, n_rows: int, n_partitions: int | None = 
         F.encode(html, "UTF-8").alias("html"),
         text.alias("text"),
         lang.alias("lang"),
+    )
+
+
+def wrap_documents_as_pages(docs: DataFrame) -> DataFrame:
+    """Wrap the driver `documents` table as Common-Crawl-style pages.
+
+    Deterministic function of (doc_id, text): boilerplate chrome around an
+    <article> holding the document text plus a PII-bearing contact paragraph
+    derived arithmetically from doc_id — the flagship `entry` input.
+    """
+    did = F.col("doc_id")
+    host = (
+        F.when(F.pmod(did, 16) < 8, F.lit("popular-news.com"))
+        .when(F.pmod(did, 16) < 12, F.lit("big-blog.org"))
+        .otherwise(F.concat(F.lit("site-"), F.pmod(did, 997), F.lit(".example.com")))
+    )
+    names_arr = F.array(*[F.lit(n) for n in NAMES])
+    name = F.element_at(names_arr, (F.pmod(did, 20) + 1).cast("int"))
+    byline = F.when(F.pmod(did, 7) == 0, F.concat(F.lit("Dr. "), name)).otherwise(name)
+    phone = F.concat(
+        F.lit("("), (F.pmod(did, 800) + 200).cast("string"), F.lit(") 555-"),
+        F.lpad(F.pmod(did * 7, 10000).cast("string"), 4, "0"),
+    )
+    email = F.concat(F.lit("contact"), did, F.lit("@example"), F.pmod(did, 5), F.lit(".com"))
+    date = F.concat(
+        F.lpad((F.pmod(did, 12) + 1).cast("string"), 2, "0"), F.lit("/"),
+        F.lpad((F.pmod(did, 28) + 1).cast("string"), 2, "0"), F.lit("/"),
+        (F.lit(1950) + F.pmod(did, 70)).cast("string"),
+    )
+    contact = F.concat(
+        F.lit("Contact "), byline, F.lit(" at "), phone, F.lit(" or "), email,
+        F.lit(" before "), date, F.lit("."),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc</title></head><body>"
+              '<nav><a href="/">Home</a> <a href="/about">About</a> '
+              '<a href="/contact">Contact</a></nav>'
+              "<article><h1>Document "),
+        did.cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><p>"), contact,
+        F.lit('</p></article><footer><a href="/privacy">Privacy</a> '
+              '<a href="/terms">Terms</a></footer></body></html>'),
+    )
+    golden_text = F.concat(
+        F.lit("Document "), did.cast("string"), F.lit("\n"), F.col("text"),
+        F.lit("\n"), contact,
+    )
+    return docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/doc/"), did).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2024) + F.pmod(did * 977, 31536000)).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        golden_text.alias("text"),
+        F.col("lang"),
     )
