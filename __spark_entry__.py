@@ -270,6 +270,66 @@ def _redact_pages(spark, sf_dir):
                       "n_blocks", "status")
 
 
+def _docs_quality_stats(spark, sf_dir):
+    # text-analysis quality features — all exact integers, pure Catalyst
+    from redactifai_spark.operators.textstats import with_quality_stats
+
+    return with_quality_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_sentences", "n_digits", "n_upper", "n_punct"
+    )
+
+
+def _docs_fingerprint_stats(spark, sf_dir):
+    # document fingerprinting: distinct normalized-content count via xxhash64
+    from redactifai_spark.operators.textstats import fingerprint
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(fingerprint("text").alias("fp"))
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("fp").alias("n_unique"))
+    )
+
+
+def _docs_minhash_neardups(spark, sf_dir):
+    # MinHash-LSH near-dup pairs (shingle->minhash->band->bucket-join->verify)
+    from redactifai_spark.operators.dedup import near_duplicate_pairs
+
+    return near_duplicate_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+def _docs_simhash_neardups(spark, sf_dir):
+    from redactifai_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+    )
+
+
+def _docs_lang_detect(spark, sf_dir):
+    from redactifai_spark.operators.textstats import detect_language
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", detect_language("text").alias("lang_detected"))
+        .groupBy("lang", "lang_detected")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _embeddings_lsh_topk(spark, sf_dir):
+    # ANN scale path: deterministic random-hyperplane LSH bucket search
+    from redactifai_spark.operators.similarity import lsh_topk, with_lsh_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    indexed = with_lsh_bucket(emb, dim=len(query), n_planes=8)
+    return lsh_topk(indexed, query, dim=len(query), k=10, n_planes=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_type_counts": _events_type_counts,
@@ -289,6 +349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_cosine_topk": _embeddings_cosine_topk,
         "redact_documents": _redact_documents,
         "redact_pages": _redact_pages,
+        "docs_quality_stats": _docs_quality_stats,
+        "docs_fingerprint_stats": _docs_fingerprint_stats,
+        "docs_minhash_neardups": _docs_minhash_neardups,
+        "docs_simhash_neardups": _docs_simhash_neardups,
+        "docs_lang_detect": _docs_lang_detect,
+        "embeddings_lsh_topk": _embeddings_lsh_topk,
     }
 
 
@@ -395,5 +461,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text AS redacted_text, CAST(0 AS BIGINT) AS n_spans "
             "FROM documents"
         ),
-        # redact_pages: intentionally no oracle (full HTML pipeline, rows-only check)
+        "docs_quality_stats": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits, "
+            "CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper, "
+            "CAST(len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS BIGINT) AS n_punct "
+            "FROM documents"
+        ),
+        "docs_fingerprint_stats": (
+            "SELECT COUNT(*) AS n_docs, "
+            "COUNT(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_unique "
+            "FROM documents"
+        ),
+        # rows-only (not SQL-expressible): redact_pages (full HTML pipeline),
+        # docs_minhash_neardups / docs_simhash_neardups (hash-family dedup),
+        # docs_lang_detect (stopword-ratio argmax), embeddings_lsh_topk (LSH ANN)
     }

@@ -16,7 +16,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .detect import SAFE_HARBOR, detect_pii, filter_confidence
-from .extract import ExtractConfig, extract_blocks
+from .extract import ExtractConfig
+from .extract_fast import extract_blocks_fast as extract_blocks
 from .spans import DEFAULT_MASK_CHAR, mask_text, merge_spans, total_masked_chars
 
 

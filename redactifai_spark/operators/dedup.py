@@ -1,0 +1,253 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot-path logic is native Catalyst (JVM, codegen): shingling via
+higher-order array functions, MinHash via affine transforms of xxhash64,
+LSH banding via explode + shuffle-on-band-bucket — the standard distributed
+near-dup design (shingle -> minhash -> band -> bucket-join -> verify).
+SimHash is the one pandas-UDF kernel (64 bit-plane sums don't express well
+in SQL).
+
+Scale notes (10^12 docs): the only shuffles are groupBy(band_hash) and the
+candidate-pair self-join, both on uniformly-distributed hash keys (no salt
+needed); verification joins fetch shingle sets only for candidate pairs
+(a tiny fraction), never for all pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+_MERSENNE = (1 << 61) - 1
+_MAX_A = (1 << 31) - 1
+
+
+def _affine_params(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the MinHash permutation family —
+    derived from a fixed hash chain, no RNG state."""
+    out = []
+    for i in range(n):
+        d = hashlib.blake2b(f"minhash-{i}".encode(), digest_size=16).digest()
+        a = (int.from_bytes(d[:8], "big") % (_MAX_A - 1)) + 1
+        b = int.from_bytes(d[8:], "big") % _MERSENNE
+        out.append((a, b))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: (group_key, keeper_id, n_copies); keeper is
+    the minimum id — deterministic."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("group_key"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep only the keeper row of each exact-duplicate group."""
+    keepers = exact_duplicate_groups(df, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH (all Catalyst)
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of the whitespace-normalized lowercased text."""
+    col = F.col(text) if isinstance(text, str) else text
+    tokens = F.split(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "), " ")
+    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    # a doc shorter than n words contributes its whole text as one shingle
+    return F.array_distinct(
+        F.when(k > 0, grams).otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature: min over shingles of affine transforms of a base
+    xxhash64 (masked to 31 bits so a*h+b stays in signed-64 under ANSI mode)."""
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+    mins = [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b % _MAX_A),
+                                               F.lit(_MERSENNE)))
+        )
+        for a, b in _affine_params(n_hashes)
+    ]
+    return F.array(*mins)
+
+
+def with_minhash(
+    df: DataFrame, text_col: str, n_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    return df.withColumn(
+        "minhash", minhash_signature(word_shingles(text_col, shingle_n), n_hashes)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs
+    (id_a < id_b, distinct). Shuffles on uniformly-distributed band hashes."""
+    rows_per_band = n_hashes // n_bands
+    sig = with_minhash(df.select(id_col, text_col), text_col, n_hashes, shingle_n)
+    bands = sig.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("minhash"), b * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_id", "band.band_hash")
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two (distinct-element) arrays — pure Catalyst."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact shingle Jaccard >= threshold.
+
+    Returns (id_a, id_b, jaccard). Shingle sets are joined back only for
+    candidate pairs, so the verify cost is proportional to candidates, not docs.
+    """
+    cands = lsh_candidate_pairs(df, id_col, text_col, n_hashes, n_bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    return (
+        cands.join(sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard_similarity(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pandas-UDF kernel; deterministic blake2b token hashes)
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens — the pure-Python oracle."""
+    counts = [0] * 64
+    for tok in text.lower().split():
+        h = int.from_bytes(
+            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        for i in range(64):
+            counts[i] += 1 if (h >> i) & 1 else -1
+    v = 0
+    for i in range(64):
+        if counts[i] > 0:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v  # as signed 64
+
+
+def make_simhash_udf():
+    @pandas_udf(T.LongType())
+    def simhash(text: pd.Series) -> pd.Series:
+        return pd.Series([simhash64(t or "") for t in text], dtype="int64")
+
+    return simhash
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count — pure Catalyst."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: block on 16-bit key pieces (pigeonhole: any pair with
+    <= n_blocks-1 differing blocks shares at least one block), join within
+    blocks, verify full Hamming distance."""
+    sim = df.select(F.col(id_col).alias("doc"),
+                    make_simhash_udf()(F.col(text_col)).alias("sh"))
+    width = 64 // n_blocks
+    blocks = sim.select(
+        "doc", "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_id"),
+                    F.shiftrightunsigned(F.col("sh"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("block_key"),
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("b"),
+    ).select("doc", "sh", "b.block_id", "b.block_key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
+            hamming_distance64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,114 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns exactly like the reference's TIFF
+bytes ride through its pipeline (/root/reference/src/tasks.py:111-140). The
+Spark-side plumbing — schemas, mapInPandas batch shape, partition-friendly
+signatures — is real and tested; the codec step itself is STUBBED because this
+container has no image/audio libraries: ``decode_stub=True`` (default) computes
+deterministic byte-level features, ``decode_stub=False`` raises
+NotImplementedError where PIL/ffmpeg would be called.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("url", T.StringType()),
+        T.StructField("kind", T.StringType()),      # image | audio | video
+        T.StructField("content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),  # fixed-dim
+        T.StructField("status", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _stub_feature(payload: bytes) -> list[float]:
+    """Deterministic byte-histogram 'embedding' — the stand-in for a real
+    decode + model forward pass. Shape/dtype match the real thing."""
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b % FEATURE_DIM] += 1
+    total = float(len(payload)) or 1.0
+    return [c / total for c in counts]
+
+
+def extract_media_features(
+    media: DataFrame, decode_stub: bool = True, batch_note: str = "",
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Real plumbing: Arrow-batched binary transfer, per-row failure isolation,
+    fixed-dim float feature output — swap ``_stub_feature`` for a PIL/torch
+    call on a cluster with the codecs installed."""
+
+    def _features(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                try:
+                    if not decode_stub:
+                        raise NotImplementedError(
+                            "real codec path requires PIL/ffmpeg (not in container)"
+                        )
+                    payload = bytes(payload) if payload is not None else b""
+                    rows.append({
+                        "media_id": mid, "kind": kind,
+                        "n_bytes": len(payload),
+                        "digest": hashlib.blake2b(payload, digest_size=16).hexdigest(),
+                        "feature": _stub_feature(payload),
+                        "status": "complete", "error": None,
+                    })
+                except Exception as exc:
+                    rows.append({
+                        "media_id": mid, "kind": kind, "n_bytes": 0,
+                        "digest": None, "feature": None,
+                        "status": "failed", "error": f"{type(exc).__name__}: {exc}",
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    cols = media.select("media_id", "kind", "payload")
+    return cols.mapInPandas(_features, FEATURE_SCHEMA)
+
+
+def generate_media(spark, n_rows: int, n_partitions: int | None = None) -> DataFrame:
+    """Deterministic synthetic media table (binary payload = repeated hash
+    bytes, size a function of id) — pure Catalyst except the payload encode."""
+    df = spark.range(0, n_rows, 1, n_partitions or 8)
+    mid = F.col("id")
+    kind = (
+        F.when(F.pmod(mid, 3) == 0, F.lit("image"))
+        .when(F.pmod(mid, 3) == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    payload = F.encode(
+        F.repeat(F.sha2(mid.cast("string"), 256), (F.pmod(mid, 8) + 1).cast("int")),
+        "UTF-8",
+    )
+    return df.select(
+        mid.alias("media_id"),
+        F.concat(F.lit("https://cdn.example.com/m/"), mid).alias("url"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("content_type"),
+        payload.alias("payload"),
+        F.create_map(F.lit("source"), F.lit("synthetic")).alias("meta"),
+    )

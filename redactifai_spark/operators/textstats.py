@@ -1,0 +1,107 @@
+"""Text analysis for training-data pipelines — all pure Catalyst (JVM,
+whole-stage codegen): token counting, quality scoring, n-gram-free language ID
+via stopword ratios, document fingerprinting.
+
+No Python on any of these paths; they compose with the redaction pipeline's
+extracted_text column or the raw documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword sets — enough signal for coarse routing; the
+# gazetteer pattern (broadcast literal arrays, O4/O5 in SURVEY.md §2.6).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+           "with", "on", "as", "are", "this", "at", "be", "have", "from"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "den", "von", "im", "auf", "für", "dem", "sich", "auch"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "que",
+           "qui", "dans", "pour", "pas", "sur", "avec", "au", "ce", "il"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "que",
+           "en", "no", "por", "con", "para", "se", "del", "su", "al"),
+}
+
+_TOKEN_PATTERN = r"\S+"
+
+
+def tokens_of(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(_TOKEN_PATTERN), 0)).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: word pieces + digits + punctuation runs —
+    a cheap stand-in for BPE token budgeting."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"), 0)
+    ).cast("long")
+
+
+def stopword_ratio(text: Column | str, lang: str) -> Column:
+    toks = tokens_of(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def detect_language(text: Column | str) -> Column:
+    """argmax over per-language stopword ratios; 'und' when no signal."""
+    scores = {lang: stopword_ratio(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # build the when-chain in fixed lang order for determinism on ties
+    for lang in sorted(STOPWORDS):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def with_quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features (all exact integers or simple ratios):
+    n_chars, n_tokens, n_sentences, punct/digit/upper ratios, mean token len."""
+    col = F.col(text_col)
+    n_chars = F.length(col).cast("long")
+    n_tokens = token_count(col)
+    count_of = lambda pat: F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+    return df.withColumns(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "n_sentences": count_of(r"[.!?]+"),
+            "n_digits": count_of(r"[0-9]"),
+            "n_upper": count_of(r"[A-Z]"),
+            "n_punct": count_of(r"[^\sA-Za-z0-9]"),
+            "punct_ratio": F.when(n_chars > 0, count_of(r"[^\sA-Za-z0-9]") / n_chars)
+            .otherwise(F.lit(0.0)),
+            "mean_token_len": F.when(
+                n_tokens > 0,
+                count_of(r"\S") / n_tokens,
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality heuristic: long enough, sentence-like, not
+    punct/digit soup — the shape of C4/Gopher-style filters."""
+    q = with_quality_stats(df, text_col)
+    score = (
+        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.when(F.col("n_sentences") > 0, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.greatest(F.lit(0.0), F.lit(0.2) - F.col("punct_ratio")) * 2.0  # <=0.4
+    )
+    return q.withColumn("quality_score", F.round(score, 6))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 64-bit document fingerprint of whitespace-normalized,
+    lowercased text — the exact-dedup key as a cheap long."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.xxhash64(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..kernels.detect import SAFE_HARBOR, detect_pii
-from ..kernels.extract import ExtractConfig, extract_blocks
+from ..kernels.extract import ExtractConfig
+from ..kernels.extract_fast import extract_blocks_fast as extract_blocks
 from ..kernels.oracle import PipelineConfig, process_document
 from ..kernels.spans import mask_text, merge_spans, total_masked_chars
 from .schemas import EXTRACT_TYPE, REDACT_TYPE, SPAN_TYPE

@@ -1,0 +1,83 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash — small DataFrames with
+planted duplicates; oracle = hand-computed expectations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.dedup import (
+    drop_exact_duplicates, exact_duplicate_groups, lsh_candidate_pairs,
+    near_duplicate_pairs, simhash64, simhash_near_pairs, with_minhash,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest to hide from all the other animals")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                                    # exact dup of 1
+        (3, BASE.replace("green", "blue")),           # near dup of 1
+        (4, "completely different text about spark sql engines and their "
+            "catalyst optimizer internals with whole stage codegen"),
+        (5, BASE.replace("quick", "slow").replace("lazy", "sleepy")),  # near dup
+        (6, "short unrelated snippet"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicate_groups(docs):
+    groups = {r["keeper_id"]: r["n_copies"]
+              for r in exact_duplicate_groups(docs, "doc_id", "text").collect()}
+    assert groups[1] == 2  # docs 1+2
+    assert sum(groups.values()) == 6
+
+
+def test_drop_exact_duplicates(docs):
+    kept = {r["doc_id"] for r in drop_exact_duplicates(docs, "doc_id", "text").collect()}
+    assert kept == {1, 3, 4, 5, 6}
+
+
+def test_minhash_deterministic(docs):
+    a = with_minhash(docs, "text").collect()
+    b = with_minhash(docs, "text").collect()
+    assert {r["doc_id"]: r["minhash"] for r in a} == {r["doc_id"]: r["minhash"] for r in b}
+    sigs = {r["doc_id"]: r["minhash"] for r in a}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_candidates_and_verify(docs):
+    cands = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 2) in cands
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in near_duplicate_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)  # the unrelated doc pairs with nothing
+
+
+def test_simhash_kernel_properties():
+    assert simhash64(BASE) == simhash64(BASE)
+    a = simhash64(BASE)
+    b = simhash64(BASE.replace("green", "blue"))
+    c = simhash64("completely different text about spark engines")
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(a, b) < ham(a, c)
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(docs, "doc_id", "text", max_hamming=6).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_udf_matches_kernel(spark, docs):
+    from redactifai_spark.operators.dedup import make_simhash_udf
+    rows = docs.select("doc_id", "text", make_simhash_udf()(F.col("text")).alias("sh")).collect()
+    for r in rows:
+        assert r["sh"] == simhash64(r["text"]), r["doc_id"]

@@ -1,0 +1,72 @@
+"""Byte-identity parity: the fast single-pass scanner must produce exactly the
+same (extracted_text, blocks) as the stdlib-HTMLParser specification
+implementation on the whole synthetic corpus and on adversarial fragments —
+otherwise the hot path and the oracle would diverge."""
+
+import pytest
+
+from redactifai_spark.kernels.extract import ExtractConfig, extract_blocks
+from redactifai_spark.kernels.extract_fast import extract_blocks_fast
+
+ADVERSARIAL = [
+    b"",
+    b"plain text with no tags at all, long enough to keep",
+    b"<p>simple paragraph of text</p>",
+    b"<P>UPPERCASE TAGS WORK FINE HERE</P>",
+    b"<p>unclosed paragraph keeps going and going",
+    b"<div><p>nested <b>bold</b> and <i>italic</i> inline text</p></div>",
+    b"<script>var x = '<p>not a block</p>';</script><p>real text after script</p>",
+    b"<style>p:after{content:'</x>'}</style><p>real text after style</p>",
+    b"<p>before<!-- a comment with <p>tags</p> inside -->after the comment</p>",
+    b"<p>entity test: &amp; &lt; &gt; &quot; &eacute; &#65; &#x42;</p>",
+    b'<p attr="quoted > bracket">attr with bracket text here</p>',
+    b"<p attr='single > quote'>single quote attr text here</p>",
+    b"<textarea>skip this textarea content entirely</textarea><p>keep this text</p>",
+    b"<title>skip title</title><p>body text is kept here</p>",
+    b"<head><title>head title skipped</title></head><body><p>body text kept</p></body>",
+    b"<p>stray < bracket in text stays visible</p>",
+    b"<br>line one of text here<br/>line two of text here<br >line three",
+    b"<ul><li>first item text here</li><li>second item text here</li></ul>",
+    b'<a href="x">link one</a> <a href="y">link two</a> <a href="z">link three</a>',
+    b"<p><a href='x'>a short linky block</a></p>",
+    b"<script src='x'></script><p>after empty script body text</p>",
+    b"<script>unterminated script eats the rest <p>gone</p>",
+    b"<svg><text>svg text skipped</text></svg><p>kept after svg here</p>",
+    b"<![CDATA[ raw cdata ignored ]]><p>kept after cdata block</p>",
+    b"<!DOCTYPE html><p>kept after doctype here ok</p>",
+    b"<p>caf\xc3\xa9 unicode bytes and invalid \xff byte</p>",
+    b"<form><input><option>skip form controls</option></form><p>kept after form</p>",
+    b"<p>white   space\t\truns\n\n\ncollapse to single spaces</p>",
+    b"<div>block<div>nested block</div>tail text of outer</div>",
+    b"<noscript><p>noscript content skipped</p></noscript><p>after noscript kept</p>",
+    b"< notatag but long enough to keep around here>",
+    b"<p>text</p junk>more text here after broken close",
+]
+
+
+@pytest.mark.parametrize("i", range(len(ADVERSARIAL)))
+def test_adversarial_fragment_parity(i):
+    html = ADVERSARIAL[i]
+    spec_text, spec_blocks = extract_blocks(html)
+    fast_text, fast_blocks = extract_blocks_fast(html)
+    assert fast_text == spec_text, html
+    assert [(b.block_id, b.text, b.start, b.end) for b in fast_blocks] == [
+        (b.block_id, b.text, b.start, b.end) for b in spec_blocks
+    ], html
+
+
+def test_corpus_parity(spark):
+    from redactifai_spark.sources.pages import generate_pages, wrap_documents_as_pages
+
+    pages = generate_pages(spark, 300, n_partitions=4).select("html").collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wrapped = wrap_documents_as_pages(docs).select("html").limit(300).collect()
+    for row in pages + wrapped:
+        html = row["html"]
+        assert extract_blocks_fast(html) == extract_blocks(html)
+
+
+def test_config_respected():
+    html = b"<p>ok</p><p>this one is long enough to keep</p>"
+    cfg = ExtractConfig(min_block_chars=1)
+    assert extract_blocks_fast(html, cfg) == extract_blocks(html, cfg)

@@ -1,0 +1,54 @@
+"""Multimodal plumbing tests: binary payload schema, Arrow batch shape,
+deterministic stub features, per-row failure isolation, stub gating."""
+
+import pytest
+
+from redactifai_spark.operators.multimodal import (
+    FEATURE_DIM, extract_media_features, generate_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = generate_media(spark, 60, n_partitions=4)
+    df.cache().count()
+    return df
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert media.count() == 60
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_feature_extraction_stub(media):
+    feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert len(feats) == 60
+    for mid, r in feats.items():
+        assert r["status"] == "complete"
+        assert len(r["feature"]) == FEATURE_DIM
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6  # normalized histogram
+        assert r["n_bytes"] > 0
+
+
+def test_deterministic(media):
+    a = {r["media_id"]: (r["digest"], r["feature"]) for r in extract_media_features(media).collect()}
+    b = {r["media_id"]: (r["digest"], r["feature"]) for r in extract_media_features(media).collect()}
+    assert a == b
+
+
+def test_real_codec_path_gated(media):
+    rows = extract_media_features(media, decode_stub=False).collect()
+    assert all(r["status"] == "failed" for r in rows)
+    assert all("NotImplementedError" in r["error"] for r in rows)
+
+
+def test_null_payload_isolated(spark):
+    df = spark.createDataFrame(
+        [(1, None, "image", None, None, None)],
+        schema="media_id long, url string, kind string, content_type string, "
+               "payload binary, meta map<string,string>",
+    )
+    r = extract_media_features(df).collect()[0]
+    assert r["status"] == "complete" and r["n_bytes"] == 0

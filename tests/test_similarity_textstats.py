@@ -1,0 +1,104 @@
+"""Similarity search + text-analysis operator tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.similarity import (
+    brute_force_topk, lsh_topk, with_lsh_bucket,
+)
+from redactifai_spark.operators.textstats import (
+    bpe_ish_token_count, detect_language, fingerprint, quality_score,
+    token_count, with_quality_stats,
+)
+
+DIM = 8
+
+
+def _vec(seed: int) -> list[float]:
+    return [math.sin(seed * 31 + j * 7) for j in range(DIM)]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [(i, _vec(i)) for i in range(50)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+
+def test_brute_force_topk_matches_python_oracle(vectors):
+    q = _vec(7)
+    got = [r["vec_id"] for r in brute_force_topk(vectors, q, k=5).collect()]
+    # float32 storage: compute oracle on the round-tripped float32 values
+    stored = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in vectors.collect()}
+    want = sorted(stored, key=lambda i: (-_cos(stored[i], q), i))[:5]
+    assert got == want
+    assert got[0] == 7  # own vector is the best match
+
+
+def test_lsh_bucket_deterministic_and_topk(vectors):
+    indexed = with_lsh_bucket(vectors, dim=DIM, n_planes=8)
+    a = {r["vec_id"]: r["bucket"] for r in indexed.collect()}
+    b = {r["vec_id"]: r["bucket"] for r in with_lsh_bucket(vectors, dim=DIM, n_planes=8).collect()}
+    assert a == b
+    got = [r["vec_id"] for r in lsh_topk(indexed, _vec(7), dim=DIM, k=3, n_planes=8).collect()]
+    assert got and got[0] == 7  # query's own vector shares its bucket
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello  world again",), ("", ), ("one",)], "text string")
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [3, 0, 1]
+    bpe = df.select(bpe_ish_token_count("text")).collect()[0][0]
+    assert bpe >= 3  # subword count >= word count for alpha text
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat sat on the mat and it was happy to be in the sun"),
+        (2, "der hund ist nicht mit der katze und das ist auch gut so"),
+        (3, "le chat est dans la maison et il est content pour le moment"),
+        (4, "el perro es un animal y la casa es de los gatos en madrid"),
+        (5, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang"] for r in df.select("id", detect_language("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_score_ordering(spark):
+    rows = [
+        (1, "This is a well formed paragraph with several proper sentences. "
+            "It continues with more text. It ends politely."),
+        (2, "$$$ ### !!! ~~~ ^^^ %%% @@@ &&& *** ((( )))"),
+        (3, "ok"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["quality_score"] for r in quality_score(df).collect()}
+    assert got[1] > got[2]
+    assert got[1] > got[3]
+
+
+def test_quality_stats_exact(spark):
+    df = spark.createDataFrame([(1, "Ab c. 12!")], "id long, text string")
+    r = with_quality_stats(df).collect()[0]
+    assert r["n_chars"] == 9
+    assert r["n_tokens"] == 3
+    assert r["n_sentences"] == 2  # "." and "!"
+    assert r["n_digits"] == 2
+    assert r["n_upper"] == 1
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["fp"] for r in df.select("id", fingerprint("text").alias("fp")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
