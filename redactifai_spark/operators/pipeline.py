@@ -20,8 +20,7 @@ from ..kernels.oracle import PipelineConfig
 from .functions import filter_spans
 from .partitioning import repartition_by_url
 from .udfs import (
-    FUSED_OUTPUT_SCHEMA, make_detect_udf, make_extract_udf, make_fused_map,
-    make_redact_udf,
+    make_detect_udf, make_extract_udf, make_process_udf, make_redact_udf,
 )
 
 OUTPUT_COLUMNS = [
@@ -44,7 +43,12 @@ def run_pipeline(
     if n_partitions:
         df = repartition_by_url(df, n_partitions)
     if fused:
-        return df.mapInPandas(make_fused_map(config), FUSED_OUTPUT_SCHEMA)
+        process = make_process_udf(config)
+        args = (F.col("html"), F.col("text")) if config.prefer_text_column \
+            else (F.col("html"),)
+        return df.withColumn("_r", process(*args)).select(
+            "url", "warc_ts", "lang", "_r.*"
+        )
 
     extract = make_extract_udf(config.extract)
     detect = make_detect_udf()

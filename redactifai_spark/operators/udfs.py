@@ -103,11 +103,55 @@ def make_redact_udf(mask_char: str, span_padding: int = 0):
 
 
 # ---------------------------------------------------------------------------
-# Fused fast path: one Arrow hop for the whole per-document pipeline.
-# Same kernels, same config -> identical bytes (asserted in tests). Used by
-# bench for the throughput headline; the staged path is the default because it
-# keeps the policy filters visible to Catalyst.
+# Fused fast path: ONE Arrow hop for the whole per-document pipeline, as a
+# struct-returning pandas UDF over only the payload column(s) — url/warc_ts/
+# lang never cross the JVM<->Python boundary. Same kernels, same config ->
+# identical bytes (asserted in tests). The staged path stays the default
+# because it keeps the policy filters visible to Catalyst.
 # ---------------------------------------------------------------------------
+
+FUSED_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("redacted_text", T.StringType()),
+        T.StructField("spans", SPAN_ARRAY),
+        T.StructField("merged_spans", T.ArrayType(
+            T.StructType([T.StructField("start", T.LongType()),
+                          T.StructField("end", T.LongType())]))),
+        T.StructField("n_spans", T.LongType()),
+        T.StructField("n_masked_chars", T.LongType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+_RESULT_KEYS = [f.name for f in FUSED_RESULT_TYPE.fields]
+
+
+def make_process_udf(config: PipelineConfig):
+    """(html[, text]) -> full result struct; one Arrow round-trip per batch."""
+
+    if config.prefer_text_column:
+
+        @pandas_udf(FUSED_RESULT_TYPE)
+        def process(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+            rows = [process_document(h, t, config) for h, t in zip(html, text)]
+            return pd.DataFrame(
+                {k: [r[k] for r in rows] for k in _RESULT_KEYS}
+            )
+
+        return process
+
+    @pandas_udf(FUSED_RESULT_TYPE)
+    def process(html: pd.Series) -> pd.DataFrame:
+        rows = [process_document(h, None, config) for h in html]
+        return pd.DataFrame({k: [r[k] for r in rows] for k in _RESULT_KEYS})
+
+    return process
+
+
+# Legacy whole-row fused map (kept for mapInPandas parity testing).
 
 FUSED_OUTPUT_FIELDS = [
     T.StructField("url", T.StringType()),
