@@ -1,0 +1,1 @@
+"""Structured Streaming legs: incremental redaction with checkpoint resume."""

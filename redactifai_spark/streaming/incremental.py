@@ -1,0 +1,47 @@
+"""Incremental redaction runs — Structured Streaming with Trigger.AvailableNow.
+
+The Spark-native form of the reference's job state machine + retry orchestration
+(X1/X3/X4 in SURVEY.md §2.8; /root/reference/src/tasks.py:93-226): each
+invocation processes exactly the source files not yet recorded in the
+checkpoint, then exits. Crash/re-run resumes from the checkpoint — no
+anti-join needed, offsets live in the streaming commit log. On an Iceberg
+catalog the sink becomes ``toTable`` and snapshots replace the parquet dir.
+
+The same ``run_pipeline`` plan runs unchanged on the streaming DataFrame —
+pandas UDFs and Catalyst filters are streaming-compatible; there is no
+aggregation in the hot path, so no watermark is required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..kernels.oracle import PipelineConfig
+from ..operators.pipeline import run_pipeline
+from ..operators.schemas import PAGES_SCHEMA
+
+
+def incremental_redact(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    config: PipelineConfig = PipelineConfig(),
+    fused: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Process all not-yet-committed page files under ``source_dir``; exit when
+    caught up (AvailableNow). Re-invoke any time new files land."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(source_dir)
+    out = run_pipeline(pages, config, fused=fused)
+    query = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

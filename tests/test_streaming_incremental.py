@@ -1,0 +1,49 @@
+"""Incremental streaming redaction: AvailableNow processes only new files on
+re-run (checkpoint resume, X4), output byte-identical to the batch pipeline."""
+
+import os
+
+import pytest
+
+from redactifai_spark.kernels.oracle import PipelineConfig
+from redactifai_spark.operators.pipeline import run_pipeline
+from redactifai_spark.sources.pages import generate_pages
+from redactifai_spark.streaming.incremental import incremental_redact
+
+
+def test_incremental_resume(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = generate_pages(spark, 40, n_partitions=2)
+    batch1.write.mode("append").parquet(src)
+    incremental_redact(spark, src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    # second invocation with no new files: nothing reprocessed
+    incremental_redact(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == 40
+
+    # new files land -> only they are processed
+    batch2 = generate_pages(spark, 70, n_partitions=2).filter("url like '%/article/4%'")
+    n2 = batch2.count()
+    batch2.write.mode("append").parquet(src)
+    incremental_redact(spark, src, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 40 + n2
+    # no duplicate urls for overlapping ids (batch2 urls are a subset of ids 40-49)
+    assert got.select("url").distinct().count() == got.count() - _dupes(batch1, batch2)
+
+    # byte-identity vs the batch pipeline on the union input
+    batch_out = {
+        r["url"]: r["redacted_text"]
+        for r in run_pipeline(spark.read.parquet(src), PipelineConfig(), fused=True).collect()
+    }
+    for r in got.collect():
+        assert batch_out[r["url"]] == r["redacted_text"]
+
+
+def _dupes(batch1, batch2) -> int:
+    return batch1.select("url").intersect(batch2.select("url")).count()
