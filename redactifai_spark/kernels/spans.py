@@ -78,20 +78,26 @@ def mask_text(
     Each character inside a span becomes ``mask_char`` — output length equals
     input length, characters outside spans are byte-identical (the contract
     the reference asserts pixel-exactly in test_image_masking_service.py:28-55).
-    Spans beyond the text are clamped. Right-to-left application mirrors the
-    reference's in-place region fill on page copies; with length-preserving
-    replacement the order is observationally irrelevant but kept as the contract.
+    Spans beyond the text are clamped. The reference fills regions in place on
+    page copies (right-to-left); with length-preserving replacement the
+    application order is observationally irrelevant, so this builds the result
+    in one left-to-right pass over the (sorted, disjoint) merged spans.
     """
     if not merged_spans:
         return text
     n = len(text)
-    parts = list(text)
-    for s, e in sorted(merged_spans, reverse=True):
-        s = max(0, s)
+    out = []
+    pos = 0
+    for s, e in sorted(merged_spans):
+        s = max(pos, s)
         e = min(n, e)
-        for i in range(s, e):
-            parts[i] = mask_char
-    return "".join(parts)
+        if e <= s:
+            continue
+        out.append(text[pos:s])
+        out.append(mask_char * (e - s))
+        pos = e
+    out.append(text[pos:])
+    return "".join(out)
 
 
 def total_masked_chars(merged_spans: list[tuple[int, int]], text_len: int) -> int:

@@ -1,0 +1,1 @@
+"""Plan inspection: assert physical-plan properties so perf regressions fail tests."""

@@ -1,0 +1,80 @@
+"""Plan-shape regression tests: the performance contract as assertions.
+
+- staged pipeline: exactly 3 Python eval nodes; policy filter in Catalyst
+- fused pipeline: exactly 1 Python eval node
+- pipeline adds no shuffle (pure map)
+- parquet scans get filter pushdown + column pruning for simple queries
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.kernels.oracle import PipelineConfig
+from redactifai_spark.operators.pipeline import run_pipeline
+from redactifai_spark.plans.inspect import (
+    codegen_stage_count, count_exchanges, count_python_eval_nodes,
+    policy_filter_is_catalyst, pushed_filters, read_schemas,
+)
+from redactifai_spark.sources.pages import generate_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, 10, n_partitions=2)
+
+
+def test_staged_exactly_three_python_nodes(pages):
+    out = run_pipeline(pages)
+    assert count_python_eval_nodes(out) == 3
+
+
+def test_fused_exactly_one_python_node(pages):
+    out = run_pipeline(pages, fused=True)
+    assert count_python_eval_nodes(out) == 1
+
+
+def test_policy_filter_stays_catalyst(pages):
+    out = run_pipeline(pages, PipelineConfig(confidence_threshold=0.5))
+    assert policy_filter_is_catalyst(out)
+
+
+def test_pipeline_is_shuffle_free(pages):
+    # pure per-row map: any Exchange in this plan is a perf bug
+    assert count_exchanges(run_pipeline(pages)) == 0
+    assert count_exchanges(run_pipeline(pages, fused=True)) == 0
+
+
+def test_explicit_repartition_is_the_only_shuffle(pages):
+    assert count_exchanges(run_pipeline(pages, n_partitions=8)) == 1
+
+
+def test_parquet_filter_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id")
+    )
+    pushed = pushed_filters(df)
+    assert any("event_type" in p for p in pushed), pushed
+
+
+def test_parquet_column_pruning(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    schemas = read_schemas(df)
+    assert schemas and all("text" not in s for s in schemas), schemas
+
+
+def test_whole_stage_codegen_present(spark):
+    # AQE wraps the plan pre-execution and hides codegen ids; toggle it off to
+    # assert the aggregate actually compiles into WholeStageCodegen spans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .groupBy("event_type").agg(F.count("*").alias("n"))
+        )
+        assert codegen_stage_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
