@@ -1,0 +1,115 @@
+"""Gazetteer-based entity detection via Aho-Corasick multi-pattern search.
+
+The scalable form of dictionary lookup (SURVEY.md §2.3 D2 "gazetteer trie"):
+one automaton pass finds every occurrence of every dictionary surface form in
+O(len(text) + matches), independent of dictionary size. The automaton is built
+once per Python worker from a broadcast name list and reused across Arrow
+batches (build cost amortizes to zero on the hot path).
+
+Matching is case-insensitive on word boundaries; overlapping dictionary hits
+are all emitted (the interval-union merge downstream makes overlaps harmless,
+exactly like the reference's overlapping mask rectangles).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from .detect import SpanEntity
+
+
+class AhoCorasick:
+    """Compact array-of-dicts Aho-Corasick automaton over lowercased text."""
+
+    def __init__(self, patterns: list[str]) -> None:
+        # nodes: list of dict(char -> next); outputs: pattern lengths per node
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[int]] = [[]]
+        self.fail: list[int] = [0]
+        for pat in sorted(set(p.lower() for p in patterns if p)):
+            self._insert(pat)
+        self._build_failures()
+
+    def _insert(self, pat: str) -> None:
+        node = 0
+        for ch in pat:
+            nxt = self.goto[node].get(ch)
+            if nxt is None:
+                nxt = len(self.goto)
+                self.goto.append({})
+                self.out.append([])
+                self.fail.append(0)
+                self.goto[node][ch] = nxt
+            node = nxt
+        self.out[node].append(len(pat))
+
+    def _build_failures(self) -> None:
+        q: deque[int] = deque()
+        for child in self.goto[0].values():
+            q.append(child)
+        while q:
+            node = q.popleft()
+            for ch, child in self.goto[node].items():
+                q.append(child)
+                f = self.fail[node]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[child] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != child else 0
+                self.out[child] = self.out[child] + self.out[self.fail[child]]
+
+    def find(self, text: str) -> list[tuple[int, int]]:
+        """All (start, end) half-open matches in lowercased text."""
+        hits: list[tuple[int, int]] = []
+        node = 0
+        for i, ch in enumerate(text):
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            for plen in self.out[node]:
+                hits.append((i - plen + 1, i + 1))
+        return hits
+
+
+def _word_bounded(text: str, start: int, end: int) -> bool:
+    before_ok = start == 0 or not text[start - 1].isalnum()
+    after_ok = end >= len(text) or not text[end].isalnum()
+    return before_ok and after_ok
+
+
+class GazetteerDetector:
+    """Dictionary detector: names (or any surface forms) -> SpanEntity list.
+
+    Built once per worker from the broadcast dictionary; ``detect`` runs per
+    document inside the Arrow batch loop.
+    """
+
+    def __init__(
+        self,
+        names: list[str],
+        category: str = "Person",
+        confidence: float = 0.85,
+        skip_phrases: frozenset[str] | None = None,
+    ) -> None:
+        self.automaton = AhoCorasick(names)
+        self.category = category
+        self.confidence = confidence
+        self.skip_phrases = skip_phrases or frozenset()
+
+    def detect(self, text: str) -> list[SpanEntity]:
+        lower = text.lower()
+        ents = []
+        for start, end in self.automaton.find(lower):
+            if not _word_bounded(lower, start, end):
+                continue
+            surface = text[start:end]
+            if any(skip.lower() in lower[start:end] for skip in self.skip_phrases):
+                continue
+            ents.append(
+                SpanEntity(
+                    text=surface, category=self.category, offset=start,
+                    length=end - start, confidence=self.confidence,
+                    subcategory="Gazetteer",
+                )
+            )
+        ents.sort(key=SpanEntity.sort_key)
+        return ents

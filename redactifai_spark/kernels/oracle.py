@@ -15,7 +15,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from .detect import SAFE_HARBOR, detect_pii, filter_confidence
+from .detect import (
+    SAFE_HARBOR, detect_pii, filter_confidence, should_include_category,
+)
 from .extract import ExtractConfig
 from .extract_fast import extract_blocks_fast as extract_blocks
 from .spans import DEFAULT_MASK_CHAR, mask_text, merge_spans, total_masked_chars
@@ -33,17 +35,46 @@ class PipelineConfig:
     span_padding: int = 0
     extract: ExtractConfig = field(default_factory=ExtractConfig)
     prefer_text_column: bool = False  # True: skip HTML extraction, use `text` as-is
+    gazetteer_names: tuple[str, ...] | None = None  # extra dictionary detector (D2 trie)
+
+
+def build_detector(config: PipelineConfig):
+    """Per-config detector closure: regex bank + optional gazetteer trie.
+    Build once (per worker, via the UDF closure) and call per document."""
+    from .detect import SpanEntity  # noqa: F401 (type of the returned list)
+
+    if not config.gazetteer_names:
+        return lambda text: detect_pii(text, SAFE_HARBOR)
+
+    from .gazetteer import GazetteerDetector
+
+    gaz = GazetteerDetector(list(config.gazetteer_names))
+
+    def detect(text: str):
+        ents = detect_pii(text, SAFE_HARBOR) + gaz.detect(text)
+        ents.sort(key=lambda e: e.sort_key())
+        return ents
+
+    return detect
+
+
+def should_include(category: str, config: PipelineConfig) -> bool:
+    return should_include_category(category, config.masking_level,
+                                   config.custom_categories)
 
 
 def process_document(
     html: bytes | str | None,
     text: str | None = None,
     config: PipelineConfig = PipelineConfig(),
+    detector=None,
 ) -> dict:
     """Run the full pipeline on one document; returns the output-row dict.
 
     Keys: extracted_text, redacted_text, spans (detected, post-filter),
     merged_spans, n_spans, n_masked_chars, n_blocks, status, error.
+    ``detector``: prebuilt ``build_detector(config)`` closure (pass it when
+    calling in a loop so the gazetteer automaton builds once).
     """
     try:
         if config.prefer_text_column or html is None:
@@ -51,7 +82,12 @@ def process_document(
             blocks = []
         else:
             extracted, blocks = extract_blocks(html, config.extract)
-        entities = detect_pii(extracted, config.masking_level, config.custom_categories)
+        if detector is None:
+            detector = build_detector(config)
+        entities = [
+            e for e in detector(extracted)
+            if should_include(e.category, config)
+        ]
         entities = filter_confidence(entities, config.confidence_threshold)
         merged = merge_spans(
             [(e.offset, e.end_offset) for e in entities],

@@ -51,7 +51,7 @@ def run_pipeline(
         )
 
     extract = make_extract_udf(config.extract)
-    detect = make_detect_udf()
+    detect = make_detect_udf(config)
     redact = make_redact_udf(config.mask_char, config.span_padding)
 
     if config.prefer_text_column:

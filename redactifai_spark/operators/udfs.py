@@ -16,6 +16,7 @@ from pyspark.sql.functions import pandas_udf
 from ..kernels.detect import SAFE_HARBOR, detect_pii
 from ..kernels.extract import ExtractConfig
 from ..kernels.extract_fast import extract_blocks_fast as extract_blocks
+from ..kernels.oracle import build_detector
 from ..kernels.oracle import PipelineConfig, process_document
 from ..kernels.spans import mask_text, merge_spans, total_masked_chars
 from .schemas import EXTRACT_TYPE, REDACT_TYPE, SPAN_TYPE
@@ -54,12 +55,17 @@ def make_extract_udf(config: ExtractConfig = ExtractConfig()):
     return extract
 
 
-def make_detect_udf():
-    """extracted_text -> array<span>. Detects ALL categories; the masking-level
-    and confidence policies are applied afterwards as Catalyst ``F.filter`` on
-    the span array (D3/D4) — equivalent to the reference's in-detector filter
+def make_detect_udf(config: "PipelineConfig | None" = None):
+    """extracted_text -> array<span>. Detects ALL categories (regex bank +
+    optional gazetteer trie from config); the masking-level and confidence
+    policies are applied afterwards as Catalyst ``F.filter`` on the span array
+    (D3/D4) — equivalent to the reference's in-detector filter
     (phi_detection_service.py:43-76) because the policy is a pure per-entity
-    category predicate."""
+    category predicate. The gazetteer automaton is built on the driver and
+    shipped in the UDF closure (broadcast analog) — built once, reused across
+    every Arrow batch."""
+    detector = build_detector(config) if config is not None \
+        else (lambda t: detect_pii(t, SAFE_HARBOR))
 
     @pandas_udf(SPAN_ARRAY)
     def detect(text: pd.Series) -> pd.Series:
@@ -68,7 +74,7 @@ def make_detect_udf():
             if not t:
                 out.append([])
                 continue
-            out.append([e.as_dict() for e in detect_pii(t, SAFE_HARBOR)])
+            out.append([e.as_dict() for e in detector(t)])
         return pd.Series(out)
 
     return detect
@@ -132,11 +138,14 @@ _RESULT_KEYS = [f.name for f in FUSED_RESULT_TYPE.fields]
 def make_process_udf(config: PipelineConfig):
     """(html[, text]) -> full result struct; one Arrow round-trip per batch."""
 
+    detector = build_detector(config)  # gazetteer automaton built once, shipped once
+
     if config.prefer_text_column:
 
         @pandas_udf(FUSED_RESULT_TYPE)
         def process(html: pd.Series, text: pd.Series) -> pd.DataFrame:
-            rows = [process_document(h, t, config) for h, t in zip(html, text)]
+            rows = [process_document(h, t, config, detector)
+                    for h, t in zip(html, text)]
             return pd.DataFrame(
                 {k: [r[k] for r in rows] for k in _RESULT_KEYS}
             )
@@ -145,7 +154,7 @@ def make_process_udf(config: PipelineConfig):
 
     @pandas_udf(FUSED_RESULT_TYPE)
     def process(html: pd.Series) -> pd.DataFrame:
-        rows = [process_document(h, None, config) for h in html]
+        rows = [process_document(h, None, config, detector) for h in html]
         return pd.DataFrame({k: [r[k] for r in rows] for k in _RESULT_KEYS})
 
     return process

@@ -1,0 +1,73 @@
+"""Gazetteer (Aho-Corasick) detector tests."""
+
+from redactifai_spark.kernels.gazetteer import AhoCorasick, GazetteerDetector
+
+
+def test_automaton_finds_all_overlapping():
+    ac = AhoCorasick(["he", "she", "his", "hers"])
+    text = "ushers"
+    got = sorted(ac.find(text))
+    # 'she' at 1-4, 'he' at 2-4, 'hers' at 2-6
+    assert got == [(1, 4), (2, 4), (2, 6)]
+
+
+def test_detector_word_bounded_case_insensitive():
+    det = GazetteerDetector(["John Smith", "Jane Doe"])
+    text = "Met JOHN SMITH and johnsmith and Jane Doe today."
+    ents = det.detect(text)
+    surfaces = [(e.text, e.offset) for e in ents]
+    assert ("JOHN SMITH", 4) in surfaces
+    assert ("Jane Doe", 33) in surfaces
+    assert all("johnsmith" != s[0] for s in surfaces)  # no mid-word match
+
+
+def test_detector_skip_phrases():
+    det = GazetteerDetector(["Blue Cross"], skip_phrases=frozenset({"Blue Cross"}))
+    assert det.detect("Insurance via Blue Cross today") == []
+
+
+def test_offsets_index_original_text():
+    det = GazetteerDetector(["maría garcía"])
+    text = "Author: María García wrote this"
+    ents = det.detect(text)
+    assert len(ents) == 1
+    e = ents[0]
+    assert text[e.offset:e.offset + e.length] == "María García"
+
+
+def test_empty_and_large_dictionary():
+    det = GazetteerDetector([])
+    assert det.detect("anything at all") == []
+    names = [f"name{i} surname{i}" for i in range(5000)]
+    det2 = GazetteerDetector(names)
+    ents = det2.detect("we saw name42 surname42 at the store")
+    assert len(ents) == 1 and ents[0].text == "name42 surname42"
+
+
+def test_sorted_by_total_key():
+    det = GazetteerDetector(["ab", "abc", "b"])
+    ents = det.detect("ab abc")
+    keys = [e.sort_key() for e in ents]
+    assert keys == sorted(keys)
+
+
+def test_spark_udf_integration(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from redactifai_spark.operators.udfs import SPAN_ARRAY
+
+    names = ["Alice Johnson", "Robert Smith"]
+
+    @pandas_udf(SPAN_ARRAY)
+    def gaz(text: pd.Series) -> pd.Series:
+        det = GazetteerDetector(names)  # built once per batch here; per worker in prod
+        return pd.Series([[e.as_dict() for e in det.detect(t or "")] for t in text])
+
+    df = spark.createDataFrame(
+        [("u1", "Call Alice Johnson now"), ("u2", "nothing here")],
+        "url string, text string",
+    )
+    got = {r["url"]: r["s"] for r in df.select("url", gaz("text").alias("s")).collect()}
+    assert got["u1"][0]["text"] == "Alice Johnson"
+    assert got["u2"] == []

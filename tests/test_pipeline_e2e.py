@@ -134,3 +134,19 @@ def test_malformed_html_fails_safe(spark):
     assert out["u1"]["extracted_text"] == ""
     assert out["u1"]["status"] == "complete"
     assert out["u2"]["status"] in ("complete", "failed")
+
+
+def test_gazetteer_in_pipeline(spark, pages, pages_rows):
+    from redactifai_spark.kernels.oracle import build_detector
+    cfg = PipelineConfig(gazetteer_names=("Alice Johnson", "Robert Smith", "Karen Hall"))
+    staged = {r["url"]: r for r in run_pipeline(pages, cfg).collect()}
+    fused = {r["url"]: r for r in run_pipeline(pages, cfg, fused=True).collect()}
+    det = build_detector(cfg)
+    found_gaz = 0
+    for url, row in staged.items():
+        f = fused[url]
+        assert row["redacted_text"] == f["redacted_text"], url
+        golden = process_document(pages_rows[url]["html"], None, cfg, det)
+        assert row["redacted_text"] == golden["redacted_text"], url
+        found_gaz += sum(1 for s in row["spans"] if s["subcategory"] == "Gazetteer")
+    assert found_gaz > 0  # the dictionary names occur in bylines
