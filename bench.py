@@ -199,7 +199,15 @@ def _write_scaling_md(report: dict) -> None:
             f"- local[{big}]: {cores[big]['docs_per_sec']} docs/sec "
             f"({cores[big]['wall_sec']} s)\n"
             f"- scaling efficiency ({small}->{big} cores): **{report['value']}** "
-            f"(target >= 0.8)\n"
+            f"(target >= 0.8)\n\n"
+            "Method: each config runs in its own subprocess under `taskset -c 0-(N-1)`\n"
+            "so the WHOLE process tree (JVM + pyspark workers) is confined to N cores —\n"
+            "`local[N]` alone leaves GC/Arrow/shuffle threads free to use all cores and\n"
+            "overstates the small config. Median of 3 runs after a warm-up that spins the\n"
+            "Python worker pool. The job is the fused redaction pipeline (1 Arrow hop):\n"
+            "Catalyst-generated HTML pages -> extract -> detect -> interval-union -> mask\n"
+            "-> consuming aggregate over redacted output. ~0.38 ms/doc pure-Python kernel\n"
+            "cost; ParallelGC; 4 partitions/core.\n"
         )
 
 

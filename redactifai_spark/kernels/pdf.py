@@ -1,0 +1,77 @@
+"""PDF / binary-document layout parse — the non-HTML leg of the north rule.
+
+The reference's TIFF loader (/root/reference/src/utils/tiff_processor.py:43-91)
+becomes: binary payload -> text blocks. A real deployment drops pypdf/pdfminer
+in here; this container has neither, so the implementation is layered:
+
+1. ``pypdf`` if importable (gated import — never a hard dependency),
+2. else a deterministic degraded mode: extract printable text runs from the
+   raw bytes (catches uncompressed text objects in simple PDFs and gives a
+   deterministic, testable fallback for arbitrary binaries).
+
+Either way the output feeds the same block pipeline (boilerplate filter,
+"\n" join, span detection) — byte-deterministic per payload.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .extract import Block, ExtractConfig
+
+try:  # gated: absent in this container, present on a real cluster
+    import pypdf  # type: ignore
+
+    _HAVE_PYPDF = True
+except ImportError:
+    _HAVE_PYPDF = False
+
+# printable ASCII / latin-1 runs of >= 8 chars with at least one space —
+# the degraded-mode "text object" heuristic
+_TEXT_RUN_RE = re.compile(rb"[\x20-\x7e]{8,}")
+_WS_RE = re.compile(r"\s+")
+
+
+def pdf_available() -> bool:
+    return _HAVE_PYPDF
+
+
+def extract_pdf_blocks(
+    payload: bytes | None, config: ExtractConfig = ExtractConfig()
+) -> tuple[str, list[Block]]:
+    """payload -> (extracted_text, blocks), same contract as extract_blocks."""
+    if not payload:
+        return "", []
+    raw_blocks: list[str] = []
+    if _HAVE_PYPDF:
+        import io
+
+        reader = pypdf.PdfReader(io.BytesIO(payload))
+        for page in reader.pages:  # one raw block per page (page = block analog)
+            text = _WS_RE.sub(" ", page.extract_text() or "").strip()
+            if text:
+                raw_blocks.append(text)
+    else:
+        for m in _TEXT_RUN_RE.finditer(payload):
+            run = m.group().decode("ascii")
+            norm = _WS_RE.sub(" ", run).strip()
+            if norm and " " in norm:  # demand a word boundary: drops b64/hex noise
+                raw_blocks.append(norm)
+
+    kept: list[Block] = []
+    offset = 0
+    for raw_index, text in enumerate(raw_blocks):
+        n = len(text)
+        if n < config.min_block_chars:
+            continue
+        if kept:
+            offset += 1
+        kept.append(Block(block_id=len(kept) + 1, text=text, start=offset,
+                          end=offset + n, link_density=0.0, raw_index=raw_index))
+        offset += n
+    return "\n".join(b.text for b in kept), kept
+
+
+def extract_pdf_text(payload: bytes | None,
+                     config: ExtractConfig = ExtractConfig()) -> str:
+    return extract_pdf_blocks(payload, config)[0]

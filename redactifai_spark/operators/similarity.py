@@ -77,6 +77,31 @@ def with_lsh_bucket(
     return df.withColumn("bucket", bucket)
 
 
+def cosine_near_pairs(
+    df: DataFrame, dim: int, threshold: float = 0.95, n_planes: int = 12,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join (same
+    sign-pattern bucket) verified by exact cosine >= threshold.
+
+    The standard scale shape: candidates come only from shared buckets (a
+    uniformly-hashed shuffle key), exact cosine runs only on candidates.
+    Recall follows the hyperplane collision bound — raise by lowering
+    n_planes or multi-probing neighboring buckets."""
+    indexed = with_lsh_bucket(df.select(id_col, vec_col), dim, n_planes, vec_col)
+    a = indexed.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("va"), F.col("bucket"))
+    b = indexed.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("vb"), F.col("bucket"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(_as_double(F.col("va")), _as_double(F.col("vb"))))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
 def lsh_topk(
     indexed: DataFrame, query: list[float], dim: int, k: int = 10,
     n_planes: int = 16, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1,0 +1,43 @@
+"""PDF / binary layout-parse kernel tests (degraded mode in this container)."""
+
+from redactifai_spark.kernels.pdf import extract_pdf_blocks, extract_pdf_text, pdf_available
+
+
+def test_degraded_mode_extracts_text_runs():
+    payload = (
+        b"%PDF-1.4\n\x01\x02\x03binaryjunk\xff\xfe"
+        b"Patient name is John Doe and the visit went well\x00\x00"
+        b"\x89PNGnoise\x07"  # printable but wordless -> dropped
+        b"Call us at (617) 555-1234 for details today"
+        b"\xde\xad\xbe\xef"
+    )
+    text, blocks = extract_pdf_blocks(payload)
+    assert "John Doe" in text
+    assert "(617) 555-1234" in text
+    assert len(blocks) == 2
+    for b in blocks:
+        assert text[b.start:b.end] == b.text
+
+
+def test_empty_and_none():
+    assert extract_pdf_text(None) == ""
+    assert extract_pdf_text(b"") == ""
+    assert extract_pdf_text(b"\x00\x01\x02\x03") == ""
+
+
+def test_deterministic():
+    payload = b"some words appear here together\x00more text follows after the null"
+    assert extract_pdf_blocks(payload) == extract_pdf_blocks(payload)
+
+
+def test_wordless_runs_dropped():
+    # long printable runs without spaces (b64/hex blobs) are not text
+    payload = b"41414141414141414141414141414141" + b"\x00real words in here\x00"
+    text, _ = extract_pdf_blocks(payload)
+    assert "4141" not in text
+    assert "real words in here" in text
+
+
+def test_gating_flag_is_honest():
+    # in this container pypdf is absent; the flag must say so
+    assert pdf_available() is False

@@ -102,3 +102,19 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     got = {r["id"]: r["fp"] for r in df.select("id", fingerprint("text").alias("fp")).collect()}
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_cosine_near_pairs(spark):
+    from redactifai_spark.operators.similarity import cosine_near_pairs
+
+    base = _vec(3)
+    near = [x + 0.01 for x in base]          # tiny perturbation -> cos ~ 1
+    far = [-x for x in base]                 # antipodal -> cos = -1
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, _vec(9))],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in cosine_near_pairs(df, dim=DIM, threshold=0.99, n_planes=4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert all(3 not in p and 4 not in p for p in pairs)
