@@ -270,6 +270,22 @@ def _redact_pages(spark, sf_dir):
                       "n_blocks", "status")
 
 
+def _customer_fuzzy_match(spark, sf_dir):
+    # J3: edit-distance theta-join (entity_matcher.py:232-253 analog) with
+    # equality blocking first — the scale-honest shape (block -> verify)
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 15).alias("blk")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .groupBy(F.col("a.blk").alias("blk"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def _docs_quality_stats(spark, sf_dir):
     # text-analysis quality features — all exact integers, pure Catalyst
     from redactifai_spark.operators.textstats import with_quality_stats
@@ -349,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_cosine_topk": _embeddings_cosine_topk,
         "redact_documents": _redact_documents,
         "redact_pages": _redact_pages,
+        "customer_fuzzy_match": _customer_fuzzy_match,
         "docs_quality_stats": _docs_quality_stats,
         "docs_fingerprint_stats": _docs_fingerprint_stats,
         "docs_minhash_neardups": _docs_minhash_neardups,
@@ -460,6 +477,14 @@ def oracle_sql() -> dict[str, str]:
         "redact_documents": (
             "SELECT doc_id, text AS redacted_text, CAST(0 AS BIGINT) AS n_spans "
             "FROM documents"
+        ),
+        "customer_fuzzy_match": (
+            "WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk "
+            "FROM customer) "
+            "SELECT a.blk AS blk, COUNT(*) AS n_pairs "
+            "FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1 "
+            "GROUP BY a.blk"
         ),
         "docs_quality_stats": (
             "SELECT doc_id, "

@@ -1,0 +1,76 @@
+"""Catalyst span-array function tests: policy filter, canonical sort,
+PHI-text suppression (D3/D4/D6/M4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.functions import (
+    filter_spans, spans_sorted, suppress_span_text,
+)
+from redactifai_spark.operators.udfs import SPAN_ARRAY
+
+
+def _span(text, category, offset, length, confidence, subcategory=None):
+    return {"text": text, "category": category, "offset": offset,
+            "length": length, "confidence": confidence, "subcategory": subcategory}
+
+
+@pytest.fixture(scope="module")
+def spans_df(spark):
+    rows = [
+        ("u1", [
+            _span("Dr. Who", "HealthcareProfessional", 10, 7, 0.9),
+            _span("x@y.com", "Email", 0, 7, 0.95),
+            _span("low", "Person", 30, 3, 0.4),
+            _span("tie", "Person", 0, 7, 0.9),  # same (offset,length) as email
+        ]),
+        ("u2", []),
+    ]
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("spans", SPAN_ARRAY),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_filter_spans_limited_dataset(spans_df):
+    out = {r["url"]: r["f"] for r in spans_df.select(
+        "url", filter_spans("spans", masking_level="limited_dataset").alias("f")
+    ).collect()}
+    cats = {s["category"] for s in out["u1"]}
+    assert "HealthcareProfessional" not in cats
+    assert {"Email", "Person"} <= cats
+    assert out["u2"] == []
+
+
+def test_filter_spans_confidence(spans_df):
+    out = spans_df.select(
+        filter_spans("spans", confidence_threshold=0.5).alias("f")
+    ).collect()[0]["f"]
+    assert all(s["confidence"] >= 0.5 for s in out)
+    assert len(out) == 3
+
+
+def test_filter_spans_custom_categories(spans_df):
+    out = spans_df.select(
+        filter_spans("spans", masking_level="custom",
+                     custom_categories=frozenset({"Email"})).alias("f")
+    ).collect()[0]["f"]
+    assert [s["category"] for s in out] == ["Email"]
+
+
+def test_spans_sorted_total_key(spans_df):
+    out = spans_df.select(spans_sorted("spans").alias("s")).collect()[0]["s"]
+    keys = [(s["offset"], s["length"], s["category"], s["text"]) for s in out]
+    assert keys == sorted(keys)
+    # the (0,7) tie breaks by category: Email < Person
+    assert out[0]["category"] == "Email" and out[1]["category"] == "Person"
+
+
+def test_suppress_span_text(spans_df):
+    hidden = spans_df.select(suppress_span_text("spans", include_text=False).alias("s")).collect()[0]["s"]
+    assert all(s["text"] is None for s in hidden)
+    assert all(s["offset"] is not None and s["category"] for s in hidden)
+    shown = spans_df.select(suppress_span_text("spans", include_text=True).alias("s")).collect()[0]["s"]
+    assert any(s["text"] == "x@y.com" for s in shown)
