@@ -42,7 +42,7 @@ def _n_docs(sf: float) -> int:
     override = os.environ.get("SPARK_GRAFT_BENCH_DOCS")
     if override:
         return int(override)
-    return max(1000, int(400_000 * sf))  # sf0.1 -> 40k docs
+    return max(2000, int(1_500_000 * sf))  # sf0.1 -> 150k docs (~3 s at 32 cores)
 
 
 def _consume_pipeline(out_df) -> int:
@@ -74,32 +74,34 @@ def _run_redaction(
 
 def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as mod
+    from redactifai_spark.operators.partitioning import per_host_doc_counts
+    from redactifai_spark.sources.pages import wrap_documents_as_pages
 
+    # customer_fuzzy_match intentionally absent: its quadratic within-block
+    # verify is a correctness demo (driver gate at sf0.01), not a throughput one
     picks = [
         "span_interval_union", "span_overlap_join", "embeddings_cosine_topk",
         "docs_token_counts", "events_top_users", "docs_word_match_counts",
-        "redact_pages",
+        "docs_prefix_dedup",
     ]
     q = mod.queries()
     out: dict[str, float] = {}
     for name in picks:
         t0 = time.monotonic()
-        df = q[name](spark, sf_dir)
-        # consume fully without driver-side materialization of wide strings
-        df.agg(F.count("*")).collect()
-        if name == "redact_pages":
-            # count() alone would let Catalyst prune the UDFs
-            t0 = time.monotonic()
-            _consume_pipeline(
-                run_pipeline(
-                    __import__("redactifai_spark.sources.pages", fromlist=["x"])
-                    .wrap_documents_as_pages(
-                        spark.read.parquet(f"{sf_dir}/documents.parquet")
-                    ),
-                    PipelineConfig(),
-                )
-            )
+        q[name](spark, sf_dir).agg(F.count("*")).collect()
         out[name] = round(time.monotonic() - t0, 3)
+
+    # full HTML pipeline over the documents table, UDFs force-consumed
+    pages = wrap_documents_as_pages(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    t0 = time.monotonic()
+    _consume_pipeline(run_pipeline(pages, PipelineConfig()))
+    out["redact_pages"] = round(time.monotonic() - t0, 3)
+
+    # salted two-phase per-host aggregation over Zipf-skewed synthetic pages (X5)
+    skewed = generate_pages(spark, 100_000, n_partitions=64)
+    t0 = time.monotonic()
+    per_host_doc_counts(skewed).collect()
+    out["salted_host_counts"] = round(time.monotonic() - t0, 3)
     return out
 
 
