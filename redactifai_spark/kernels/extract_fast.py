@@ -22,12 +22,14 @@ _MARKUP_RE = re.compile(
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"            # CDATA
     r"|<!(?:[^>]*)>"                          # doctype / declarations
     r"|<\?(?:[^>]*)>"                         # processing instructions
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)\s*>",
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)\s*>"
+    r"|</[^>]*>",                             # bogus end tag -> comment (html5 §13.2.5.7)
     re.S,
 )
 
-# Raw-text elements whose content must be skipped wholesale.
-_RAWTEXT = {"script", "style", "textarea", "title"}
+# Raw-text elements (CDATA_CONTENT_ELEMENTS in the stdlib parser — exactly
+# these two; title/textarea parse as normal markup there, so here too).
+_RAWTEXT = {"script", "style"}
 
 
 def extract_blocks_fast(

@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis): kernel invariants that scenario tests
+can't sweep — random span sets, random tag soup, random token streams."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from redactifai_spark.kernels.extract import extract_blocks
+from redactifai_spark.kernels.extract_fast import extract_blocks_fast
+from redactifai_spark.kernels.spans import mask_text, merge_spans, total_masked_chars
+from redactifai_spark.kernels.textdist import levenshtein
+
+spans_strategy = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(0, 200)).map(
+        lambda t: (min(t), max(t))
+    ),
+    max_size=30,
+)
+
+
+@given(spans_strategy)
+@settings(max_examples=200)
+def test_merge_equals_bitmap_union(spans):
+    merged = merge_spans(spans)
+    # oracle: bitmap of covered positions
+    covered = set()
+    for s, e in spans:
+        covered.update(range(s, e))
+    merged_cover = set()
+    for s, e in merged:
+        merged_cover.update(range(s, e))
+    assert merged_cover == covered
+    # disjoint, sorted, non-touching
+    for (s1, e1), (s2, e2) in zip(merged, merged[1:]):
+        assert e1 < s2
+
+
+@given(spans_strategy, st.integers(0, 5))
+@settings(max_examples=100)
+def test_merge_padding_covers_original(spans, pad):
+    merged = merge_spans(spans, padding=pad, clamp_len=300)
+    for s, e in spans:
+        if e <= s:
+            continue
+        s_c, e_c = max(0, s - pad), min(300, e + pad)
+        assert any(ms <= s_c and e_c <= me for ms, me in merged)
+
+
+@given(st.text(max_size=200), spans_strategy)
+@settings(max_examples=200)
+def test_mask_invariants(text, spans):
+    merged = merge_spans(spans, clamp_len=len(text))
+    out = mask_text(text, merged, "#")
+    assert len(out) == len(text)
+    inside = set()
+    for s, e in merged:
+        inside.update(range(s, min(e, len(text))))
+    for i, (a, b) in enumerate(zip(text, out)):
+        if i in inside:
+            assert b == "#"
+        else:
+            assert a == b
+    assert total_masked_chars(merged, len(text)) == len(inside)
+
+
+@given(st.text(max_size=30), st.text(max_size=30))
+@settings(max_examples=200)
+def test_levenshtein_metric_properties(a, b):
+    d = levenshtein(a, b)
+    assert d == levenshtein(b, a)
+    assert (d == 0) == (a == b)
+    assert d <= max(len(a), len(b))
+    assert d >= abs(len(a) - len(b))
+    # cap semantics
+    for cap in (0, 1, 2):
+        capped = levenshtein(a, b, cap=cap)
+        assert capped == min(d, cap + 1)
+
+
+# Random tag soup: words, real tags (well- and mal-formed), entities, quotes.
+# Free text excludes '<' — novel pathological tag names like <a'> are out of
+# parity scope (the stdlib parser's garbage-path tokenization accepts quotes in
+# tag names; both parsers stay deterministic, they just disagree on garbage).
+# Stray-'<' handling is covered by the curated adversarial list instead.
+_soup_atoms = st.one_of(
+    st.text(alphabet="abcdef >&;\"'/=!-", max_size=12),
+    st.sampled_from([
+        "<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>", "<br>",
+        "<script>", "</script>", "<style>", "</style>", "<b>", "</b>",
+        "&amp;", "&lt;", "<!-- c -->", "<title>", "</title>", "<P >",
+        "plain words here", "<p attr='a>b'>", "<img src=x/>", "<li>", "</li>",
+    ]),
+)
+
+
+@given(st.lists(_soup_atoms, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_extractor_parity_on_random_tag_soup(atoms):
+    html = "".join(atoms)
+    spec = extract_blocks(html)
+    fast = extract_blocks_fast(html)
+    assert fast[0] == spec[0], html
+    assert [(b.text, b.start, b.end) for b in fast[1]] == [
+        (b.text, b.start, b.end) for b in spec[1]
+    ], html
