@@ -335,6 +335,18 @@ def _docs_lang_detect(spark, sf_dir):
     )
 
 
+def _training_corpus(spark, sf_dir):
+    # composed pipeline: redact -> quality gate -> lang gate -> exact dedup ->
+    # near-dup removal; returns the funnel stats row (rows-only check)
+    from redactifai_spark.operators.corpus import prepare_training_corpus
+
+    pages = wrap_documents_as_pages(_t(spark, sf_dir, "documents"))
+    _corpus, stats = prepare_training_corpus(
+        pages, quality_min=0.2, langs=("en", "und", "de", "fr", "es")
+    )
+    return stats
+
+
 def _embeddings_lsh_topk(spark, sf_dir):
     # ANN scale path: deterministic random-hyperplane LSH bucket search
     from redactifai_spark.operators.similarity import lsh_topk, with_lsh_bucket
@@ -372,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_neardups": _docs_simhash_neardups,
         "docs_lang_detect": _docs_lang_detect,
         "embeddings_lsh_topk": _embeddings_lsh_topk,
+        "training_corpus_funnel": _training_corpus,
     }
 
 

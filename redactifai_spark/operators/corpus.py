@@ -1,0 +1,70 @@
+"""End-to-end training-corpus preparation: the composition every piece of this
+engine exists for.
+
+pages -> extract+redact (fused, 1 Arrow hop) -> quality gate -> language gate
+-> exact dedup -> MinHash-LSH near-dup removal -> curated corpus + funnel stats.
+
+Scale shape: the expensive per-doc Python runs once (the fused UDF); every gate
+after it is Catalyst; the only shuffles are the two dedup stages, both keyed on
+uniform hashes. Near-dup removal keeps the lexicographically smallest url of
+each pair (deterministic; chains over-trim slightly, the standard tradeoff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernels.oracle import PipelineConfig
+from .dedup import drop_exact_duplicates, near_duplicate_pairs
+from .pipeline import run_pipeline
+from .textstats import detect_language, quality_score
+
+
+def prepare_training_corpus(
+    pages: DataFrame,
+    config: PipelineConfig = PipelineConfig(),
+    quality_min: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.85,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (corpus, funnel_stats). corpus: (url, lang_detected, quality_score,
+    redacted_text, n_spans); funnel_stats: one row of stage counts."""
+    redacted = run_pipeline(pages, config, fused=True)
+    # Cache the UDF boundary: every funnel count and both dedup stages re-read
+    # this frame — without the cache each action re-runs the per-doc Python
+    # over the full input (at 10^12 docs, once is already the budget).
+    complete = (
+        redacted.filter(F.col("status") == "complete")
+        .select("url", "redacted_text", "n_spans")
+        .cache()
+    )
+
+    scored = quality_score(complete, text_col="redacted_text").withColumn(
+        "lang_detected", detect_language("redacted_text")
+    )
+    gated = scored.filter(
+        (F.col("quality_score") >= quality_min)
+        & F.col("lang_detected").isin(*langs)
+    ).select("url", "lang_detected", "quality_score", "redacted_text", "n_spans")
+
+    exact_unique = drop_exact_duplicates(gated, "url", "redacted_text").cache()
+
+    pairs = near_duplicate_pairs(
+        exact_unique, "url", "redacted_text", threshold=near_dup_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias("url")).distinct()
+    corpus = exact_unique.join(losers, "url", "left_anti")
+
+    counts = {
+        "n_input": pages.count(),
+        "n_complete": complete.count(),
+        "n_gated": gated.count(),
+        "n_exact_unique": exact_unique.count(),
+        "n_corpus": corpus.count(),
+    }
+    stats = pages.sparkSession.createDataFrame(
+        [tuple(counts.values())], schema=", ".join(f"{k} long" for k in counts)
+    )
+    # caller owns the returned corpus lineage; the intermediate caches stay
+    # until session cleanup or an explicit spark.catalog.clearCache()
+    return corpus, stats

@@ -1,0 +1,31 @@
+"""Composed training-corpus pipeline test: funnel counts monotone, duplicates
+gone, PII masked, gates honored."""
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.corpus import prepare_training_corpus
+from redactifai_spark.sources.pages import generate_pages
+
+
+def test_prepare_training_corpus(spark):
+    base = generate_pages(spark, 80, n_partitions=4)
+    # plant exact duplicates: same html under new urls
+    dupes = base.limit(10).withColumn("url", F.concat(F.col("url"), F.lit("-copy")))
+    pages = base.unionByName(dupes)
+
+    corpus, stats = prepare_training_corpus(pages, quality_min=0.3, langs=("en", "und"))
+    s = stats.collect()[0]
+    assert s["n_input"] == 90
+    assert s["n_complete"] == 90
+    assert s["n_complete"] >= s["n_gated"] >= s["n_exact_unique"] >= s["n_corpus"]
+    # the 10 planted exact duplicates are gone
+    assert s["n_exact_unique"] <= s["n_gated"] - 10
+
+    rows = corpus.collect()
+    assert rows
+    texts = [r["redacted_text"] for r in rows]
+    assert len(set(texts)) == len(texts)  # no exact dupes survive
+    # PII masked: generator emails never survive in the corpus
+    assert all("@example" not in t for t in texts)
+    assert all(r["quality_score"] >= 0.3 for r in rows)
+    assert all(r["lang_detected"] in ("en", "und") for r in rows)
