@@ -1,0 +1,63 @@
+"""Custom stateful streaming operator: per-host cumulative redaction stats.
+
+``applyInPandasWithState`` maintains (n_docs, n_spans, n_masked_chars) per host
+across micro-batches AND across restarts (state lives in the checkpoint) — the
+streaming analog of the reference's per-job counters (src/tasks.py:147-187)
+aggregated per host instead of per document.
+
+Skew note: state is keyed by host, and Common-Crawl hosts are Zipf — but state
+updates are O(batch rows in group) and the grouped shuffle is bounded per
+micro-batch, so a hot host means a hot task per trigger, not unbounded state.
+For extreme cases key by salted_host and re-aggregate downstream.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+HOST_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_spans", T.LongType()),
+        T.StructField("n_masked_chars", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_spans", T.LongType()),
+        T.StructField("n_masked_chars", T.LongType()),
+    ]
+)
+
+
+def _update_host_stats(key, pdfs, state: GroupState):
+    n_docs, n_spans, n_masked = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n_docs += len(pdf)
+        n_spans += int(pdf["n_spans"].sum())
+        n_masked += int(pdf["n_masked_chars"].sum())
+    state.update((n_docs, n_spans, n_masked))
+    yield pd.DataFrame(
+        [{"host": key[0], "n_docs": n_docs, "n_spans": n_spans,
+          "n_masked_chars": n_masked}]
+    )
+
+
+def host_stats_stream(redacted_stream: DataFrame) -> DataFrame:
+    """Redacted-output stream -> per-host cumulative stats stream (update mode)."""
+    keyed = redacted_stream.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        "n_spans", "n_masked_chars",
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        _update_host_stats,
+        outputStructType=HOST_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,61 @@
+"""Stateful streaming test: per-host counters accumulate across micro-batches
+AND across separate AvailableNow runs (state restored from checkpoint)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.kernels.oracle import PipelineConfig
+from redactifai_spark.operators.pipeline import run_pipeline
+from redactifai_spark.operators.schemas import PAGES_SCHEMA
+from redactifai_spark.sources.pages import generate_pages
+from redactifai_spark.streaming.stateful import host_stats_stream
+
+
+def _run_once(spark, src, ckpt, outdir):
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    redacted = run_pipeline(pages, PipelineConfig(), fused=True)
+    stats = host_stats_stream(redacted)
+    # memory sink cannot recover from a checkpoint; foreachBatch can — append
+    # each micro-batch's updated host rows, latest row per host wins
+    q = (
+        stats.writeStream.foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(outdir)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        r["host"]: r
+        for r in spark.read.parquet(outdir)
+        .groupBy("host")
+        .agg(F.max("n_docs").alias("n_docs"), F.max("n_spans").alias("n_spans"))
+        .collect()
+    }
+
+
+def test_host_state_accumulates_across_runs(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+    generate_pages(spark, 64, n_partitions=2).write.mode("append").parquet(src)
+    first = _run_once(spark, src, ckpt, out)
+    assert first  # hot host present with ~half the docs
+    assert first["popular-news.com"]["n_docs"] == 32  # ids 0..63, pmod 16 < 8
+    total1 = sum(r["n_docs"] for r in first.values())
+    assert total1 == 64
+
+    # second batch of NEW ids -> state must carry the first batch's counts
+    batch2 = generate_pages(spark, 128, n_partitions=2).filter(
+        F.col("url").rlike("/article/(6[4-9]|[7-9][0-9]|1[01][0-9]|12[0-7])$")
+    )
+    n2 = batch2.count()
+    assert n2 == 64
+    batch2.write.mode("append").parquet(src)
+    second = _run_once(spark, src, ckpt, out)
+    # only updated hosts appear in run2's sink; their counts are cumulative
+    assert second["popular-news.com"]["n_docs"] == 64
+    assert all(second[h]["n_docs"] >= first[h]["n_docs"] for h in second if h in first)
+    assert all(r["n_spans"] > 0 for r in second.values())
