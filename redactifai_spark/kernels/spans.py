@@ -100,6 +100,25 @@ def mask_text(
     return "".join(out)
 
 
+def annotate_text(text: str, spans: list[dict]) -> str:
+    """Debug overlay (M3 analog, image_masking_service.py:148-195): render spans
+    as [CAT]surface[/CAT] markers instead of masking. Off the hot path; spans
+    may overlap — applied right-to-left by (offset, length) so earlier
+    insertions never shift later offsets."""
+    ordered = sorted(
+        spans, key=lambda s: (s["offset"], s["length"], s["category"]), reverse=True
+    )
+    out = text
+    for s in ordered:
+        a = max(0, int(s["offset"]))
+        b = min(len(text), a + int(s["length"]))
+        if b <= a:
+            continue
+        cat = s["category"]
+        out = f"{out[:a]}[{cat}]{out[a:b]}[/{cat}]{out[b:]}"
+    return out
+
+
 def total_masked_chars(merged_spans: list[tuple[int, int]], text_len: int) -> int:
     """Number of characters covered by the (already-disjoint) merged spans."""
     total = 0

@@ -207,3 +207,76 @@ def make_fused_map(config: PipelineConfig):
             yield pd.DataFrame(rows, columns=[f.name for f in FUSED_OUTPUT_FIELDS])
 
     return fused
+
+
+# ---------------------------------------------------------------------------
+# Noisy-token EntityMatcher as a Spark operator (J1-J7) + debug annotation (M3)
+# ---------------------------------------------------------------------------
+
+TOKEN_ARRAY = T.ArrayType(
+    T.StructType([
+        T.StructField("text", T.StringType()),
+        T.StructField("block", T.IntegerType()),
+    ])
+)
+
+REGION_ARRAY = T.ArrayType(
+    T.StructType([
+        T.StructField("block", T.IntegerType()),
+        T.StructField("start", T.LongType()),
+        T.StructField("end", T.LongType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+    ])
+)
+
+
+def make_match_udf(fuzzy_threshold: int = 2, confidence_threshold: float = 0.0,
+                   padding: int = 0):
+    """(full_text, tokens, spans) -> matched mask regions.
+
+    The reference's EntityMatcher (entity_matcher.py:79-136) as an Arrow stage:
+    offset-map walk, overlap join, Levenshtein validation, gated fuzzy
+    sequence fallback — for inputs whose token stream is noisy (OCR-shaped)
+    rather than derived from the text itself."""
+    from ..kernels.match import EntityMatcher1D, Token
+
+    matcher = EntityMatcher1D(fuzzy_threshold, confidence_threshold, padding)
+
+    @pandas_udf(REGION_ARRAY)
+    def match(full_text: pd.Series, tokens: pd.Series, spans: pd.Series) -> pd.Series:
+        out = []
+        for text, toks, ents in zip(full_text, tokens, spans):
+            if not text or toks is None or ents is None:
+                out.append([])
+                continue
+            token_objs = [Token(t["text"], t["block"]) for t in toks]
+            ent_dicts = [
+                {"text": e["text"], "category": e["category"],
+                 "offset": int(e["offset"]), "length": int(e["length"]),
+                 "confidence": float(e["confidence"])}
+                for e in ents
+            ]
+            regions = matcher.match(text, token_objs, ent_dicts)
+            out.append([
+                {"block": r.block, "start": r.start, "end": r.end,
+                 "category": r.category, "confidence": r.confidence}
+                for r in regions
+            ])
+        return pd.Series(out)
+
+    return match
+
+
+def make_annotate_udf():
+    """(text, spans) -> [CAT]...[/CAT]-annotated debug column (M3 analog)."""
+    from ..kernels.spans import annotate_text
+
+    @pandas_udf(T.StringType())
+    def annotate(text: pd.Series, spans: pd.Series) -> pd.Series:
+        return pd.Series([
+            annotate_text(t or "", list(s) if s is not None else [])
+            for t, s in zip(text, spans)
+        ])
+
+    return annotate

@@ -74,3 +74,40 @@ def test_suppress_span_text(spans_df):
     assert all(s["offset"] is not None and s["category"] for s in hidden)
     shown = spans_df.select(suppress_span_text("spans", include_text=True).alias("s")).collect()[0]["s"]
     assert any(s["text"] == "x@y.com" for s in shown)
+
+
+def test_match_udf_noisy_tokens(spark):
+    from redactifai_spark.operators.udfs import TOKEN_ARRAY, SPAN_ARRAY, make_match_udf
+    import pyspark.sql.types as T
+
+    full = "Samuel Grummons lives in Boston"
+    toks = [{"text": w, "block": 1} for w in ["5amuel", "Grummons", "lives", "in", "Boston"]]
+    spans = [{"text": "Samuel Grummons", "category": "Person", "offset": 0,
+              "length": 15, "confidence": 0.9, "subcategory": None}]
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("full_text", T.StringType()),
+        T.StructField("tokens", TOKEN_ARRAY),
+        T.StructField("spans", SPAN_ARRAY),
+    ])
+    df = spark.createDataFrame([("u1", full, toks, spans)], schema)
+    match = make_match_udf()
+    got = df.select(match("full_text", "tokens", "spans").alias("r")).collect()[0]["r"]
+    assert len(got) == 1
+    assert got[0]["start"] == 0 and got[0]["end"] == 15
+    assert got[0]["category"] == "Person"
+
+
+def test_annotate_udf(spark):
+    from redactifai_spark.operators.udfs import SPAN_ARRAY, make_annotate_udf
+    import pyspark.sql.types as T
+
+    spans = [{"text": "x@y.com", "category": "Email", "offset": 8, "length": 7,
+              "confidence": 0.95, "subcategory": None}]
+    schema = T.StructType([
+        T.StructField("text", T.StringType()),
+        T.StructField("spans", SPAN_ARRAY),
+    ])
+    df = spark.createDataFrame([("mail to x@y.com now", spans)], schema)
+    got = df.select(make_annotate_udf()("text", "spans").alias("a")).collect()[0]["a"]
+    assert got == "mail to [Email]x@y.com[/Email] now"
