@@ -270,6 +270,26 @@ def _redact_pages(spark, sf_dir):
                       "n_blocks", "status")
 
 
+def _docs_pair_jaccard(spark, sf_dir):
+    # token-set Jaccard similarity on deterministic doc pairs — the exact-verify
+    # kernel of the near-dup pipeline, SQL-oracled
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") < 100)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+
+
 def _customer_fuzzy_match(spark, sf_dir):
     # J3: edit-distance theta-join (entity_matcher.py:232-253 analog) with
     # equality blocking first — the scale-honest shape (block -> verify)
@@ -377,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_cosine_topk": _embeddings_cosine_topk,
         "redact_documents": _redact_documents,
         "redact_pages": _redact_pages,
+        "docs_pair_jaccard": _docs_pair_jaccard,
         "customer_fuzzy_match": _customer_fuzzy_match,
         "docs_quality_stats": _docs_quality_stats,
         "docs_fingerprint_stats": _docs_fingerprint_stats,
@@ -490,6 +511,14 @@ def oracle_sql() -> dict[str, str]:
         "redact_documents": (
             "SELECT doc_id, text AS redacted_text, CAST(0 AS BIGINT) AS n_spans "
             "FROM documents"
+        ),
+        "docs_pair_jaccard": (
+            "WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks "
+            "FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
+            "/ len(list_distinct(list_cat(a.toks, b.toks))), 6) AS jaccard "
+            "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 100"
         ),
         "customer_fuzzy_match": (
             "WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk "

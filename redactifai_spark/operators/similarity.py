@@ -105,14 +105,27 @@ def cosine_near_pairs(
 def lsh_topk(
     indexed: DataFrame, query: list[float], dim: int, k: int = 10,
     n_planes: int = 16, id_col: str = "vec_id", vec_col: str = "embedding",
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k: search only the query's LSH bucket of a pre-indexed table
-    (build with ``with_lsh_bucket``; write partitioned by `bucket` for
-    partition pruning at scale). Recall < 1 by construction — the scale path."""
-    bucket = 0
+    """ANN top-k over a pre-indexed table (build with ``with_lsh_bucket``;
+    write partitioned by `bucket` for partition pruning at scale).
+
+    Multi-probe: also searches every bucket within Hamming distance
+    ``probe_hamming`` of the query's bucket — near neighbors most often differ
+    by one marginal hyperplane sign, so probing 1-bit flips recovers most of
+    the recall a single-bucket probe loses, at 1+n_planes bucket reads instead
+    of a full scan. probe_hamming=0 -> single bucket."""
+    base = 0
     for i, plane in enumerate(_hyperplanes(n_planes, dim)):
         s = sum(float(a) * b for a, b in zip(query, plane))
         if s >= 0:
-            bucket |= 1 << i
-    cand = indexed.filter(F.col("bucket") == bucket)
+            base |= 1 << i
+    buckets = {base}
+    if probe_hamming >= 1:
+        buckets.update(base ^ (1 << i) for i in range(n_planes))
+    if probe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                buckets.add(base ^ (1 << i) ^ (1 << j))
+    cand = indexed.filter(F.col("bucket").isin(*sorted(buckets)))
     return brute_force_topk(cand, query, k, id_col, vec_col)

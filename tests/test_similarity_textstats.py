@@ -118,3 +118,15 @@ def test_cosine_near_pairs(spark):
              for r in cosine_near_pairs(df, dim=DIM, threshold=0.99, n_planes=4).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_lsh_multiprobe_improves_recall(spark, vectors):
+    from redactifai_spark.operators.similarity import brute_force_topk, lsh_topk, with_lsh_bucket
+
+    q = _vec(7)
+    exact = {r["vec_id"] for r in brute_force_topk(vectors, q, k=5).collect()}
+    indexed = with_lsh_bucket(vectors, dim=DIM, n_planes=8).cache()
+    single = {r["vec_id"] for r in lsh_topk(indexed, q, dim=DIM, k=5, n_planes=8, probe_hamming=0).collect()}
+    probed = {r["vec_id"] for r in lsh_topk(indexed, q, dim=DIM, k=5, n_planes=8, probe_hamming=1).collect()}
+    assert len(probed & exact) >= len(single & exact)
+    assert 7 in probed
