@@ -270,6 +270,19 @@ def _redact_pages(spark, sf_dir):
                       "n_blocks", "status")
 
 
+def _events_hourly_windows(spark, sf_dir):
+    # event-time tumbling window aggregation (the batch twin of the
+    # watermark+window streaming path in streaming/windows.py)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _docs_pair_jaccard(spark, sf_dir):
     # token-set Jaccard similarity on deterministic doc pairs — the exact-verify
     # kernel of the near-dup pipeline, SQL-oracled
@@ -397,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_cosine_topk": _embeddings_cosine_topk,
         "redact_documents": _redact_documents,
         "redact_pages": _redact_pages,
+        "events_hourly_windows": _events_hourly_windows,
         "docs_pair_jaccard": _docs_pair_jaccard,
         "customer_fuzzy_match": _customer_fuzzy_match,
         "docs_quality_stats": _docs_quality_stats,
@@ -511,6 +525,10 @@ def oracle_sql() -> dict[str, str]:
         "redact_documents": (
             "SELECT doc_id, text AS redacted_text, CAST(0 AS BIGINT) AS n_spans "
             "FROM documents"
+        ),
+        "events_hourly_windows": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+            "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2"
         ),
         "docs_pair_jaccard": (
             "WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks "

@@ -1,0 +1,37 @@
+"""Event-time windowed aggregation with watermark-based late-data handling.
+
+Not present in the reference (its orchestration is batch; SURVEY.md §2.8), but
+part of this engine's streaming surface: per-window redaction/ingest stats that
+tolerate out-of-order arrival. The watermark bounds state: windows older than
+(max event time - delay) finalize and evict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming (or batch) tumbling-window counts with a watermark.
+
+    On a stream: append-mode emits a window only after the watermark passes its
+    end — late rows within ``watermark_delay`` still count; later ones drop.
+    On a batch frame the same plan computes plain window aggregates.
+    """
+    src = stream.withWatermark(ts_col, watermark_delay) if stream.isStreaming else stream
+    return (
+        src.groupBy(F.window(ts_col, window).alias("win"), *group_cols)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n",
+        )
+    )

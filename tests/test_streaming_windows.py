@@ -1,0 +1,74 @@
+"""Watermarked windowed aggregation: append mode finalizes windows only after
+the watermark passes; late-but-within-delay rows count, too-late rows drop."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.streaming.windows import windowed_counts
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _rows(*offsets_minutes):
+    return [(f"u{i}", T0 + dt.timedelta(minutes=m), "en") for i, m in enumerate(offsets_minutes)]
+
+
+SCHEMA = "url string, warc_ts timestamp, lang string"
+
+
+def test_batch_window_counts(spark):
+    df = spark.createDataFrame(_rows(5, 10, 65, 70, 125), SCHEMA)
+    got = {
+        (r["window_start"].isoformat(), r["n"])
+        for r in windowed_counts(df, window="1 hour").collect()
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", 2),
+        ("2024-01-01T01:00:00", 2),
+        ("2024-01-01T02:00:00", 1),
+    }
+
+
+def test_streaming_watermark_late_data(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        agg = windowed_counts(stream, window="1 hour", watermark_delay="30 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return {
+                (r["window_start"].isoformat(), r["n"])
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:
+            return set()
+
+    # batch 1: events in hour-0 and hour-2; watermark advances to 01:35
+    spark.createDataFrame(_rows(5, 10, 125), SCHEMA).write.mode("append").parquet(src)
+    first = run()
+    # hour-0 window (ends 01:00) is final (< 01:35 watermark); hour-2 is open
+    assert ("2024-01-01T00:00:00", 2) in first
+    assert not any(w.startswith("2024-01-01T02") for w, _ in first)
+
+    # batch 2: a too-late hour-0 row (dropped) + a hour-2 row (counted) +
+    # an hour-3 row that pushes the watermark past hour-2
+    spark.createDataFrame(_rows(15, 130, 245), SCHEMA).write.mode("append").parquet(src)
+    second = run()
+    # hour-0 stays at 2 — the late row fell behind the watermark
+    assert ("2024-01-01T00:00:00", 2) in second
+    assert not ("2024-01-01T00:00:00", 3) in second
+    # hour-2 finalized with both its rows
+    assert ("2024-01-01T02:00:00", 2) in second
