@@ -11,13 +11,53 @@ because the driver hash-compares values after sorting columns by name.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# Make the sibling package importable regardless of how this file was loaded
+# (spec_from_file_location does not put its directory on sys.path), and export
+# it to executor Python workers via PYTHONPATH for sessions created later.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+if _HERE not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _HERE + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH") else _HERE
+    )
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
 from redactifai_spark.kernels.oracle import PipelineConfig
 from redactifai_spark.operators.pipeline import run_pipeline
 from redactifai_spark.sources.pages import wrap_documents_as_pages
+
+_PYFILES_SENT: set[int] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """For sessions whose JVM predates this import (so PYTHONPATH was captured
+    without us): ship the package to executors via addPyFile(zip). Idempotent
+    per session."""
+    key = id(spark)
+    if key in _PYFILES_SENT:
+        return
+    try:
+        import zipfile
+
+        zip_path = os.path.join("/tmp", "redactifai_spark_pyfiles.zip")
+        if not os.path.exists(zip_path):
+            pkg = os.path.join(_HERE, "redactifai_spark")
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for root, _dirs, files in os.walk(pkg):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            zf.write(full, os.path.relpath(full, _HERE))
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # local cwd / PYTHONPATH covers the common cases
+    _PYFILES_SENT.add(key)
 
 SF_SMALL = "/root/testdata/sf0.001"
 
@@ -32,6 +72,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
+    _ensure_workers_can_import(spark)
     docs = _t(spark, SF_SMALL, "documents")
     pages = wrap_documents_as_pages(docs)
     out = run_pipeline(pages, PipelineConfig())
@@ -391,8 +432,20 @@ def _embeddings_lsh_topk(spark, sf_dir):
     return lsh_topk(indexed, query, dim=len(query), k=10, n_planes=8)
 
 
+def _wrap(fn):
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    inner.__name__ = fn.__name__
+    return inner
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _wrap(f) for k, f in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_type_counts": _events_type_counts,
         "events_recent_page": _events_recent_page,
         "events_error_by_user": _events_error_by_user,
