@@ -160,7 +160,7 @@ def main() -> None:
         # child process, CPU-affinity-confined by the parent via taskset
         i = sys.argv.index("--scaling-worker")
         cores, docs = int(sys.argv[i + 1]), int(sys.argv[i + 2])
-        control_rate = _control_docs_per_sec(cores, min(docs, cores * 4000))
+        control_rate = _control_docs_per_sec(cores, min(docs, cores * 12000))
         spark = get_spark(
             app_name=f"bench-scaling-{cores}", master=f"local[{cores}]",
             shuffle_partitions=max(cores, 8),
