@@ -1,0 +1,68 @@
+"""Document-format registry and per-row extractor routing.
+
+The reference's ``DocumentFormat`` coercion with lenient matching
+(/root/reference/src/utils/document_processor.py:25-99): MIME string,
+extension-ish hints, and magic-byte sniffing collapse to a canonical format,
+which routes each payload to the right layout parser (HTML scanner or PDF
+text-run extractor). Unknown binaries fall back to the PDF degraded mode
+(printable text runs) — never a crash, never a dropped row.
+"""
+
+from __future__ import annotations
+
+from .extract import ExtractConfig
+from .extract_fast import extract_blocks_fast
+from .pdf import extract_pdf_blocks
+
+HTML = "html"
+PDF = "pdf"
+TEXT = "text"
+UNKNOWN = "unknown"
+
+_MIME_MAP = {
+    "text/html": HTML,
+    "application/xhtml+xml": HTML,
+    "application/xhtml": HTML,
+    "text/plain": TEXT,
+    "application/pdf": PDF,
+    "application/x-pdf": PDF,
+}
+
+
+def detect_format(content_type: str | None, payload: bytes | None) -> str:
+    """Canonical format from MIME (lenient: parameters/case ignored), falling
+    back to magic bytes."""
+    if content_type:
+        base = content_type.split(";")[0].strip().lower()
+        fmt = _MIME_MAP.get(base)
+        if fmt:
+            return fmt
+    if payload:
+        head = bytes(payload[:256])
+        if head.startswith(b"%PDF-"):
+            return PDF
+        lowered = head.lstrip()[:64].lower()
+        if lowered.startswith((b"<!doctype", b"<html", b"<head", b"<body")):
+            return HTML
+        if b"<html" in head.lower():
+            return HTML
+    return UNKNOWN
+
+
+def extract_any(
+    payload: bytes | None,
+    content_type: str | None = None,
+    config: ExtractConfig = ExtractConfig(),
+) -> tuple[str, str, int]:
+    """Route payload to its extractor: (format, extracted_text, n_blocks)."""
+    fmt = detect_format(content_type, payload)
+    if fmt == HTML:
+        text, blocks = extract_blocks_fast(payload, config)
+        return fmt, text, len(blocks)
+    if fmt == TEXT:
+        if isinstance(payload, (bytes, bytearray)):
+            payload = bytes(payload).decode(config.encoding, errors="replace")
+        return fmt, payload or "", 1 if payload else 0
+    # PDF and unknown binaries share the text-run path (real pypdf when present)
+    text, blocks = extract_pdf_blocks(payload, config)
+    return fmt, text, len(blocks)

@@ -1,0 +1,41 @@
+"""Format registry + routed extraction tests (S8 analog)."""
+
+from redactifai_spark.kernels.formats import (
+    HTML, PDF, TEXT, UNKNOWN, detect_format, extract_any,
+)
+
+HTML_DOC = b"<html><body><p>real html content in a paragraph</p></body></html>"
+PDF_DOC = b"%PDF-1.4\x01\x02stream data with words inside here\x00"
+
+
+def test_mime_routing_lenient():
+    assert detect_format("text/html", None) == HTML
+    assert detect_format("TEXT/HTML; charset=utf-8", None) == HTML
+    assert detect_format("application/pdf", None) == PDF
+    assert detect_format("text/plain", None) == TEXT
+    assert detect_format("application/octet-stream", b"\x00\x01") == UNKNOWN
+
+
+def test_magic_byte_sniffing():
+    assert detect_format(None, PDF_DOC) == PDF
+    assert detect_format(None, HTML_DOC) == HTML
+    assert detect_format(None, b"  <!DOCTYPE html><p>x</p>") == HTML
+    assert detect_format("", b"\xde\xad\xbe\xef") == UNKNOWN
+    assert detect_format(None, None) == UNKNOWN
+
+
+def test_extract_any_routes():
+    fmt, text, n = extract_any(HTML_DOC, "text/html")
+    assert fmt == HTML and "real html content" in text and n == 1
+    fmt, text, n = extract_any(PDF_DOC, "application/pdf")
+    assert fmt == PDF and "words inside here" in text
+    fmt, text, n = extract_any(b"plain text payload here", "text/plain")
+    assert fmt == TEXT and text == "plain text payload here" and n == 1
+    fmt, text, n = extract_any(None, None)
+    assert text == "" and n == 0
+
+
+def test_unknown_binary_degrades_not_crashes():
+    fmt, text, n = extract_any(b"\x00\x01 some readable words appear \x02\x03", None)
+    assert fmt == UNKNOWN
+    assert "some readable words appear" in text
