@@ -1,0 +1,33 @@
+"""run_and_commit: output lands, lineage rows reflect the committed data,
+appends accumulate across runs."""
+
+from redactifai_spark.operators.metrics import run_and_commit
+from redactifai_spark.operators.pipeline import run_pipeline
+from redactifai_spark.sources.pages import generate_pages
+
+
+def test_run_and_commit_lineage(spark, tmp_path):
+    out = str(tmp_path / "clean")
+    metrics = str(tmp_path / "metrics")
+
+    pages = generate_pages(spark, 30, n_partitions=3)
+    run_and_commit(run_pipeline(pages, fused=True), out, metrics, run_id="r1")
+
+    committed = spark.read.parquet(out)
+    assert committed.count() == 30
+    m1 = spark.read.parquet(metrics)
+    rows = m1.collect()
+    assert sum(r["n_docs"] for r in rows) == 30
+    assert {r["run_id"] for r in rows} == {"r1"}
+    assert sum(r["n_spans"] for r in rows) > 0
+
+    # second append with a different run id accumulates both data and lineage
+    more = generate_pages(spark, 50, n_partitions=2).filter("url like '%/article/3%'")
+    n_more = more.count()
+    run_and_commit(run_pipeline(more, fused=True), out, metrics, run_id="r2")
+    assert spark.read.parquet(out).count() == 30 + n_more
+    m2 = spark.read.parquet(metrics)
+    assert {r["run_id"] for r in m2.collect()} == {"r1", "r2"}
+    # r2's lineage covers the whole committed table at commit time
+    r2_docs = sum(r["n_docs"] for r in m2.collect() if r["run_id"] == "r2")
+    assert r2_docs == 30 + n_more
