@@ -36,6 +36,7 @@ class PipelineConfig:
     extract: ExtractConfig = field(default_factory=ExtractConfig)
     prefer_text_column: bool = False  # True: skip HTML extraction, use `text` as-is
     gazetteer_names: tuple[str, ...] | None = None  # extra dictionary detector (D2 trie)
+    sniff_format: bool = False  # True: magic-byte routing (HTML vs PDF vs binary)
 
 
 def build_detector(config: PipelineConfig):
@@ -80,6 +81,11 @@ def process_document(
         if config.prefer_text_column or html is None:
             extracted = text or ""
             blocks = []
+        elif config.sniff_format:
+            from .formats import extract_any
+
+            _fmt, extracted, n_blocks_routed = extract_any(html, None, config.extract)
+            blocks = [None] * n_blocks_routed  # only the count is surfaced
         else:
             extracted, blocks = extract_blocks(html, config.extract)
         if detector is None:

@@ -50,7 +50,7 @@ def run_pipeline(
             "url", "warc_ts", "lang", "_r.*"
         )
 
-    extract = make_extract_udf(config.extract)
+    extract = make_extract_udf(config.extract, sniff_format=config.sniff_format)
     detect = make_detect_udf(config)
     redact = make_redact_udf(config.mask_char, config.span_padding)
 

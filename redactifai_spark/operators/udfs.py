@@ -26,12 +26,23 @@ from pyspark.sql import types as T
 SPAN_ARRAY = T.ArrayType(SPAN_TYPE)
 
 
-def make_extract_udf(config: ExtractConfig = ExtractConfig()):
+def make_extract_udf(config: ExtractConfig = ExtractConfig(), sniff_format: bool = False):
     """html:binary -> struct(extracted_text, n_blocks, extract_error).
 
     Spark mapping of S4 (TIFF load) + T2 (segmentation) + T3 (full_text join):
     the DOM parse happens per Arrow batch inside the executor's Python worker.
+    With ``sniff_format`` each payload is magic-byte routed (HTML/PDF/binary).
     """
+    if sniff_format:
+        from ..kernels.formats import extract_any
+
+        def _extract_one(payload):
+            _fmt, text, n_blocks = extract_any(payload, None, config)
+            return text, n_blocks
+    else:
+        def _extract_one(payload):
+            text, blocks = extract_blocks(payload, config)
+            return text, len(blocks)
 
     @pandas_udf(EXTRACT_TYPE)
     def extract(html: pd.Series) -> pd.DataFrame:
@@ -40,9 +51,9 @@ def make_extract_udf(config: ExtractConfig = ExtractConfig()):
         errors: list[str | None] = []
         for payload in html:
             try:
-                text, blocks = extract_blocks(payload, config)
+                text, nb = _extract_one(payload)
                 texts.append(text)
-                n_blocks.append(len(blocks))
+                n_blocks.append(nb)
                 errors.append(None)
             except Exception as exc:  # X2: per-row failure isolation
                 texts.append("")

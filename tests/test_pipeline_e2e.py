@@ -150,3 +150,24 @@ def test_gazetteer_in_pipeline(spark, pages, pages_rows):
         assert row["redacted_text"] == golden["redacted_text"], url
         found_gaz += sum(1 for s in row["spans"] if s["subcategory"] == "Gazetteer")
     assert found_gaz > 0  # the dictionary names occur in bylines
+
+
+def test_sniff_format_routes_pdf_payloads(spark):
+    cfg = PipelineConfig(sniff_format=True)
+    rows = [
+        ("h1", None, b"<html><body><p>Call 617-555-1234 about the meeting</p></body></html>", None, "en"),
+        ("p1", None, b"%PDF-1.4\x01\x02reach John Doe with SSN 123-45-6789 today\x00\xff", None, "en"),
+        ("b1", None, b"\x00\x01\x02\x03", None, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+    out = {r["url"]: r for r in run_pipeline(df, cfg, fused=True).collect()}
+    assert "617-555-1234" not in out["h1"]["redacted_text"]
+    assert "Call" in out["h1"]["redacted_text"]
+    assert "123-45-6789" not in out["p1"]["redacted_text"]
+    assert "John Doe" not in out["p1"]["redacted_text"]
+    assert "reach" in out["p1"]["redacted_text"] and "today" in out["p1"]["redacted_text"]
+    assert out["b1"]["extracted_text"] == "" and out["b1"]["status"] == "complete"
+    # staged path routes identically
+    staged = {r["url"]: r["redacted_text"] for r in run_pipeline(df, cfg).collect()}
+    assert all(staged[u] == out[u]["redacted_text"] for u in staged)
