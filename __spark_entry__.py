@@ -311,6 +311,38 @@ def _redact_pages(spark, sf_dir):
                       "n_blocks", "status")
 
 
+def _customer_region_counts(spark, sf_dir):
+    # broadcast dim joins: tiny nation/region dims broadcast to the fact side
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def _lineitem_pricing_summary(spark, sf_dir):
+    # TPC-H Q1 shape: rollup by flag/status; money summed as DECIMAL for
+    # engine-exact equality (double sums are order-dependent)
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.max("l_discount").alias("max_discount"),
+            F.min("l_shipdate").alias("min_shipdate_s"),
+        )
+        .withColumn("min_shipdate_s",
+                    F.date_format("min_shipdate_s", "yyyy-MM-dd HH:mm:ss"))
+    )
+
+
 def _events_hourly_windows(spark, sf_dir):
     # event-time tumbling window aggregation (the batch twin of the
     # watermark+window streaming path in streaming/windows.py)
@@ -463,6 +495,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embeddings_cosine_topk": _embeddings_cosine_topk,
         "redact_documents": _redact_documents,
         "redact_pages": _redact_pages,
+        "customer_region_counts": _customer_region_counts,
+        "lineitem_pricing_summary": _lineitem_pricing_summary,
         "events_hourly_windows": _events_hourly_windows,
         "docs_pair_jaccard": _docs_pair_jaccard,
         "customer_fuzzy_match": _customer_fuzzy_match,
@@ -578,6 +612,20 @@ def oracle_sql() -> dict[str, str]:
         "redact_documents": (
             "SELECT doc_id, text AS redacted_text, CAST(0 AS BIGINT) AS n_spans "
             "FROM documents"
+        ),
+        "customer_region_counts": (
+            "SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_customers "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name, n.n_name"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order, "
+            "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, "
+            "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, "
+            "MAX(l_discount) AS max_discount, "
+            "strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_shipdate_s "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "events_hourly_windows": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "

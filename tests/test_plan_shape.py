@@ -78,3 +78,15 @@ def test_whole_stage_codegen_present(spark):
         assert codegen_stage_count(df) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_dim_joins_are_broadcast(spark):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from redactifai_spark.plans.inspect import formatted_plan
+    df = mod.queries()["customer_region_counts"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
