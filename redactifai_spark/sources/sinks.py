@@ -1,0 +1,45 @@
+"""Output sinks: Iceberg table when a catalog is configured, parquet otherwise.
+
+The two-bucket storage model of the reference (PHI bucket -> clean bucket,
+/root/reference/src/storage/, README.md:290-304) maps to source/sink tables;
+snapshot commits replace upload-then-delete. This container ships no Iceberg
+jars, so the table path is gated on catalog presence — on a real cluster
+(`--packages org.apache.iceberg:iceberg-spark-runtime...` + catalog conf) the
+same call lands as `writeTo(table).append()` with snapshot semantics, which
+also upgrades resume to snapshot-id predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_catalogs(spark: SparkSession) -> list[str]:
+    """Names of configured Iceberg catalogs (empty in this sandbox)."""
+    out = []
+    for k, v in spark.sparkContext.getConf().getAll():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 \
+                and "iceberg" in str(v).lower():
+            out.append(k.rsplit(".", 1)[1])
+    return out
+
+
+def write_output(df: DataFrame, target: str, mode: str = "append") -> str:
+    """Write pipeline output; returns 'iceberg' or 'parquet' (what happened).
+
+    ``target``: a catalog table identifier (``cat.db.tbl``) writes via the
+    Iceberg DataFrameWriterV2; anything else is a parquet directory path."""
+    spark = df.sparkSession
+    looks_like_table = "/" not in target and target.count(".") >= 1
+    if looks_like_table and iceberg_catalogs(spark):
+        writer = df.writeTo(target)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            try:
+                writer.append()
+            except Exception:
+                writer.create()
+        return "iceberg"
+    df.write.mode(mode).parquet(target)
+    return "parquet"

@@ -1,0 +1,25 @@
+"""Sink adapter: parquet fallback in this sandbox; Iceberg path gated on catalog."""
+
+from redactifai_spark.sources.sinks import iceberg_catalogs, write_output
+from redactifai_spark.sources.pages import generate_pages
+
+
+def test_no_iceberg_catalog_in_sandbox(spark):
+    assert iceberg_catalogs(spark) == []
+
+
+def test_parquet_fallback(spark, tmp_path):
+    df = generate_pages(spark, 10, n_partitions=2)
+    target = str(tmp_path / "out")
+    assert write_output(df, target) == "parquet"
+    assert spark.read.parquet(target).count() == 10
+    # append mode accumulates
+    write_output(df, target)
+    assert spark.read.parquet(target).count() == 20
+
+
+def test_table_identifier_without_catalog_goes_parquet(spark, tmp_path):
+    # a dotted name with no catalog configured still lands somewhere sane
+    df = generate_pages(spark, 5, n_partitions=1)
+    target = str(tmp_path / "a.b.out")
+    assert write_output(df, target) == "parquet"
