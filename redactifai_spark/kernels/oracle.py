@@ -37,6 +37,11 @@ class PipelineConfig:
     prefer_text_column: bool = False  # True: skip HTML extraction, use `text` as-is
     gazetteer_names: tuple[str, ...] | None = None  # extra dictionary detector (D2 trie)
     sniff_format: bool = False  # True: magic-byte routing (HTML vs PDF vs binary)
+    # True: re-detect on the masked text until no new spans appear (<=5 passes).
+    # Masking is length-preserving, so a mask char can create a fresh word
+    # boundary that exposes a pattern the first pass could not match (e.g. the
+    # digits after a masked phone number suddenly matching the SSN pattern).
+    redact_fixed_point: bool = False
 
 
 def build_detector(config: PipelineConfig):
@@ -101,6 +106,22 @@ def process_document(
             clamp_len=len(extracted),
         )
         redacted = mask_text(extracted, merged, config.mask_char)
+        if config.redact_fixed_point:
+            for _ in range(5):
+                extra = [
+                    e for e in detector(redacted)
+                    if should_include(e.category, config)
+                    and e.confidence >= config.confidence_threshold
+                ]
+                if not extra:
+                    break
+                entities = sorted(entities + extra, key=lambda e: e.sort_key())
+                merged = merge_spans(
+                    merged + [(e.offset, e.end_offset) for e in extra],
+                    padding=config.span_padding,
+                    clamp_len=len(extracted),
+                )
+                redacted = mask_text(extracted, merged, config.mask_char)
         return {
             "extracted_text": extracted,
             "redacted_text": redacted,

@@ -42,6 +42,10 @@ def run_pipeline(
     """
     if n_partitions:
         df = repartition_by_url(df, n_partitions)
+    if config.redact_fixed_point:
+        # the re-detect loop lives inside the per-doc kernel; only the fused
+        # path can iterate without extra Arrow round-trips per pass
+        fused = True
     if fused:
         process = make_process_udf(config)
         args = (F.col("html"), F.col("text")) if config.prefer_text_column \

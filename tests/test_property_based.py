@@ -103,3 +103,32 @@ def test_extractor_parity_on_random_tag_soup(atoms):
     assert [(b.text, b.start, b.end) for b in fast[1]] == [
         (b.text, b.start, b.end) for b in spec[1]
     ], html
+
+
+@given(st.lists(st.sampled_from([
+    "call 617-555-1234", "123-45-6789", "x", "9", "MRN: 777123",
+    "mail a@b.co", " ", "4123-45-6789", "617-555-1234123-45-6789",
+]), min_size=1, max_size=6))
+@settings(max_examples=150, deadline=None)
+def test_fixed_point_redaction_leaves_no_detectable_pii(parts):
+    from redactifai_spark.kernels.detect import detect_pii
+    from redactifai_spark.kernels.oracle import PipelineConfig, process_document
+
+    text = "".join(parts)
+    out = process_document(None, text, PipelineConfig(
+        prefer_text_column=True, redact_fixed_point=True))
+    assert detect_pii(out["redacted_text"]) == []
+    assert len(out["redacted_text"]) == len(text)
+
+
+def test_fixed_point_closes_boundary_reveal():
+    from redactifai_spark.kernels.detect import detect_pii
+    from redactifai_spark.kernels.oracle import PipelineConfig, process_document
+
+    text = "call 617-555-1234123-45-6789 now"
+    plain = process_document(None, text, PipelineConfig(prefer_text_column=True))
+    assert detect_pii(plain["redacted_text"])  # single pass leaks an SSN match
+    fp = process_document(None, text, PipelineConfig(
+        prefer_text_column=True, redact_fixed_point=True))
+    assert detect_pii(fp["redacted_text"]) == []
+    assert "123-45-6789" not in fp["redacted_text"]
