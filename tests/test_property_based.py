@@ -132,3 +132,41 @@ def test_fixed_point_closes_boundary_reveal():
         prefer_text_column=True, redact_fixed_point=True))
     assert detect_pii(fp["redacted_text"]) == []
     assert "123-45-6789" not in fp["redacted_text"]
+
+
+_WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+          "hotel", "india", "juliet", "kilo", "lima"]
+
+
+@given(
+    st.lists(st.sampled_from(_WORDS), min_size=2, max_size=20),
+    st.integers(0, 10),
+    st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_matcher_invariants_on_random_streams(words, ent_pos, corrupt_first):
+    from redactifai_spark.kernels.match import EntityMatcher1D, Token
+
+    full = " ".join(words)
+    tokens = [Token(w) for w in words]
+    if corrupt_first and len(words[0]) >= 3:
+        # single-char OCR-style corruption of the first token
+        tokens[0] = Token("0" + words[0][1:])
+    i = ent_pos % (len(words) - 1)
+    surface = words[i] + " " + words[i + 1]
+    offset = len(" ".join(words[:i])) + (1 if i else 0)
+    ent = {"text": surface, "category": "Person", "offset": offset,
+           "length": len(surface), "confidence": 0.9}
+    regions = EntityMatcher1D().match(full, tokens, [ent])
+    # hard invariants: bounded, categorized
+    for r in regions:
+        assert 0 <= r.start < r.end <= len(full)
+        assert r.category == "Person" and r.confidence == 0.9
+    if not corrupt_first:
+        # clean token stream + exact offsets MUST match and cover the entity
+        assert len(regions) >= 1
+        r = regions[0]
+        assert r.start <= offset + 2
+        assert r.end >= offset + len(surface) - 2
+    # corrupted streams are best-effort: the reference's greedy fuzzy walk can
+    # desync and yield no match (same semantics) — only the hard invariants hold
