@@ -311,6 +311,26 @@ def _redact_pages(spark, sf_dir):
                       "n_blocks", "status")
 
 
+def _events_props_json(spark, sf_dir):
+    # semi-structured: extract a JSON field from the props column, bucket it
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _events_rollup(spark, sf_dir):
+    # multi-level aggregate: rollup over (event_type) with grand total
+    return (
+        _t(spark, sf_dir, "events")
+        .rollup("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _customer_region_counts(spark, sf_dir):
     # broadcast dim joins: tiny nation/region dims broadcast to the fact side
     c = _t(spark, sf_dir, "customer")
@@ -495,6 +515,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embeddings_cosine_topk": _embeddings_cosine_topk,
         "redact_documents": _redact_documents,
         "redact_pages": _redact_pages,
+        "events_props_json": _events_props_json,
+        "events_rollup": _events_rollup,
         "customer_region_counts": _customer_region_counts,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "events_hourly_windows": _events_hourly_windows,
@@ -612,6 +634,13 @@ def oracle_sql() -> dict[str, str]:
         "redact_documents": (
             "SELECT doc_id, text AS redacted_text, CAST(0 AS BIGINT) AS n_spans "
             "FROM documents"
+        ),
+        "events_props_json": (
+            "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, "
+            "COUNT(*) AS n FROM events GROUP BY 1"
+        ),
+        "events_rollup": (
+            "SELECT event_type, COUNT(*) AS n FROM events GROUP BY ROLLUP(event_type)"
         ),
         "customer_region_counts": (
             "SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_customers "

@@ -62,6 +62,17 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 # Shingling + MinHash + LSH (all Catalyst)
 # ---------------------------------------------------------------------------
 
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the whitespace-normalized lowercased text
+    — finer-grained than word shingles; catches near-dups that reorder words."""
+    col = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    k = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(norm, i, n))
+    )
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams of the whitespace-normalized lowercased text."""
     col = F.col(text) if isinstance(text, str) else text

@@ -81,3 +81,26 @@ def test_simhash_udf_matches_kernel(spark, docs):
     rows = docs.select("doc_id", "text", make_simhash_udf()(F.col("text")).alias("sh")).collect()
     for r in rows:
         assert r["sh"] == simhash64(r["text"]), r["doc_id"]
+
+
+def test_char_shingles(spark):
+    from redactifai_spark.operators.dedup import char_shingles, jaccard_similarity
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat  SAT"), (3, "dogs run far")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", char_shingles("text", 5).alias("sh")).collect()}
+    assert rows[1] == rows[2]  # case/whitespace-normalized identical
+    assert set(rows[1]) != set(rows[3])
+    assert all(len(s) <= 5 for s in rows[1])
+    # jaccard over char shingles: identical docs -> 1.0
+    a = df.alias("a"); b = df.alias("b")
+    j = (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+         .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"),
+                 jaccard_similarity(char_shingles(F.col("a.text"), 5),
+                                    char_shingles(F.col("b.text"), 5)).alias("j")))
+    got = {(r["ia"], r["ib"]): r["j"] for r in j.collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] < 0.2
