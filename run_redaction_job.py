@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Production entrypoint: spark-submit --py-files redactifai_spark.zip run_redaction_job.py ...
+
+Reads a pages table (parquet dir or Iceberg table), runs the redaction
+pipeline, commits output + per-partition lineage, supports resume.
+
+Examples:
+  python run_redaction_job.py --input /data/pages --output /data/clean \
+      --metrics /data/lineage --run-id run42
+  python run_redaction_job.py --input /data/pages --output /data/clean \
+      --metrics /data/lineage --resume --masking-level limited_dataset \
+      --fixed-point --sniff-format --repartition 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="pages parquet dir / table")
+    p.add_argument("--output", required=True, help="clean output parquet dir / table")
+    p.add_argument("--metrics", required=True, help="lineage/metrics parquet dir")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--masking-level", default="safe_harbor",
+                   choices=["safe_harbor", "limited_dataset", "custom"])
+    p.add_argument("--categories", default=None,
+                   help="comma list for --masking-level custom")
+    p.add_argument("--confidence-threshold", type=float, default=0.0)
+    p.add_argument("--gazetteer", default=None,
+                   help="path to newline-delimited dictionary names")
+    p.add_argument("--resume", action="store_true",
+                   help="skip urls already present in --output")
+    p.add_argument("--fixed-point", action="store_true",
+                   help="re-detect on masked text until clean")
+    p.add_argument("--sniff-format", action="store_true",
+                   help="magic-byte routing (HTML/PDF/binary)")
+    p.add_argument("--staged", action="store_true",
+                   help="3-UDF plan with Catalyst policy filters (default: fused)")
+    p.add_argument("--repartition", type=int, default=None,
+                   help="explicit xxhash64(url) re-balance partition count")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.metrics import resume_filter, run_and_commit
+    from redactifai_spark.operators.pipeline import run_pipeline
+    from redactifai_spark.session import get_spark
+
+    spark = get_spark(app_name="redactifai-job", master=args.master)
+
+    gazetteer = None
+    if args.gazetteer:
+        with open(args.gazetteer) as f:
+            gazetteer = tuple(line.strip() for line in f if line.strip())
+
+    config = PipelineConfig(
+        masking_level=args.masking_level,
+        custom_categories=(
+            frozenset(args.categories.split(",")) if args.categories else None
+        ),
+        confidence_threshold=args.confidence_threshold,
+        gazetteer_names=gazetteer,
+        sniff_format=args.sniff_format,
+        redact_fixed_point=args.fixed_point,
+    )
+
+    pages = spark.read.parquet(args.input)
+    if args.resume:
+        try:
+            committed = spark.read.parquet(args.output)
+        except Exception:
+            committed = None
+        pages = resume_filter(pages, committed)
+
+    run_id = args.run_id or f"run-{int(time.time())}"
+    out = run_pipeline(pages, config, n_partitions=args.repartition,
+                       fused=not args.staged)
+    run_and_commit(out, args.output, args.metrics, run_id=run_id)
+
+    n = spark.read.parquet(args.output).count()
+    print(f"committed run_id={run_id}; output rows now {n}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
