@@ -70,6 +70,30 @@ def run_and_commit(
     partition_metrics(committed, run_id).write.mode("append").parquet(metrics_path)
 
 
+def spans_table(output_df: DataFrame, include_text: bool = False) -> DataFrame:
+    """Per-entity side-output rows (S9: the reference persists one DB row per
+    detected entity, src/tasks.py:147-187) — exploded from the span arrays,
+    with surface text suppressed unless explicitly requested (M4,
+    api/main.py:381-396). Partitioned like the main output (same lineage)."""
+    from .functions import suppress_span_text
+
+    return (
+        output_df.select(
+            "url",
+            F.explode(suppress_span_text("spans", include_text)).alias("s"),
+        )
+        .select(
+            "url",
+            F.col("s.category").alias("category"),
+            F.col("s.offset").alias("offset"),
+            F.col("s.length").alias("length"),
+            F.col("s.confidence").alias("confidence"),
+            F.col("s.subcategory").alias("subcategory"),
+            F.col("s.text").alias("text"),
+        )
+    )
+
+
 def resume_filter(source_df: DataFrame, committed_df: DataFrame | None) -> DataFrame:
     """X4 resume: drop source urls already present in the committed output.
 

@@ -31,3 +31,17 @@ def test_run_and_commit_lineage(spark, tmp_path):
     # r2's lineage covers the whole committed table at commit time
     r2_docs = sum(r["n_docs"] for r in m2.collect() if r["run_id"] == "r2")
     assert r2_docs == 30 + n_more
+
+
+def test_spans_table_side_output(spark):
+    from redactifai_spark.operators.metrics import spans_table
+
+    out = run_pipeline(generate_pages(spark, 20, n_partitions=2), fused=True)
+    hidden = spans_table(out).collect()
+    assert hidden
+    assert all(r["text"] is None for r in hidden)  # M4 default: suppressed
+    assert all(r["offset"] >= 0 and r["length"] > 0 for r in hidden)
+    cats = {r["category"] for r in hidden}
+    assert {"Person", "Date", "PhoneNumber", "Email"} <= cats
+    shown = spans_table(out, include_text=True).collect()
+    assert any(r["text"] and "@example" in r["text"] for r in shown)
