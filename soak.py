@@ -1,0 +1,41 @@
+"""Soak: 1M-doc fused pipeline; sampled byte-identity vs the pure oracle."""
+import sys, time; sys.path.insert(0,"/root/repo")
+from pyspark.sql import functions as F
+from redactifai_spark.session import get_spark
+from redactifai_spark.sources.pages import generate_pages
+from redactifai_spark.operators.pipeline import run_pipeline
+from redactifai_spark.kernels.oracle import PipelineConfig, process_document
+
+N = 1_000_000
+spark = get_spark(master="local[32]", shuffle_partitions=32)
+pages = generate_pages(spark, N, n_partitions=128)
+out = run_pipeline(pages, PipelineConfig(), fused=True)
+
+t0 = time.monotonic()
+agg = out.agg(
+    F.count("*").alias("n"),
+    F.sum("n_spans").alias("spans"),
+    F.sum("n_masked_chars").alias("masked"),
+    F.sum(F.length("redacted_text")).alias("chars"),
+    F.count(F.when(F.col("status") != "complete", 1)).alias("failed"),
+).collect()[0]
+wall = time.monotonic() - t0
+print(f"1M docs: {wall:.1f}s, {N/wall:.0f} docs/s | spans={agg['spans']} masked={agg['masked']} failed={agg['failed']}")
+assert agg["n"] == N and agg["failed"] == 0
+
+# sampled byte-identity: deterministic sample of 2000 urls
+sample = out.filter(F.pmod(F.xxhash64("url"), F.lit(500)) == 0) \
+            .select("url", "redacted_text", "n_spans").collect()
+src = {r["url"]: r["html"] for r in
+       pages.filter(F.pmod(F.xxhash64("url"), F.lit(500)) == 0).select("url","html").collect()}
+print("sampled:", len(sample))
+mism = 0
+for r in sample:
+    golden = process_document(src[r["url"]])
+    if r["redacted_text"] != golden["redacted_text"] or r["n_spans"] != golden["n_spans"]:
+        mism += 1
+        print("MISMATCH", r["url"])
+print("mismatches:", mism, "of", len(sample))
+assert mism == 0
+spark.stop()
+print("SOAK OK")
