@@ -311,6 +311,19 @@ def _redact_pages(spark, sf_dir):
                       "n_blocks", "status")
 
 
+def _events_asof_purchase(spark, sf_dir):
+    # as-of join: each click sees the user's latest purchase at or before it
+    from redactifai_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = as_of_join(clicks, purchases, on="user_id", ts="ts", right_cols=["value"])
+    return joined.select(
+        "event_id", "user_id", F.col("value_asof").alias("last_purchase_value")
+    )
+
+
 def _events_props_json(spark, sf_dir):
     # semi-structured: extract a JSON field from the props column, bucket it
     ev = _t(spark, sf_dir, "events")
@@ -515,6 +528,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embeddings_cosine_topk": _embeddings_cosine_topk,
         "redact_documents": _redact_documents,
         "redact_pages": _redact_pages,
+        "events_asof_purchase": _events_asof_purchase,
         "events_props_json": _events_props_json,
         "events_rollup": _events_rollup,
         "customer_region_counts": _customer_region_counts,
@@ -634,6 +648,17 @@ def oracle_sql() -> dict[str, str]:
         "redact_documents": (
             "SELECT doc_id, text AS redacted_text, CAST(0 AS BIGINT) AS n_spans "
             "FROM documents"
+        ),
+        "events_asof_purchase": (
+            "WITH p AS ("
+            "  SELECT user_id, ts, value FROM ("
+            "    SELECT user_id, ts, value, ROW_NUMBER() OVER ("
+            "      PARTITION BY user_id, ts ORDER BY value DESC) rn "
+            "    FROM events WHERE event_type = 'purchase') t WHERE rn = 1"
+            "), c AS (SELECT event_id, user_id, ts FROM events "
+            "         WHERE event_type = 'click') "
+            "SELECT c.event_id, c.user_id, p.value AS last_purchase_value "
+            "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"
         ),
         "events_props_json": (
             "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, "

@@ -1,0 +1,66 @@
+"""As-of join: for each left row, the most recent right row at or before its
+timestamp, per key — the time-series operator Spark lacks natively.
+
+Scalable shape (single shuffle, no per-key loops): tag both sides, union,
+sort within key by (ts, side-priority), forward-fill the right side's payload
+with ``last(..., ignorenulls=True)`` over an unbounded-preceding window, then
+keep left rows. Equivalent to DuckDB/kdb ASOF JOIN semantics (ties: a right
+row AT the same ts is visible to the left row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Returns ``left`` plus ``<col><suffix>`` for each of ``right_cols`` —
+    values from the latest right row with right.ts <= left.ts, same ``on`` key.
+
+    Right-side duplicates at the same (key, ts) are resolved deterministically
+    by keeping the last row ordered by the payload columns.
+    """
+    # deterministic pick among same-ts right rows
+    dedup_w = W.partitionBy(on, ts).orderBy(*[F.col(c).desc() for c in right_cols])
+    r = (
+        right.select(on, ts, *right_cols)
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumns(
+        {f"_r_{c}": F.lit(None).cast(dict(r.dtypes)[c]) for c in right_cols}
+    )
+    r_tagged = (
+        r.withColumn("_side", F.lit(0))
+        .withColumns({f"_r_{c}": F.col(c) for c in right_cols})
+        .drop(*right_cols)
+    )
+    # align schemas: right side lacks the left payload columns
+    for c, t in left.dtypes:
+        if c not in (on, ts):
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(t))
+    unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1): ties visible
+    fill_w = (
+        W.partitionBy(on)
+        .orderBy(ts, "_side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumns(
+        {f"_r_{c}": F.last(f"_r_{c}", ignorenulls=True).over(fill_w)
+         for c in right_cols}
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    for c in right_cols:
+        out = out.withColumnRenamed(f"_r_{c}", f"{c}{suffix}")
+    return out

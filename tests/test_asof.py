@@ -1,0 +1,38 @@
+"""As-of join tests: hand-built golden + semantics (ties visible, no future)."""
+
+import datetime as dt
+
+from redactifai_spark.operators.asof import as_of_join
+
+T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_as_of_join_golden(spark):
+    clicks = spark.createDataFrame(
+        [(1, T(5), "c1"), (1, T(10), "c2"), (2, T(3), "c3"), (3, T(1), "c4")],
+        "user_id long, ts timestamp, click_id string",
+    )
+    purchases = spark.createDataFrame(
+        [(1, T(4), 100.0), (1, T(10), 200.0), (2, T(9), 50.0)],
+        "user_id long, ts timestamp, amount double",
+    )
+    got = {
+        r["click_id"]: r["amount_asof"]
+        for r in as_of_join(clicks, purchases, on="user_id", ts="ts",
+                            right_cols=["amount"]).collect()
+    }
+    assert got["c1"] == 100.0   # latest purchase <= 00:05 is 00:04
+    assert got["c2"] == 200.0   # tie at 00:10 is visible
+    assert got["c3"] is None    # purchase at 00:09 is in the future of 00:03
+    assert got["c4"] is None    # user 3 never purchased
+
+
+def test_as_of_join_duplicate_ts_deterministic(spark):
+    left = spark.createDataFrame([(1, T(5), "x")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, T(2), 10.0), (1, T(2), 30.0), (1, T(2), 20.0)],
+        "k long, ts timestamp, v double",
+    )
+    a = as_of_join(left, right, "k", "ts", ["v"]).collect()[0]["v_asof"]
+    b = as_of_join(left, right, "k", "ts", ["v"]).collect()[0]["v_asof"]
+    assert a == b == 30.0  # deterministic: max payload among equal ts
