@@ -1,0 +1,58 @@
+"""Keyless interval-overlap (range) join via bin bucketing.
+
+``span_overlap_join`` handles the common co-keyed case (intervals share a
+document key). When there is NO equi-key, a naive overlap join is a cartesian
+product with a theta filter — O(n*m) and a broadcast-nested-loop plan. The
+standard scale fix: explode each interval into the fixed-width bins it covers,
+equi-join on bin id (hash shuffle), verify the exact overlap predicate, and
+dedupe pairs that met in multiple bins.
+
+Cost: shuffle size grows with interval_length/bin_width per row; pick
+``bin_width`` near the typical interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _with_bins(df: DataFrame, start: str, end: str, bin_width: int) -> DataFrame:
+    return df.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / bin_width),
+                F.floor((F.col(end) - 1) / bin_width),
+            )
+        ),
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str],
+    right_cols: tuple[str, str],
+    bin_width: int = 64,
+) -> DataFrame:
+    """All (left, right) row pairs whose half-open intervals overlap.
+
+    ``left_cols``/``right_cols``: (start, end) column names. Returns the full
+    combined row set (left columns + right columns); callers project/aggregate.
+    Intervals must be non-empty (start < end).
+    """
+    ls, le = left_cols
+    rs, re_ = right_cols
+    lb = _with_bins(left, ls, le, bin_width)
+    rb = _with_bins(right, rs, re_, bin_width)
+    joined = lb.join(rb, "_bin").filter(
+        (F.col(ls) < F.col(re_)) & (F.col(rs) < F.col(le))
+    )
+    # a pair meeting in k shared bins appears k times: keep the first bin only
+    dedup = joined.filter(
+        F.col("_bin")
+        == F.greatest(
+            F.floor(F.col(ls) / bin_width), F.floor(F.col(rs) / bin_width)
+        )
+    )
+    return dedup.drop("_bin")

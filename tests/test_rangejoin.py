@@ -1,0 +1,45 @@
+"""Keyless bin-bucketed range join: equals the naive theta join, no dupes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.rangejoin import interval_overlap_join
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    left = spark.createDataFrame(
+        [(i, i * 13 % 500, i * 13 % 500 + 5 + i % 40) for i in range(200)],
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(j, j * 29 % 480, j * 29 % 480 + 3 + j % 70) for j in range(150)],
+        "rid long, rs long, re long",
+    )
+    return left, right
+
+
+def _naive(left, right):
+    return {
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .filter((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("bin_width", [16, 64, 1024])
+def test_matches_naive_theta_join(intervals, bin_width):
+    left, right = intervals
+    got_rows = interval_overlap_join(
+        left, right, ("ls", "le"), ("rs", "re"), bin_width=bin_width
+    ).collect()
+    got = [(r["lid"], r["rid"]) for r in got_rows]
+    assert len(got) == len(set(got))  # bin dedupe: no pair twice
+    assert set(got) == _naive(left, right)
+
+
+def test_no_overlaps(spark):
+    left = spark.createDataFrame([(1, 0, 10)], "lid long, ls long, le long")
+    right = spark.createDataFrame([(2, 10, 20)], "rid long, rs long, re long")
+    assert interval_overlap_join(left, right, ("ls", "le"), ("rs", "re")).count() == 0
