@@ -184,6 +184,15 @@ def _docs_word_match_counts(spark, sf_dir):
     )
 
 
+def _docs_bpe_token_counts(spark, sf_dir):
+    # sub-word-ish token budgeting (word pieces + digits + punct runs)
+    from redactifai_spark.operators.textstats import bpe_ish_token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
 def _docs_distinct_tokens(spark, sf_dir):
     # text analysis: per-doc vocabulary size
     return _t(spark, sf_dir, "documents").select(
@@ -520,6 +529,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "docs_lang_stats": _docs_lang_stats,
         "docs_token_counts": _docs_token_counts,
         "docs_word_match_counts": _docs_word_match_counts,
+        "docs_bpe_token_counts": _docs_bpe_token_counts,
         "docs_distinct_tokens": _docs_distinct_tokens,
         "docs_prefix_dedup": _docs_prefix_dedup,
         "docs_skip_phrase_filter": _docs_skip_phrase_filter,
@@ -586,6 +596,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(len(regexp_extract_all(text, '\\bmerge\\b'))) AS BIGINT) AS n_merge, "
             "CAST(SUM(len(regexp_extract_all(text, '\\bscan\\b'))) AS BIGINT) AS n_scan "
             "FROM documents GROUP BY lang"
+        ),
+        "docs_bpe_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]{1,4}|[0-9]|[^\\sA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
         ),
         "docs_distinct_tokens": (
             "SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) "

@@ -129,3 +129,73 @@ def lsh_topk(
                 buckets.add(base ^ (1 << i) ^ (1 << j))
     cand = indexed.filter(F.col("bucket").isin(*sorted(buckets)))
     return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: deterministic k-means coarse quantizer + cluster-
+# pruned search — the classic alternative to hyperplane LSH. Centroids are
+# tiny (k x dim) and live on the driver / in literals; assignment and
+# per-cluster search are pure Catalyst.
+# ---------------------------------------------------------------------------
+
+def _sq_dist(v: Column, c: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in c])
+    return F.aggregate(
+        F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _assign_expr(v: Column, centroids: list[list[float]]) -> Column:
+    dists = F.array(*[_sq_dist(v, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_centroids(
+    df: DataFrame, dim: int, k: int = 16, n_iter: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means: seeds are the k rows with the smallest
+    xxhash64(id) (data-dependent but reproducible); each iteration is one
+    distributed assign + per-dimension mean, with only k x dim floats ever
+    reaching the driver."""
+    seeds = (
+        df.select(vec_col, F.xxhash64(id_col).alias("h"))
+        .orderBy("h").limit(k).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    base = df.select(_as_double(F.col(vec_col)).alias("v"))
+    for _ in range(n_iter):
+        assigned = base.withColumn("c", _assign_expr(F.col("v"), centroids))
+        means = (
+            assigned.select("c", F.posexplode("v").alias("i", "x"))
+            .groupBy("c", "i").agg(F.avg("x").alias("m"))
+            .groupBy("c").agg(F.array_sort(
+                F.collect_list(F.struct("i", "m"))).alias("ms"))
+            .collect()
+        )
+        new = {r["c"]: [e["m"] for e in r["ms"]] for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def with_ivf_cluster(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding",
+) -> DataFrame:
+    """Add `cluster`: nearest-centroid id. Write partitioned by `cluster` for
+    partition pruning — probe cost becomes O(n_probe clusters)."""
+    return df.withColumn(
+        "cluster", _assign_expr(_as_double(F.col(vec_col)), centroids)
+    )
+
+
+def ivf_topk(
+    indexed: DataFrame, centroids: list[list[float]], query: list[float],
+    k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k scanning only the n_probe clusters nearest the query."""
+    d = [sum((float(a) - b) ** 2 for a, b in zip(query, c)) for c in centroids]
+    probes = sorted(range(len(centroids)), key=lambda i: (d[i], i))[:n_probe]
+    cand = indexed.filter(F.col("cluster").isin(probes))
+    return brute_force_topk(cand, query, k, id_col, vec_col)

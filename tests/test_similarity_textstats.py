@@ -130,3 +130,25 @@ def test_lsh_multiprobe_improves_recall(spark, vectors):
     probed = {r["vec_id"] for r in lsh_topk(indexed, q, dim=DIM, k=5, n_planes=8, probe_hamming=1).collect()}
     assert len(probed & exact) >= len(single & exact)
     assert 7 in probed
+
+
+def test_ivf_ann(spark, vectors):
+    from redactifai_spark.operators.similarity import (
+        brute_force_topk, ivf_topk, kmeans_centroids, with_ivf_cluster,
+    )
+
+    cents = kmeans_centroids(vectors, dim=DIM, k=4, n_iter=3)
+    assert len(cents) == 4 and all(len(c) == DIM for c in cents)
+    # deterministic
+    assert cents == kmeans_centroids(vectors, dim=DIM, k=4, n_iter=3)
+
+    indexed = with_ivf_cluster(vectors, cents).cache()
+    clusters = {r["cluster"] for r in indexed.select("cluster").distinct().collect()}
+    assert clusters <= {0, 1, 2, 3} and len(clusters) >= 2
+
+    q = _vec(7)
+    exact = [r["vec_id"] for r in brute_force_topk(vectors, q, k=5).collect()]
+    ann_all = [r["vec_id"] for r in ivf_topk(indexed, cents, q, k=5, n_probe=4).collect()]
+    assert ann_all == exact  # probing every cluster == exact
+    ann_1 = [r["vec_id"] for r in ivf_topk(indexed, cents, q, k=5, n_probe=1).collect()]
+    assert ann_1 and ann_1[0] == 7  # own vector lives in the probed cluster
