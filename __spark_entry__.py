@@ -556,8 +556,40 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     }
 
 
+def _langid_oracle_sql() -> str:
+    """DuckDB twin of textstats.detect_language, generated from the same
+    STOPWORDS data (single source of truth; tie priority matches the Catalyst
+    when-chain: later sorted language wins)."""
+    from redactifai_spark.operators.textstats import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    sw = {l: "[" + ",".join(f"'{w}'" for w in STOPWORDS[l]) + "]" for l in langs}
+    ratio = {
+        l: ("CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, "
+            f"x -> list_contains({sw[l]}, x))) AS DOUBLE) / len(toks) "
+            "ELSE 0.0 END")
+        for l in langs
+    }
+    scores = ", ".join(f"{ratio[l]} AS s_{l}" for l in langs)
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = ("CASE "
+            + " ".join(f"WHEN s_{l} = best AND best > 0 THEN '{l}'"
+                       for l in reversed(langs))
+            + " ELSE 'und' END")
+    return (
+        "WITH t AS (SELECT lang, string_split(regexp_replace(trim(lower(text)), "
+        "'\\s+', ' ', 'g'), ' ') AS toks FROM documents), "
+        f"s AS (SELECT lang, {scores} FROM t), "
+        f"b AS (SELECT lang, {best} AS best, "
+        + ", ".join(f"s_{l}" for l in langs)
+        + " FROM s) "
+        f"SELECT lang, {case} AS lang_detected, COUNT(*) AS n FROM b GROUP BY 1, 2"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_lang_detect": _langid_oracle_sql(),
         "events_type_counts": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
         ),
