@@ -20,7 +20,8 @@ from ..kernels.oracle import PipelineConfig
 from .functions import filter_spans
 from .partitioning import repartition_by_url
 from .udfs import (
-    make_detect_udf, make_extract_udf, make_process_udf, make_redact_udf,
+    make_detect_udf, make_extract_detect_udf, make_extract_udf,
+    make_process_udf, make_redact_udf,
 )
 
 OUTPUT_COLUMNS = [
@@ -34,11 +35,17 @@ def run_pipeline(
     config: PipelineConfig = PipelineConfig(),
     n_partitions: int | None = None,
     fused: bool = False,
+    fuse_extract_detect: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> redacted output DataFrame.
 
     Pure map — no shuffle unless ``n_partitions`` asks for the explicit
     re-balance. Lazy: callers write/collect.
+    ``fuse_extract_detect``: opt-in 2-hop staged plan (extract+detect fused,
+    policy filters still Catalyst, redact separate). Measured ~5% over the
+    3-hop plan — the dominant staged overhead is the span-array Arrow
+    round-trip into redact, which only the fully ``fused`` path avoids
+    (fused measured ~1.7x staged). Ignored when ``fused``.
     """
     if n_partitions:
         df = repartition_by_url(df, n_partitions)
@@ -54,8 +61,6 @@ def run_pipeline(
             "url", "warc_ts", "lang", "_r.*"
         )
 
-    extract = make_extract_udf(config.extract, sniff_format=config.sniff_format)
-    detect = make_detect_udf(config)
     redact = make_redact_udf(config.mask_char, config.span_padding)
 
     if config.prefer_text_column:
@@ -66,7 +71,25 @@ def run_pipeline(
                 "extract_error": F.lit(None).cast("string"),
             }
         )
+        staged = staged.withColumn(
+            "_spans_all", make_detect_udf(config)(F.col("extracted_text"))
+        )
+    elif fuse_extract_detect:
+        ed = make_extract_detect_udf(config)
+        staged = (
+            df.withColumn("_ed", ed(F.col("html")))
+            .withColumns(
+                {
+                    "extracted_text": F.col("_ed.extracted_text"),
+                    "n_blocks": F.col("_ed.n_blocks"),
+                    "extract_error": F.col("_ed.extract_error"),
+                    "_spans_all": F.col("_ed.spans"),
+                }
+            )
+            .drop("_ed")
+        )
     else:
+        extract = make_extract_udf(config.extract, sniff_format=config.sniff_format)
         staged = (
             df.withColumn("_ex", extract(F.col("html")))
             .withColumns(
@@ -78,8 +101,9 @@ def run_pipeline(
             )
             .drop("_ex")
         )
-
-    staged = staged.withColumn("_spans_all", detect(F.col("extracted_text")))
+        staged = staged.withColumn(
+            "_spans_all", make_detect_udf(config)(F.col("extracted_text"))
+        )
     # D3/D4 as Catalyst expressions — codegen, no Python.
     staged = staged.withColumn(
         "spans",

@@ -66,6 +66,52 @@ def make_extract_udf(config: ExtractConfig = ExtractConfig(), sniff_format: bool
     return extract
 
 
+def make_extract_detect_udf(config: PipelineConfig):
+    """Fused extract+detect: html -> struct(extracted_text, n_blocks,
+    extract_error, spans). Two Arrow hops total for the staged plan instead of
+    three, while the D3/D4 policy filters stay Catalyst-visible between this
+    stage and redact. Measured benefit is modest (~5%): the staged plan's
+    dominant overhead is the span-array round-trip into redact."""
+    detector = build_detector(config)
+    ex_cfg = config.extract
+    if config.sniff_format:
+        from ..kernels.formats import extract_any
+
+        def _extract_one(payload):
+            _fmt, text, n_blocks = extract_any(payload, None, ex_cfg)
+            return text, n_blocks
+    else:
+        def _extract_one(payload):
+            text, blocks = extract_blocks(payload, ex_cfg)
+            return text, len(blocks)
+
+    out_type = T.StructType(
+        list(EXTRACT_TYPE.fields) + [T.StructField("spans", SPAN_ARRAY)]
+    )
+
+    @pandas_udf(out_type)
+    def extract_detect(html: pd.Series) -> pd.DataFrame:
+        texts, n_blocks, errors, spans = [], [], [], []
+        for payload in html:
+            try:
+                text, nb = _extract_one(payload)
+                texts.append(text)
+                n_blocks.append(nb)
+                errors.append(None)
+                spans.append([e.as_dict() for e in detector(text)] if text else [])
+            except Exception as exc:
+                texts.append("")
+                n_blocks.append(0)
+                errors.append(f"{type(exc).__name__}: {exc}")
+                spans.append([])
+        return pd.DataFrame(
+            {"extracted_text": texts, "n_blocks": n_blocks,
+             "extract_error": errors, "spans": spans}
+        )
+
+    return extract_detect
+
+
 def make_detect_udf(config: "PipelineConfig | None" = None):
     """extracted_text -> array<span>. Detects ALL categories (regex bank +
     optional gazetteer trie from config); the masking-level and confidence

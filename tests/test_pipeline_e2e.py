@@ -171,3 +171,16 @@ def test_sniff_format_routes_pdf_payloads(spark):
     # staged path routes identically
     staged = {r["url"]: r["redacted_text"] for r in run_pipeline(df, cfg).collect()}
     assert all(staged[u] == out[u]["redacted_text"] for u in staged)
+
+
+def test_two_hop_staged_identical(spark, pages):
+    two_hop = {r["url"]: r for r in run_pipeline(pages, fuse_extract_detect=True).collect()}
+    three_hop = {r["url"]: r for r in run_pipeline(pages).collect()}
+    assert two_hop.keys() == three_hop.keys()
+    for u in two_hop:
+        assert two_hop[u]["redacted_text"] == three_hop[u]["redacted_text"], u
+        assert two_hop[u]["n_spans"] == three_hop[u]["n_spans"], u
+    from redactifai_spark.plans.inspect import count_python_eval_nodes, policy_filter_is_catalyst
+    plan_df = run_pipeline(pages, fuse_extract_detect=True)
+    assert count_python_eval_nodes(plan_df) == 2
+    assert policy_filter_is_catalyst(plan_df)
