@@ -115,7 +115,13 @@ def run_pipeline(
         ),
     ).drop("_spans_all")
 
-    staged = staged.withColumn("_red", redact(F.col("extracted_text"), F.col("spans")))
+    # redact consumes only the intervals — project the span array down to
+    # (offset, length) before the Arrow hop (drops the surface text payload)
+    intervals = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(s["offset"].alias("offset"), s["length"].alias("length")),
+    )
+    staged = staged.withColumn("_red", redact(F.col("extracted_text"), intervals))
     staged = staged.withColumns(
         {
             "redacted_text": F.col("_red.redacted_text"),
