@@ -65,8 +65,18 @@ def _compile(pattern: str) -> re.Pattern:
     return re.compile(pattern, flags)
 
 
-_COMPILED: list[tuple[str, re.Pattern]] = [
-    (cat, _compile(p)) for cat, pats in PATTERNS.items() for p in pats
+# Cheap necessary-condition gates: a pattern whose every match must contain one
+# of these (lowercased) literals cannot match text lacking all of them — the
+# C-level substring check skips the regex scan entirely. Semantics unchanged.
+_GATES: dict[str, tuple[str, ...]] = {
+    r"\bMRN:\s*\d+\b": ("mrn:",),
+    r"\bMedical Record\s*#?:?\s*\d+\b": ("medical record",),
+    r"\bMember ID:\s*[A-Z0-9]+\b": ("member id:",),
+    r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b": ("@",),
+}
+
+_COMPILED: list[tuple[str, re.Pattern, tuple[str, ...] | None]] = [
+    (cat, _compile(p), _GATES.get(p)) for cat, pats in PATTERNS.items() for p in pats
 ]
 
 # Name heuristic (mock_phi_detection_service.py:102): 2+ consecutive capitalized words.
@@ -132,8 +142,11 @@ def detect_pii(
 ) -> list[SpanEntity]:
     """Detect PII spans in ``text``; sorted by (offset, length, category, text)."""
     entities: list[SpanEntity] = []
-    for category, pattern in _COMPILED:
+    lowered = text.lower()
+    for category, pattern, gate in _COMPILED:
         if not should_include_category(category, masking_level, custom_categories):
+            continue
+        if gate is not None and not any(g in lowered for g in gate):
             continue
         for m in pattern.finditer(text):
             g = m.group()
