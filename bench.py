@@ -275,7 +275,7 @@ def _write_scaling_md(report: dict) -> None:
             "overstates the small config. Median of 3 runs after a warm-up that spins the\n"
             "Python worker pool. The job is the fused redaction pipeline (1 Arrow hop):\n"
             "Catalyst-generated HTML pages -> extract -> detect -> interval-union -> mask\n"
-            "-> consuming aggregate over redacted output. ~0.38 ms/doc pure-Python kernel\n"
+            "-> consuming aggregate over redacted output. ~0.30 ms/doc pure-Python kernel\n"
             "cost; ParallelGC; 4 partitions/core.\n"
         )
 
