@@ -43,17 +43,25 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     if key in _PYFILES_SENT:
         return
     try:
+        import tempfile
         import zipfile
 
-        zip_path = os.path.join("/tmp", "redactifai_spark_pyfiles.zip")
+        pkg = os.path.join(_HERE, "redactifai_spark")
+        sources = [
+            os.path.join(root, fn)
+            for root, _dirs, files in os.walk(pkg)
+            for fn in files if fn.endswith(".py")
+        ]
+        # stamp the zip with the newest source mtime so edits invalidate it
+        stamp = int(max((os.path.getmtime(p) for p in sources), default=0))
+        zip_path = os.path.join(
+            tempfile.gettempdir(),
+            f"redactifai_spark_pyfiles_{os.getuid()}_{stamp}.zip",
+        )
         if not os.path.exists(zip_path):
-            pkg = os.path.join(_HERE, "redactifai_spark")
             with zipfile.ZipFile(zip_path, "w") as zf:
-                for root, _dirs, files in os.walk(pkg):
-                    for fn in files:
-                        if fn.endswith(".py"):
-                            full = os.path.join(root, fn)
-                            zf.write(full, os.path.relpath(full, _HERE))
+                for full in sources:
+                    zf.write(full, os.path.relpath(full, _HERE))
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # local cwd / PYTHONPATH covers the common cases
@@ -266,27 +274,13 @@ def _span_overlap_join(spark, sf_dir):
 
 def _embeddings_cosine_topk(spark, sf_dir):
     # similarity search baseline: brute-force cosine top-k against vec_id=0
+    # (reuses the tested operator — single implementation, no drift)
+    from redactifai_spark.operators.similarity import brute_force_topk
+
     emb = _t(spark, sf_dir, "embeddings")
-    as_double = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
-    q = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
-    dot = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    sims = (
-        emb.crossJoin(F.broadcast(q))
-        .withColumn("ev", as_double("embedding"))
-        .select(
-            "vec_id",
-            (dot(F.col("ev"), F.col("qv"))
-             / F.sqrt(dot(F.col("ev"), F.col("ev")) * dot(F.col("qv"), F.col("qv")))
-             ).alias("cos"),
-        )
-    )
-    return (
-        sims.orderBy(F.desc("cos"), F.asc("vec_id"))
-        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
-        .limit(20)
-    )
+    query = [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return brute_force_topk(emb, query, k=20)
 
 
 def _redact_documents(spark, sf_dir):
@@ -468,7 +462,8 @@ def _docs_simhash_neardups(spark, sf_dir):
     from redactifai_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=7, n_blocks=8,
     )
 
 

@@ -31,6 +31,13 @@ _MARKUP_RE = re.compile(
 # these two; title/textarea parse as normal markup there, so here too).
 _RAWTEXT = {"script", "style"}
 
+# stdlib parse_endtag accepts a CDATA close only as </ \s* name \s* > with the
+# exact element name; '</stylesheetfoo>' or '</style x>' stay inside the
+# element. Compiled per rawtext tag.
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.I) for t in _RAWTEXT
+}
+
 
 def extract_blocks_fast(
     html: bytes | str | None, config: ExtractConfig = ExtractConfig()
@@ -72,7 +79,6 @@ def extract_blocks_fast(
 
     pos = 0
     n = len(html)
-    lower = None  # lazily-lowered copy for rawtext close-tag search
     while pos < n:
         lt = html.find("<", pos)
         if lt < 0:
@@ -94,21 +100,12 @@ def extract_blocks_fast(
         self_closing = m.group(4) == "/"
 
         if not closing and tag in _RAWTEXT and not self_closing:
-            # skip raw content wholesale (C-level find of the close tag)
-            if lower is None:
-                lower = html.lower()
-            close = lower.find(f"</{tag}", pos)
-            inner_start = pos
-            pos = n if close < 0 else close
-            if tag not in SKIP_TAGS and skip_depth == 0:
-                # title inside head is in SKIP_TAGS via 'head' depth; textarea
-                # is in SKIP_TAGS; only reachable for rawtext tags we keep
-                data(html[inner_start:pos if close >= 0 else n])
-            if close >= 0:
-                gt = html.find(">", close)
-                pos = n if gt < 0 else gt + 1
-            if tag in SKIP_TAGS:
-                continue
+            # skip raw content until the stdlib-accepted close form
+            # (</ \s* name \s* > with the exact element name); prefix-named
+            # tags like </stylesheetfoo> stay inside, matching the spec parser
+            cm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = n if cm is None else cm.end()
+            # script/style are both SKIP_TAGS: content always dropped
             if tag in BLOCK_TAGS:
                 flush()
             continue

@@ -70,6 +70,17 @@ class AhoCorasick:
         return hits
 
 
+def _lower_same_length(text: str) -> str:
+    """Length-preserving lowercase: str.lower() can EXPAND some characters
+    ('İ' U+0130 lowers to 2 chars), which would shift every later match offset
+    and leave PII partially unmasked. Expanding characters are kept as-is
+    (the automaton simply won't match through them)."""
+    lowered = text.lower()
+    if len(lowered) == len(text):
+        return lowered
+    return "".join(c if len(c.lower()) != 1 else c.lower() for c in text)
+
+
 def _word_bounded(text: str, start: int, end: int) -> bool:
     before_ok = start == 0 or not text[start - 1].isalnum()
     after_ok = end >= len(text) or not text[end].isalnum()
@@ -96,7 +107,7 @@ class GazetteerDetector:
         self.skip_phrases = skip_phrases or frozenset()
 
     def detect(self, text: str) -> list[SpanEntity]:
-        lower = text.lower()
+        lower = _lower_same_length(text)
         ents = []
         for start, end in self.automaton.find(lower):
             if not _word_bounded(lower, start, end):

@@ -100,11 +100,9 @@ def process_document(
             if should_include(e.category, config)
         ]
         entities = filter_confidence(entities, config.confidence_threshold)
-        merged = merge_spans(
-            [(e.offset, e.end_offset) for e in entities],
-            padding=config.span_padding,
-            clamp_len=len(extracted),
-        )
+        raw_intervals = [(e.offset, e.end_offset) for e in entities]
+        merged = merge_spans(raw_intervals, padding=config.span_padding,
+                             clamp_len=len(extracted))
         redacted = mask_text(extracted, merged, config.mask_char)
         if config.redact_fixed_point:
             for _ in range(5):
@@ -116,11 +114,11 @@ def process_document(
                 if not extra:
                     break
                 entities = sorted(entities + extra, key=lambda e: e.sort_key())
-                merged = merge_spans(
-                    merged + [(e.offset, e.end_offset) for e in extra],
-                    padding=config.span_padding,
-                    clamp_len=len(extracted),
-                )
+                # always merge from RAW intervals — re-merging padded output
+                # would re-pad it, inflating masks by span_padding per pass
+                raw_intervals += [(e.offset, e.end_offset) for e in extra]
+                merged = merge_spans(raw_intervals, padding=config.span_padding,
+                                     clamp_len=len(extracted))
                 redacted = mask_text(extracted, merged, config.mask_char)
         return {
             "extracted_text": extracted,

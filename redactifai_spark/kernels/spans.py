@@ -102,21 +102,34 @@ def mask_text(
 
 def annotate_text(text: str, spans: list[dict]) -> str:
     """Debug overlay (M3 analog, image_masking_service.py:148-195): render spans
-    as [CAT]surface[/CAT] markers instead of masking. Off the hot path; spans
-    may overlap — applied right-to-left by (offset, length) so earlier
-    insertions never shift later offsets."""
-    ordered = sorted(
-        spans, key=lambda s: (s["offset"], s["length"], s["category"]), reverse=True
-    )
-    out = text
-    for s in ordered:
+    as [CAT]surface[/CAT] markers instead of masking. Off the hot path.
+
+    All markers are placed by ORIGINAL text offsets in one pass, so overlapping
+    spans interleave cleanly ([A]ab[B]c[/A]de[/B]) instead of slicing through
+    each other's markers. At equal positions, closers emit before openers;
+    ties are ordered by (length, category) for determinism."""
+    n = len(text)
+    events: list[tuple[int, int, int, str, str]] = []
+    for s in spans:
         a = max(0, int(s["offset"]))
-        b = min(len(text), a + int(s["length"]))
+        b = min(n, a + int(s["length"]))
         if b <= a:
             continue
         cat = s["category"]
-        out = f"{out[:a]}[{cat}]{out[a:b]}[/{cat}]{out[b:]}"
-    return out
+        # (position, kind 0=close 1=open, tiebreak, marker)
+        events.append((a, 1, b - a, cat, f"[{cat}]"))
+        events.append((b, 0, -(b - a), cat, f"[/{cat}]"))
+    if not events:
+        return text
+    events.sort(key=lambda e: (e[0], e[1], e[2], e[3]))
+    out = []
+    pos = 0
+    for p, _kind, _tb, _cat, marker in events:
+        out.append(text[pos:p])
+        out.append(marker)
+        pos = p
+    out.append(text[pos:])
+    return "".join(out)
 
 
 def total_masked_chars(merged_spans: list[tuple[int, int]], text_len: int) -> int:

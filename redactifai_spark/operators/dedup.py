@@ -228,9 +228,16 @@ def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
     n_blocks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup: block on 16-bit key pieces (pigeonhole: any pair with
-    <= n_blocks-1 differing blocks shares at least one block), join within
-    blocks, verify full Hamming distance."""
+    """SimHash near-dup: block on 64/n_blocks-bit key pieces (pigeonhole: any
+    pair with <= n_blocks-1 differing BITS is guaranteed to share a block),
+    join within blocks, verify full Hamming distance.
+
+    Recall guarantee requires max_hamming <= n_blocks - 1 — enforced."""
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_blocks >= {max_hamming + 1} "
+            f"(pigeonhole recall bound); got n_blocks={n_blocks}"
+        )
     sim = df.select(F.col(id_col).alias("doc"),
                     make_simhash_udf()(F.col(text_col)).alias("sh"))
     width = 64 // n_blocks

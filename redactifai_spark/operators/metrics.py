@@ -59,14 +59,17 @@ def run_and_commit(
     run_id: str,
     mode: str = "append",
 ) -> None:
-    """Write pipeline output, then compute+append lineage metrics from the
-    committed data (so metrics reflect exactly what landed). Parquet here;
-    swap format for an Iceberg catalog (`writeTo(...).append()`) on a cluster —
-    snapshot commit semantics replace the reference's upload-then-delete
-    (src/tasks.py:133-144)."""
+    """Write pipeline output partitioned by run_id, then compute+append lineage
+    metrics from THIS run's committed partition (so metrics reflect exactly
+    what this run landed — append/resume runs never re-count earlier runs).
+    Parquet here; swap format for an Iceberg catalog (`writeTo(...).append()`)
+    on a cluster — snapshot commit semantics replace the reference's
+    upload-then-delete (src/tasks.py:133-144)."""
     spark = output_df.sparkSession
-    output_df.write.mode(mode).parquet(out_path)
-    committed = spark.read.parquet(out_path)
+    output_df.withColumn("run_id", F.lit(run_id)).write.mode(mode).partitionBy(
+        "run_id"
+    ).parquet(out_path)
+    committed = spark.read.parquet(out_path).filter(F.col("run_id") == run_id)
     partition_metrics(committed, run_id).write.mode("append").parquet(metrics_path)
 
 

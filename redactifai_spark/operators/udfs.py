@@ -240,6 +240,7 @@ FUSED_OUTPUT_SCHEMA = T.StructType(FUSED_OUTPUT_FIELDS)
 
 def make_fused_map(config: PipelineConfig):
     """mapInPandas function running extract→detect→filter→merge→mask per batch."""
+    detector = build_detector(config)  # built once, not per row
 
     def fused(batches):
         for pdf in batches:
@@ -247,7 +248,7 @@ def make_fused_map(config: PipelineConfig):
             for url, warc_ts, html, text, lang in zip(
                 pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
             ):
-                r = process_document(html, text, config)
+                r = process_document(html, text, config, detector)
                 rows.append(
                     {
                         "url": url, "warc_ts": warc_ts, "lang": lang,

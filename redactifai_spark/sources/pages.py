@@ -149,19 +149,28 @@ def wrap_documents_as_pages(docs: DataFrame) -> DataFrame:
         F.lit("Contact "), byline, F.lit(" at "), phone, F.lit(" or "), email,
         F.lit(" before "), date, F.lit("."),
     )
+    # HTML-escape the document text (&, <, > — in that order) so arbitrary
+    # corpora can't break markup; the extractor unescapes, so golden equality
+    # holds. The golden uses the extractor's whitespace normalization.
+    escaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ), ">", "&gt;",
+    )
+    normalized_text = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     html = F.concat(
         F.lit("<html><head><title>doc</title></head><body>"
               '<nav><a href="/">Home</a> <a href="/about">About</a> '
               '<a href="/contact">Contact</a></nav>'
               "<article><h1>Document "),
         did.cast("string"),
-        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</h1><p>"), escaped,
         F.lit("</p><p>"), contact,
         F.lit('</p></article><footer><a href="/privacy">Privacy</a> '
               '<a href="/terms">Terms</a></footer></body></html>'),
     )
     golden_text = F.concat(
-        F.lit("Document "), did.cast("string"), F.lit("\n"), F.col("text"),
+        F.lit("Document "), did.cast("string"), F.lit("\n"), normalized_text,
         F.lit("\n"), contact,
     )
     return docs.select(

@@ -70,7 +70,7 @@ def test_simhash_kernel_properties():
 
 def test_simhash_near_pairs(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
-             for r in simhash_near_pairs(docs, "doc_id", "text", max_hamming=6).collect()}
+             for r in simhash_near_pairs(docs, "doc_id", "text", max_hamming=6, n_blocks=8).collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 3) in pairs
     assert not any(4 in p for p in pairs)

@@ -71,3 +71,13 @@ def test_spark_udf_integration(spark):
     got = {r["url"]: r["s"] for r in df.select("url", gaz("text").alias("s")).collect()}
     assert got["u1"][0]["text"] == "Alice Johnson"
     assert got["u2"] == []
+
+
+def test_unicode_case_expansion_offsets_safe():
+    # 'İ' (U+0130) lowercases to 2 chars; offsets must still index the original
+    det = GazetteerDetector(["john smith"])
+    text = "İstanbul person John Smith called"
+    ents = det.detect(text)
+    assert len(ents) == 1
+    e = ents[0]
+    assert text[e.offset:e.offset + e.length] == "John Smith"

@@ -28,9 +28,13 @@ def test_run_and_commit_lineage(spark, tmp_path):
     assert spark.read.parquet(out).count() == 30 + n_more
     m2 = spark.read.parquet(metrics)
     assert {r["run_id"] for r in m2.collect()} == {"r1", "r2"}
-    # r2's lineage covers the whole committed table at commit time
+    # per-run lineage counts ONLY that run's rows (no double counting on append)
     r2_docs = sum(r["n_docs"] for r in m2.collect() if r["run_id"] == "r2")
-    assert r2_docs == 30 + n_more
+    assert r2_docs == n_more
+    r1_docs = sum(r["n_docs"] for r in m2.collect() if r["run_id"] == "r1")
+    assert r1_docs == 30
+    # the committed table is partitioned by run_id (lineage travels with data)
+    assert "run_id" in spark.read.parquet(out).columns
 
 
 def test_spans_table_side_output(spark):

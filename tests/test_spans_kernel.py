@@ -72,3 +72,16 @@ def test_mask_clamps_out_of_range():
 def test_total_masked_chars():
     assert total_masked_chars([(0, 3), (5, 9)], 100) == 7
     assert total_masked_chars([(95, 120)], 100) == 5
+
+
+def test_annotate_overlapping_spans_wellformed():
+    from redactifai_spark.kernels.spans import annotate_text
+    spans = [
+        {"offset": 0, "length": 5, "category": "A"},
+        {"offset": 3, "length": 2, "category": "B"},
+    ]
+    out = annotate_text("abcdefghij", spans)
+    assert out == "[A]abc[B]de[/A][/B]fghij"
+    # non-overlapping unchanged semantics
+    out2 = annotate_text("abcdef", [{"offset": 1, "length": 2, "category": "X"}])
+    assert out2 == "a[X]bc[/X]def"
