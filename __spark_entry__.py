@@ -362,16 +362,19 @@ def _customer_region_counts(spark, sf_dir):
 
 def _lineitem_pricing_summary(spark, sf_dir):
     # TPC-H Q1 shape: rollup by flag/status; money summed as DECIMAL for
-    # engine-exact equality (double sums are order-dependent)
+    # engine-exact equality (double sums are order-dependent), then emitted as
+    # bigint cents — Spark's decimal(28,2) and DuckDB's DECIMAL(38,2) are
+    # value-equal but hash differently in the driver's comparator
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
+    cents = lambda col: (col * 100).cast("long")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("count_order"),
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.max("l_discount").alias("max_discount"),
+            cents(F.sum(dec("l_quantity"))).alias("sum_qty_cents"),
+            cents(F.sum(dec("l_extendedprice"))).alias("sum_base_price_cents"),
+            cents(F.max(dec("l_discount"))).alias("max_discount_cents"),
             F.min("l_shipdate").alias("min_shipdate_s"),
         )
         .withColumn("min_shipdate_s",
@@ -717,9 +720,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order, "
-            "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, "
-            "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, "
-            "MAX(l_discount) AS max_discount, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
+            "AS sum_base_price_cents, "
+            "CAST(MAX(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS max_discount_cents, "
             "strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_shipdate_s "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),

@@ -27,12 +27,14 @@ _MAX_A = (1 << 31) - 1
 
 def _affine_params(n: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the MinHash permutation family —
-    derived from a fixed hash chain, no RNG state."""
+    derived from a fixed hash chain, no RNG state. ``b`` is generated already
+    reduced to the range the Spark expression uses (mod _MAX_A), so any
+    pure-Python/SQL twin built from these params matches what executes."""
     out = []
     for i in range(n):
         d = hashlib.blake2b(f"minhash-{i}".encode(), digest_size=16).digest()
         a = (int.from_bytes(d[:8], "big") % (_MAX_A - 1)) + 1
-        b = int.from_bytes(d[8:], "big") % _MERSENNE
+        b = (int.from_bytes(d[8:], "big") % _MERSENNE) % _MAX_A
         out.append((a, b))
     return out
 
@@ -94,7 +96,7 @@ def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
     base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
     mins = [
         F.array_min(
-            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b % _MAX_A),
+            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b),
                                                F.lit(_MERSENNE)))
         )
         for a, b in _affine_params(n_hashes)

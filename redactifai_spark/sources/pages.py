@@ -31,6 +31,15 @@ NAMES = [
 
 _EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
 
+# Java regex character class equal to Python's Unicode-aware `\s` (str mode):
+# ASCII \s plus the file/group/record/unit separators, NEL, NBSP, and the
+# Unicode White_Space ranges. The extractor kernel normalizes with Python \s;
+# the Catalyst golden must match byte-for-byte on arbitrary (non-ASCII) corpora.
+_PY_WS = (
+    "[\\s\\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]"
+)
+
 
 def generate_pages(spark: SparkSession, n_rows: int, n_partitions: int | None = None) -> DataFrame:
     """n_rows synthetic pages; deterministic function of row id."""
@@ -157,7 +166,7 @@ def wrap_documents_as_pages(docs: DataFrame) -> DataFrame:
             F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
         ), ">", "&gt;",
     )
-    normalized_text = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    normalized_text = F.trim(F.regexp_replace(F.col("text"), _PY_WS + "+", " "))
     html = F.concat(
         F.lit("<html><head><title>doc</title></head><body>"
               '<nav><a href="/">Home</a> <a href="/about">About</a> '

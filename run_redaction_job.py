@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="magic-byte routing (HTML/PDF/binary)")
     p.add_argument("--staged", action="store_true",
                    help="3-UDF plan with Catalyst policy filters (default: fused)")
+    p.add_argument("--include-text", action="store_true",
+                   help="keep extracted_text and span surface text in --output "
+                        "(DEBUG ONLY: by default the clean output carries no "
+                        "raw PII — extracted_text is dropped and span text is "
+                        "suppressed, matching the reference's PHI/clean bucket "
+                        "split, src/tasks.py:133-144)")
     p.add_argument("--repartition", type=int, default=None,
                    help="explicit xxhash64(url) re-balance partition count")
     p.add_argument("--master", default=None)
@@ -79,6 +85,16 @@ def main(argv: list[str] | None = None) -> int:
     run_id = args.run_id or f"run-{int(time.time())}"
     out = run_pipeline(pages, config, n_partitions=args.repartition,
                        fused=not args.staged)
+    if not args.include_text:
+        # M4 default: the clean output path never carries raw PII surface forms
+        from pyspark.sql import functions as F
+
+        from redactifai_spark.operators.functions import suppress_span_text
+
+        out = out.withColumns({
+            "extracted_text": F.lit(None).cast("string"),
+            "spans": suppress_span_text("spans", include_text=False),
+        })
     run_and_commit(out, args.output, args.metrics, run_id=run_id)
 
     n = spark.read.parquet(args.output).count()

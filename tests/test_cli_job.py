@@ -1,0 +1,38 @@
+"""run_redaction_job.py contract: the clean --output path never carries raw
+PII surface forms by default (extracted_text nulled, span text suppressed) —
+the Spark analog of the reference's PHI-bucket/clean-bucket split
+(src/tasks.py:133-144). Runs the real CLI in a subprocess (it owns/stops its
+SparkSession)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_job_output_suppresses_raw_text_by_default(spark, tmp_path):
+    inp, outp, met = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "met")
+    from redactifai_spark.sources.pages import generate_pages
+
+    generate_pages(spark, 40, n_partitions=2).write.parquet(inp)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_redaction_job.py"),
+         "--input", inp, "--output", outp, "--metrics", met,
+         "--run-id", "t1", "--master", "local[2]"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    out = spark.read.parquet(outp)
+    rows = out.collect()
+    assert len(rows) == 40
+    for row in rows:
+        assert row["extracted_text"] is None
+        assert row["redacted_text"]  # masked text IS present
+        for s in row["spans"]:
+            assert s["text"] is None  # surface form suppressed
+    # lineage landed for the run
+    assert spark.read.parquet(met).filter("run_id = 't1'").count() >= 1

@@ -184,3 +184,33 @@ def test_two_hop_staged_identical(spark, pages):
     plan_df = run_pipeline(pages, fuse_extract_detect=True)
     assert count_python_eval_nodes(plan_df) == 2
     assert policy_filter_is_catalyst(plan_df)
+
+
+def test_unicode_whitespace_golden_parity(spark):
+    # wrap_documents_as_pages normalizes the golden with a Catalyst regex that
+    # must equal Python's Unicode-aware \s (the extractor's normalizer) — a
+    # corpus with NBSP / line-sep / NEL / FS-class controls must still produce
+    # byte-identical extracted text per url.
+    from redactifai_spark.sources.pages import wrap_documents_as_pages
+
+    texts = [
+        "plain ascii words only",
+        "nbsp separated words",
+        "line sep and para sep",
+        "nelchar andfsctrl",
+        "ideographic　space    mix",
+        "   leading and trailing   ",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    wrapped = wrap_documents_as_pages(docs)
+    out = {r["url"]: r for r in run_pipeline(wrapped).collect()}
+    golden = {r["url"]: r["text"] for r in wrapped.collect()}
+    htmls = {r["url"]: r["html"] for r in wrapped.collect()}
+    assert len(out) == len(texts)
+    for url, row in out.items():
+        assert row["status"] == "complete", url
+        assert row["extracted_text"] == golden[url], url
+        assert extract_text(htmls[url]) == golden[url], url
