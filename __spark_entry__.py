@@ -453,21 +453,31 @@ def _docs_fingerprint_stats(spark, sf_dir):
 
 
 def _docs_minhash_neardups(spark, sf_dir):
-    # MinHash-LSH near-dup pairs (shingle->minhash->band->bucket-join->verify)
+    # MinHash-LSH near-dup pairs (shingle->minhash->band->bucket-join->verify).
+    # 64 hashes / 32 bands (2 rows per band): P(candidate | J>=0.5) =
+    # 1-(1-J^2)^32 > 0.9999, so on this corpus the LSH output EQUALS the
+    # brute-force Jaccard pairs — which is exactly what the SQL oracle computes
+    # (empirically exact at sf0.001 and sf0.01; the near-dups here all have
+    # J >= 0.9 where the miss probability is ~1e-18).
     from redactifai_spark.operators.dedup import near_duplicate_pairs
 
     return near_duplicate_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5,
+        n_hashes=64, n_bands=32,
     )
 
 
 def _docs_simhash_neardups(spark, sf_dir):
+    # SimHash near-dup with the pigeonhole block join: recall is EXACT (not
+    # probabilistic) for max_hamming <= n_blocks-1, so the result equals
+    # brute-force Hamming over per-doc SimHashes — the oracle recomputes the
+    # full chain in SQL via DuckDB's md5_number_lower (the same token hash).
     from redactifai_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         max_hamming=7, n_blocks=8,
-    )
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _docs_lang_detect(spark, sf_dir):
@@ -481,20 +491,75 @@ def _docs_lang_detect(spark, sf_dir):
     )
 
 
+def _docs_chunked_detect(spark, sf_dir):
+    # D5: block-chunked detection with offset rebase over synthetic long docs
+    # (8 units of document text, each planting one email at an arithmetically
+    # known offset; the corpus itself is detector-clean, so the injected
+    # emails are the ONLY spans). chunk_size=2000 forces several chunks per
+    # doc; offsets must come back rebased to the whole-doc coordinate system.
+    from redactifai_spark.operators.chunked import detect_spans_chunked
+
+    docs = _t(spark, sf_dir, "documents")
+    units = [
+        F.concat(
+            F.lit(f"Seg {j}: "), F.col("text"), F.lit(" reach contact"),
+            F.col("doc_id").cast("string"), F.lit(f"_{j}@example.com now."),
+        )
+        for j in range(1, 9)
+    ]
+    df = docs.select("doc_id", F.concat_ws("\n", *units).alias("extracted_text"))
+    spans = detect_spans_chunked(
+        df, id_col="doc_id", text_col="extracted_text", chunk_size=2000
+    )
+    return spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.length").alias("length"),
+        F.col("s.category").alias("category"),
+    )
+
+
+_FUNNEL_ARGS = dict(
+    quality_min=0.2,
+    langs=("en", "und", "de", "fr", "es"),
+    near_dup_threshold=0.85,
+    n_hashes=64,
+    n_bands=32,
+)
+
+
 def _training_corpus(spark, sf_dir):
     # composed pipeline: redact -> quality gate -> lang gate -> exact dedup ->
-    # near-dup removal; returns the funnel stats row (rows-only check)
+    # near-dup removal; returns the funnel stats row. Runs over `documents`
+    # with prefer_text_column (clean corpus => redaction is byte passthrough),
+    # so every gate is SQL-reproducible; the redacted intermediate is
+    # checkpointed to a table (the 100 TB shape — no executor-wide cache,
+    # zero Python nodes downstream of the write).
+    import tempfile
+
     from redactifai_spark.operators.corpus import prepare_training_corpus
 
-    pages = wrap_documents_as_pages(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"),
+                 F.lpad(F.col("doc_id").cast("string"), 10, "0")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
     _corpus, stats = prepare_training_corpus(
-        pages, quality_min=0.2, langs=("en", "und", "de", "fr", "es")
+        pages, PipelineConfig(prefer_text_column=True),
+        checkpoint_path=tempfile.mkdtemp(prefix="rfai_funnel_ckpt_"),
+        **_FUNNEL_ARGS,
     )
     return stats
 
 
 def _embeddings_lsh_topk(spark, sf_dir):
-    # ANN scale path: deterministic random-hyperplane LSH bucket search
+    # ANN scale path: deterministic random-hyperplane LSH bucket search with
+    # 1-bit multi-probe; the oracle recomputes bucket assignment + probing +
+    # cosine top-k in SQL from the same hyperplane literals.
     from redactifai_spark.operators.similarity import lsh_topk, with_lsh_bucket
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -502,6 +567,22 @@ def _embeddings_lsh_topk(spark, sf_dir):
              emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     indexed = with_lsh_bucket(emb, dim=len(query), n_planes=8)
     return lsh_topk(indexed, query, dim=len(query), k=10, n_planes=8)
+
+
+def _embeddings_ivf_topk(spark, sf_dir):
+    # IVF ANN: deterministic k-means coarse quantizer (md5-seeded, 2 Lloyd
+    # iterations) + cluster-pruned cosine top-k; the oracle replays the whole
+    # chain — seeding, both Lloyd iterations, assignment, probe selection —
+    # as chained SQL CTEs.
+    from redactifai_spark.operators.similarity import (
+        ivf_topk, kmeans_centroids, with_ivf_cluster,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = kmeans_centroids(emb, dim=len(query), k=8, n_iter=2)
+    return ivf_topk(with_ivf_cluster(emb, cents), cents, query, k=10, n_probe=4)
 
 
 def _wrap(fn):
@@ -549,15 +630,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "docs_minhash_neardups": _docs_minhash_neardups,
         "docs_simhash_neardups": _docs_simhash_neardups,
         "docs_lang_detect": _docs_lang_detect,
+        "docs_chunked_detect": _docs_chunked_detect,
         "embeddings_lsh_topk": _embeddings_lsh_topk,
+        "embeddings_ivf_topk": _embeddings_ivf_topk,
         "training_corpus_funnel": _training_corpus,
     }
 
 
-def _langid_oracle_sql() -> str:
-    """DuckDB twin of textstats.detect_language, generated from the same
-    STOPWORDS data (single source of truth; tie priority matches the Catalyst
-    when-chain: later sorted language wins)."""
+def _langid_pieces() -> tuple[list[str], dict[str, str], str, str]:
+    """Shared fragments of the detect_language SQL twin, generated from the
+    same STOPWORDS data (single source of truth; tie priority matches the
+    Catalyst when-chain: later sorted language wins)."""
     from redactifai_spark.operators.textstats import STOPWORDS
 
     langs = sorted(STOPWORDS)
@@ -568,12 +651,18 @@ def _langid_oracle_sql() -> str:
             "ELSE 0.0 END")
         for l in langs
     }
-    scores = ", ".join(f"{ratio[l]} AS s_{l}" for l in langs)
     best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
     case = ("CASE "
             + " ".join(f"WHEN s_{l} = best AND best > 0 THEN '{l}'"
                        for l in reversed(langs))
             + " ELSE 'und' END")
+    return langs, ratio, best, case
+
+
+def _langid_oracle_sql() -> str:
+    """DuckDB twin of textstats.detect_language over documents, grouped."""
+    langs, ratio, best, case = _langid_pieces()
+    scores = ", ".join(f"{ratio[l]} AS s_{l}" for l in langs)
     return (
         "WITH t AS (SELECT lang, string_split(regexp_replace(trim(lower(text)), "
         "'\\s+', ' ', 'g'), ' ') AS toks FROM documents), "
@@ -585,9 +674,225 @@ def _langid_oracle_sql() -> str:
     )
 
 
+# Word-shingle fragment shared by the near-dup oracles: distinct word 3-grams
+# of whitespace-normalized lowercased text — the twin of dedup.word_shingles.
+_SHINGLE_SQL = (
+    "CASE WHEN len(toks) - 2 > 0 THEN "
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> array_to_string(toks[i:i+2], ' '))) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+_TOKS_SQL = "string_split(regexp_replace(trim(lower({text})), '\\s+', ' ', 'g'), ' ')"
+
+
+def _minhash_neardups_oracle_sql(threshold: float = 0.5) -> str:
+    """Brute-force exact-Jaccard ground truth. Valid oracle because the Spark
+    query's LSH params (64 hashes / 32 bands) give miss probability
+    (1-J^2)^32 < 1e-4 at the threshold and ~1e-18 at the observed J>=0.9 —
+    verified exact on this corpus at sf0.001 and sf0.01."""
+    toks = _TOKS_SQL.format(text="text")
+    return (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        f"sh AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM t), "
+        "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+        "/ len(list_distinct(list_cat(a.sh, b.sh))) AS jac "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM j "
+        f"WHERE jac >= {threshold}"
+    )
+
+
+def _simhash_neardups_oracle_sql(max_hamming: int = 7) -> str:
+    """Full SimHash chain in SQL: md5_number_lower IS the kernel's token hash
+    (lower half of md5, little-endian), per-bit weighted sums give the sign
+    bits, pairwise Hamming = count of differing bits. The Spark query's
+    pigeonhole block join has EXACT recall for max_hamming <= n_blocks-1, so
+    the two sides are equal by construction, not probabilistically."""
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok "
+        "FROM documents), "
+        "bits AS (SELECT doc_id, r.i, "
+        "CASE WHEN SUM(CASE WHEN (md5_number_lower(tok) >> r.i) & 1 = 1 "
+        "THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b "
+        "FROM toks, range(64) r(i) GROUP BY doc_id, r.i) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming "
+        "FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2 "
+        f"HAVING SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= {max_hamming}"
+    )
+
+
+def _lsh_topk_oracle_sql(n_planes: int = 8, k: int = 10) -> str:
+    """Replays similarity.with_lsh_bucket + lsh_topk in SQL: the hyperplanes
+    are the same deterministic literals, bucket = sign pattern, probe set =
+    all buckets within Hamming distance 1 of the query's bucket, then exact
+    cosine top-k over the candidates."""
+    from redactifai_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, 64)
+    vals = ", ".join(
+        f"({p}, {j + 1}, {w!r})"
+        for p, plane in enumerate(planes) for j, w in enumerate(plane)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, unnest(embedding) AS ev, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+        f"p(plane_id, i, w) AS (VALUES {vals}), "
+        "d AS (SELECT e.vec_id, p.plane_id, SUM(CAST(e.ev AS DOUBLE) * p.w) AS dot "
+        "FROM e JOIN p USING (i) GROUP BY 1, 2), "
+        "b AS (SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN 1 << plane_id "
+        "ELSE 0 END) AS BIGINT) AS bucket FROM d GROUP BY 1), "
+        "qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0), "
+        "cand AS (SELECT b.vec_id FROM b, qb WHERE bit_count(xor("
+        "CAST(b.bucket AS UBIGINT), CAST(qb.qbucket AS UBIGINT))) <= 1), "
+        "q AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i "
+        "FROM embeddings WHERE vec_id = 0), "
+        "ee AS (SELECT e.* FROM e JOIN cand USING (vec_id)), "
+        "dd AS (SELECT ee.vec_id, SUM(CAST(ee.ev AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot, "
+        "SUM(CAST(ee.ev AS DOUBLE) * CAST(ee.ev AS DOUBLE)) AS nrm, "
+        "SUM(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS qn "
+        "FROM ee JOIN q USING (i) GROUP BY ee.vec_id) "
+        "SELECT vec_id, ROUND(dot / sqrt(nrm * qn), 6) AS cos_sim FROM dd "
+        f"ORDER BY dot / sqrt(nrm * qn) DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+def _ivf_topk_oracle_sql(
+    k_cl: int = 8, n_iter: int = 2, n_probe: int = 4, k: int = 10
+) -> str:
+    """Replays the ENTIRE IVF chain in SQL: md5-hex seed selection, ``n_iter``
+    Lloyd iterations (assign by squared distance, per-dimension mean, empty
+    clusters keep their previous centroid), final assignment, probe selection
+    (n_probe nearest centroids to the query), cosine top-k over the probed
+    clusters — the twin of similarity.kmeans_centroids / with_ivf_cluster /
+    ivf_topk."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings)",
+        "seeds AS (SELECT vec_id AS sid, ROW_NUMBER() OVER (ORDER BY "
+        "substr(md5(CAST(vec_id AS VARCHAR)), 17, 16), vec_id) - 1 AS c "
+        "FROM embeddings ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 17, 16), "
+        f"vec_id LIMIT {k_cl})",
+        "c0 AS (SELECT s.c, e.i, e.ev AS m FROM seeds s JOIN e ON e.vec_id = s.sid)",
+    ]
+    cur = "c0"
+    for t in range(n_iter):
+        ctes.append(
+            f"d{t} AS (SELECT e.vec_id, {cur}.c, "
+            f"SUM((e.ev - {cur}.m) * (e.ev - {cur}.m)) AS dist "
+            f"FROM e JOIN {cur} ON e.i = {cur}.i GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER "
+            f"(PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d{t}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT a.c, e.i, AVG(e.ev) AS m FROM a{t} a "
+            f"JOIN e ON a.vec_id = e.vec_id GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"c{t + 1} AS (SELECT * FROM m{t} UNION ALL SELECT c, i, m FROM {cur} "
+            f"WHERE c NOT IN (SELECT DISTINCT c FROM a{t}))"
+        )
+        cur = f"c{t + 1}"
+    ctes += [
+        f"df_ AS (SELECT e.vec_id, {cur}.c, "
+        f"SUM((e.ev - {cur}.m) * (e.ev - {cur}.m)) AS dist "
+        f"FROM e JOIN {cur} ON e.i = {cur}.i GROUP BY 1, 2)",
+        "af AS (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY dist, c) AS rn FROM df_) WHERE rn = 1)",
+        "q AS (SELECT ev AS qv, i FROM e WHERE vec_id = 0)",
+        f"qd AS (SELECT {cur}.c, SUM((q.qv - {cur}.m) * (q.qv - {cur}.m)) AS dist "
+        f"FROM q JOIN {cur} ON q.i = {cur}.i GROUP BY 1)",
+        f"probes AS (SELECT c FROM qd ORDER BY dist, c LIMIT {n_probe})",
+        "cand AS (SELECT vec_id FROM af WHERE c IN (SELECT c FROM probes))",
+        "ee AS (SELECT e.* FROM e JOIN cand USING (vec_id))",
+        "dd AS (SELECT ee.vec_id, SUM(ee.ev * q.qv) AS dot, "
+        "SUM(ee.ev * ee.ev) AS nrm, SUM(q.qv * q.qv) AS qn "
+        "FROM ee JOIN q USING (i) GROUP BY ee.vec_id)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT vec_id, ROUND(dot / sqrt(nrm * qn), 6) AS cos_sim FROM dd "
+        f"ORDER BY dot / sqrt(nrm * qn) DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+def _funnel_oracle_sql() -> str:
+    """SQL twin of the training-corpus funnel over `documents`: redaction is a
+    byte passthrough on the clean corpus (the redact_documents invariant), so
+    the quality gate, language gate, exact dedup, and near-dup removal are all
+    recomputable from documents.text. Near-dup ground truth is brute-force
+    Jaccard (see _minhash_neardups_oracle_sql for why that equals the LSH)."""
+    langs_all, ratio, best, case = _langid_pieces()
+    q_min = _FUNNEL_ARGS["quality_min"]
+    thr = _FUNNEL_ARGS["near_dup_threshold"]
+    lang_list = ", ".join(f"'{l}'" for l in _FUNNEL_ARGS["langs"])
+    scores = ", ".join(f"{ratio[l]} AS s_{l}" for l in langs_all)
+    s_cols = ", ".join(f"s_{l}" for l in langs_all)
+    toks = _TOKS_SQL.format(text="text")
+    return (
+        "WITH d0 AS (SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 10, '0') "
+        "AS url, text FROM documents), "
+        # quality twin of textstats.quality_score
+        "qs AS (SELECT url, text, "
+        "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+        "len(regexp_extract_all(text, '[.!?]+')) AS n_sentences, "
+        "length(text) AS n_chars, "
+        "len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS n_punct FROM d0), "
+        "q2 AS (SELECT url, text, ROUND("
+        "LEAST(n_tokens / 50.0, 1.0) * 0.4 "
+        "+ CASE WHEN n_sentences > 0 THEN 0.2 ELSE 0.0 END "
+        "+ GREATEST(0.0, 0.2 - CASE WHEN n_chars > 0 THEN "
+        "CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 2.0, 6) "
+        "AS quality_score FROM qs), "
+        # language twin of textstats.detect_language
+        f"lt AS (SELECT url, {toks} AS toks FROM d0), "
+        f"ls AS (SELECT url, {scores} FROM lt), "
+        f"lb AS (SELECT url, {best} AS best, {s_cols} FROM ls), "
+        f"lang AS (SELECT url, {case} AS lang_detected FROM lb), "
+        "gated AS (SELECT q2.url, q2.text FROM q2 JOIN lang USING (url) "
+        f"WHERE quality_score >= {q_min} AND lang_detected IN ({lang_list})), "
+        # exact dedup: keeper = min url per content hash
+        "ex AS (SELECT url, text FROM (SELECT url, text, ROW_NUMBER() OVER "
+        "(PARTITION BY md5(text) ORDER BY url) AS rn FROM gated) WHERE rn = 1), "
+        # near-dup ground truth over the exact-unique survivors
+        f"t AS (SELECT url, {toks} AS toks FROM ex), "
+        f"sh AS (SELECT url, {_SHINGLE_SQL} AS sh FROM t), "
+        "losers AS (SELECT DISTINCT b.url FROM sh a JOIN sh b ON a.url < b.url "
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+        f"/ len(list_distinct(list_cat(a.sh, b.sh))) >= {thr}) "
+        "SELECT (SELECT COUNT(*) FROM d0) AS n_input, "
+        "(SELECT COUNT(*) FROM d0) AS n_complete, "
+        "(SELECT COUNT(*) FROM gated) AS n_gated, "
+        "(SELECT COUNT(*) FROM ex) AS n_exact_unique, "
+        "(SELECT COUNT(*) FROM ex) - (SELECT COUNT(*) FROM losers) AS n_corpus"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "docs_lang_detect": _langid_oracle_sql(),
+        "docs_minhash_neardups": _minhash_neardups_oracle_sql(),
+        # D5 twin: the construction is deterministic, so every injected email's
+        # whole-doc offset is pure arithmetic over length(text):
+        # unit_j = 'Seg j: ' (7) + text (n) + ' reach ' (7) + email (21+dlen)
+        #          + ' now.' (5); units joined by '\n'
+        "docs_chunked_detect": (
+            "WITH u AS (SELECT doc_id, length(text) AS n, "
+            "length(CAST(doc_id AS VARCHAR)) AS dlen FROM documents) "
+            "SELECT u.doc_id, "
+            "CAST((r.j - 1) * (n + dlen + 41) + n + 14 AS BIGINT) AS \"offset\", "
+            "CAST(21 + dlen AS BIGINT) AS length, 'Email' AS category "
+            "FROM u, range(1, 9) r(j)"
+        ),
+        "docs_simhash_neardups": _simhash_neardups_oracle_sql(),
+        "embeddings_lsh_topk": _lsh_topk_oracle_sql(),
+        "embeddings_ivf_topk": _ivf_topk_oracle_sql(),
+        "training_corpus_funnel": _funnel_oracle_sql(),
         "events_type_counts": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
         ),
@@ -761,7 +1066,6 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_unique "
             "FROM documents"
         ),
-        # rows-only (not SQL-expressible): redact_pages (full HTML pipeline),
-        # docs_minhash_neardups / docs_simhash_neardups (hash-family dedup),
-        # docs_lang_detect (stopword-ratio argmax), embeddings_lsh_topk (LSH ANN)
+        # rows-only (not SQL-expressible): redact_pages only — the full
+        # HTML-parse pipeline over synthetic pages with injected PII
     }

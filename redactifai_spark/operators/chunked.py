@@ -1,0 +1,107 @@
+"""D5 — block-chunked PII detection with offset rebase, for oversized docs.
+
+Reference semantics: aws_comprehend_medical_service.py:125-162 (chunk text
+over the service limit, detect per chunk, shift offsets by the chunk base
+:154,194-195, concatenate, sort). The reference chunks blindly at the byte
+limit and can split an entity across chunks (:128); this implementation cuts
+at newline boundaries instead, so any pattern that cannot match across a
+newline (every regex in the bank except ``\\s``-gap phone/MRN forms, and the
+whole-line name heuristic) is detected identically to the whole-doc pass —
+asserted against the un-chunked detector in tests.
+
+Spark shape (SURVEY.md §2.3): split to lines -> running line offsets (window)
+-> group lines into ~chunk_size chunks -> posexplode chunks -> ONE detect
+Arrow hop per chunk -> ``offset + chunk_base`` rebase (Catalyst transform) ->
+flatten in chunk order -> total-key sort. The per-Python-call input is bounded
+by chunk_size + one line, so a pathological 100 MB page costs many bounded
+regex scans across the cluster instead of one unbounded per-row call.
+
+Scale: two shuffles, both keyed on the uniform doc id (window + groupBy);
+chunks of one huge doc fan out across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from ..kernels.oracle import PipelineConfig
+from .functions import spans_sorted
+from .udfs import make_detect_udf
+
+
+def detect_spans_chunked(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+    config: PipelineConfig | None = None,
+    chunk_size: int = 20_000,
+) -> DataFrame:
+    """Returns (id_col, spans) with spans identical to the whole-doc detector
+    for newline-respecting patterns; per-chunk Python calls bounded by
+    ~chunk_size chars. Rows with null/empty text yield empty span arrays."""
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("_text"))
+
+    lines = base.select(
+        "_id",
+        F.posexplode_outer(F.split("_text", "\n", -1)).alias("line_no", "line"),
+    )
+    w_prev = W.partitionBy("_id").orderBy("line_no").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    # running start offset of each line: sum of previous (len + 1 for '\n')
+    lines = lines.withColumn(
+        "line_start",
+        F.coalesce(F.sum(F.length("line") + 1).over(w_prev), F.lit(0)).cast("long"),
+    ).withColumn(
+        "chunk_id", F.floor(F.col("line_start") / F.lit(chunk_size))
+    )
+
+    # one chunk per offset bucket: base = first line's start, text = lines
+    # re-joined with '\n' in line order (array_sort on (line_no, line) structs)
+    chunks = (
+        lines.groupBy("_id", "chunk_id")
+        .agg(
+            F.min("line_start").alias("chunk_base"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("chunk_text"),
+        )
+    )
+
+    detect = make_detect_udf(config)
+    detected = chunks.withColumn("_spans", detect(F.col("chunk_text")))
+    rebased = detected.withColumn(
+        "_spans",
+        F.transform(
+            F.col("_spans"),
+            lambda s: F.struct(
+                s["text"].alias("text"),
+                s["category"].alias("category"),
+                (s["offset"] + F.col("chunk_base")).alias("offset"),
+                s["length"].alias("length"),
+                s["confidence"].alias("confidence"),
+                s["subcategory"].alias("subcategory"),
+            ),
+        ),
+    )
+
+    # flatten chunks back per doc in chunk order, then canonical total-key sort
+    # (detect_pii sorts by (offset, length, category, text) — D6)
+    out = (
+        rebased.groupBy("_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "_spans"))),
+                    lambda s: s["_spans"],
+                )
+            ).alias("spans")
+        )
+        .select(F.col("_id").alias(id_col), spans_sorted("spans").alias("spans"))
+    )
+    return out

@@ -4,18 +4,23 @@ engine exists for.
 pages -> extract+redact (fused, 1 Arrow hop) -> quality gate -> language gate
 -> exact dedup -> MinHash-LSH near-dup removal -> curated corpus + funnel stats.
 
-Scale shape: the expensive per-doc Python runs once (the fused UDF); every gate
-after it is Catalyst; the only shuffles are the two dedup stages, both keyed on
-uniform hashes. Near-dup removal keeps the lexicographically smallest url of
-each pair (deterministic; chains over-trim slightly, the standard tradeoff).
+Scale shape: the expensive per-doc Python runs ONCE — when ``checkpoint_path``
+is given the redacted output is written to a table and everything downstream
+(gates, both dedup stages, the funnel stats) reads that table back, so the
+corpus and stats plans contain zero Python nodes (plan-asserted in
+tests/test_corpus.py). Funnel stats are ONE aggregation action, not one count
+per stage. Every gate is Catalyst; the only shuffles are the two dedup stages,
+both keyed on uniform hashes. Near-dup removal keeps the lexicographically
+smallest url of each pair (deterministic; chains over-trim slightly, the
+standard tradeoff).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from ..kernels.oracle import PipelineConfig
-from .dedup import drop_exact_duplicates, near_duplicate_pairs
+from .dedup import near_duplicate_pairs
 from .pipeline import run_pipeline
 from .textstats import detect_language, quality_score
 
@@ -26,45 +31,74 @@ def prepare_training_corpus(
     quality_min: float = 0.5,
     langs: tuple[str, ...] = ("en",),
     near_dup_threshold: float = 0.85,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    checkpoint_path: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, funnel_stats). corpus: (url, lang_detected, quality_score,
-    redacted_text, n_spans); funnel_stats: one row of stage counts."""
-    redacted = run_pipeline(pages, config, fused=True)
-    # Cache the UDF boundary: every funnel count and both dedup stages re-read
-    # this frame — without the cache each action re-runs the per-doc Python
-    # over the full input (at 10^12 docs, once is already the budget).
-    complete = (
-        redacted.filter(F.col("status") == "complete")
-        .select("url", "redacted_text", "n_spans")
-        .cache()
-    )
+    redacted_text, n_spans); funnel_stats: one row of stage counts
+    (n_input, n_complete, n_gated, n_exact_unique, n_corpus).
 
-    scored = quality_score(complete, text_col="redacted_text").withColumn(
+    ``checkpoint_path``: write the redacted intermediate there (parquet) and
+    derive everything from the re-read — the 100 TB shape (executor-disk cache
+    of the whole corpus is not). Without it, falls back to ``.cache()`` for
+    small/interactive runs.
+    """
+    redacted = run_pipeline(pages, config, fused=True).select(
+        "url", "status", "redacted_text", "n_spans"
+    )
+    if checkpoint_path is not None:
+        redacted.write.mode("overwrite").parquet(checkpoint_path)
+        base = pages.sparkSession.read.parquet(checkpoint_path)
+    else:
+        base = redacted.cache()
+
+    scored = quality_score(base, text_col="redacted_text").withColumn(
         "lang_detected", detect_language("redacted_text")
     )
-    gated = scored.filter(
-        (F.col("quality_score") >= quality_min)
-        & F.col("lang_detected").isin(*langs)
-    ).select("url", "lang_detected", "quality_score", "redacted_text", "n_spans")
+    flagged = scored.withColumns(
+        {
+            "is_complete": F.col("status") == "complete",
+            "is_gated": (F.col("status") == "complete")
+            & (F.col("quality_score") >= quality_min)
+            & F.col("lang_detected").isin(*langs),
+        }
+    ).select(
+        "url", "lang_detected", "quality_score", "redacted_text", "n_spans",
+        "is_complete", "is_gated",
+    )
 
-    exact_unique = drop_exact_duplicates(gated, "url", "redacted_text").cache()
+    # Exact dedup as one window (single shuffle on the content hash): the
+    # keeper of each duplicate group is the minimum url — same semantics as
+    # groupBy(min) + semi-join, one shuffle cheaper.
+    w = W.partitionBy(F.md5("redacted_text")).orderBy("url")
+    gated = flagged.filter("is_gated").withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    exact_unique = gated.filter(F.col("_rn") == 1).drop("_rn")
 
     pairs = near_duplicate_pairs(
-        exact_unique, "url", "redacted_text", threshold=near_dup_threshold
+        exact_unique, "url", "redacted_text", threshold=near_dup_threshold,
+        n_hashes=n_hashes, n_bands=n_bands,
     )
     losers = pairs.select(F.col("id_b").alias("url")).distinct()
-    corpus = exact_unique.join(losers, "url", "left_anti")
-
-    counts = {
-        "n_input": pages.count(),
-        "n_complete": complete.count(),
-        "n_gated": gated.count(),
-        "n_exact_unique": exact_unique.count(),
-        "n_corpus": corpus.count(),
-    }
-    stats = pages.sparkSession.createDataFrame(
-        [tuple(counts.values())], schema=", ".join(f"{k} long" for k in counts)
+    corpus = exact_unique.join(losers, "url", "left_anti").drop(
+        "is_complete", "is_gated"
     )
-    # caller owns the returned corpus lineage; the intermediate caches stay
-    # until session cleanup or an explicit spark.catalog.clearCache()
+
+    # Funnel stats: ONE action — a single aggregation over the flags plus the
+    # loser count, cross-joined (both sides are 1-row aggregates).
+    gate_counts = flagged.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("is_complete").cast("long")).alias("n_complete"),
+        F.sum(F.col("is_gated").cast("long")).alias("n_gated"),
+        F.count_distinct(
+            F.when(F.col("is_gated"), F.md5("redacted_text"))
+        ).alias("n_exact_unique"),
+    )
+    loser_count = losers.agg(F.count("*").alias("_n_losers"))
+    stats = gate_counts.crossJoin(loser_count).select(
+        "n_input", "n_complete", "n_gated", "n_exact_unique",
+        (F.col("n_exact_unique") - F.col("_n_losers")).alias("n_corpus"),
+    )
     return corpus, stats

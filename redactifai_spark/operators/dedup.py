@@ -194,16 +194,20 @@ def near_duplicate_pairs(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (pandas-UDF kernel; deterministic blake2b token hashes)
+# SimHash (pandas-UDF kernel; deterministic md5 token hashes)
 # ---------------------------------------------------------------------------
+
+def token_hash64(tok: str) -> int:
+    """64-bit token hash = lower half of md5, little-endian — exactly DuckDB's
+    ``md5_number_lower``, so SQL oracles can recompute the full SimHash chain."""
+    return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[8:16], "little")
+
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens — the pure-Python oracle."""
     counts = [0] * 64
     for tok in text.lower().split():
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
-        )
+        h = token_hash64(tok)
         for i in range(64):
             counts[i] += 1 if (h >> i) & 1 else -1
     v = 0

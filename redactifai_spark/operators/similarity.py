@@ -156,12 +156,17 @@ def kmeans_centroids(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means: seeds are the k rows with the smallest
-    xxhash64(id) (data-dependent but reproducible); each iteration is one
+    md5-hex key of the id (data-dependent but reproducible — and recomputable
+    by a DuckDB oracle, which lacks xxhash64); each iteration is one
     distributed assign + per-dimension mean, with only k x dim floats ever
     reaching the driver."""
     seeds = (
-        df.select(vec_col, F.xxhash64(id_col).alias("h"))
-        .orderBy("h").limit(k).collect()
+        df.select(
+            vec_col,
+            F.substring(F.md5(F.col(id_col).cast("string")), 17, 16).alias("h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("h", "_id").limit(k).collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
     base = df.select(_as_double(F.col(vec_col)).alias("v"))

@@ -1,0 +1,73 @@
+"""D5 block-chunked detection: chunked spans == whole-doc detector output
+(offset-rebased, flattened, total-key sorted), with bounded per-chunk Python
+calls. Parity target is the pure-Python kernel (the byte-identity oracle)."""
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.kernels.detect import detect_pii
+from redactifai_spark.operators.chunked import detect_spans_chunked
+from redactifai_spark.sources.pages import generate_pages
+
+
+def _kernel_spans(text):
+    return [(e.offset, e.length, e.category, e.text) for e in detect_pii(text)]
+
+
+def _collected(df):
+    return {
+        r["url"]: [(s["offset"], s["length"], s["category"], s["text"])
+                   for s in r["spans"]]
+        for r in df.collect()
+    }
+
+
+def test_chunked_matches_whole_doc_on_pages(spark):
+    # generated pages text is PII-rich (names, phones, emails, SSNs, dates)
+    # and newline-structured; tiny chunk_size forces many chunks per doc
+    pages = generate_pages(spark, 60, n_partitions=4).select(
+        "url", F.col("text").alias("extracted_text")
+    )
+    texts = {r["url"]: r["extracted_text"] for r in pages.collect()}
+    got = _collected(detect_spans_chunked(pages, chunk_size=64))
+    assert got.keys() == texts.keys()
+    for url, text in texts.items():
+        assert got[url] == _kernel_spans(text), url
+    # at least one doc actually has spans (sanity against vacuous pass)
+    assert any(got.values())
+
+
+def test_chunked_single_chunk_and_empty(spark):
+    rows = [
+        ("a", "Call (555) 123-4567 or mail bob@x.com today"),  # 1 chunk
+        ("b", ""),
+        ("c", None),
+        ("d", "line one\nSSN 123-45-6789\nline three"),
+    ]
+    df = spark.createDataFrame(rows, "url string, extracted_text string")
+    got = _collected(detect_spans_chunked(df, chunk_size=10))
+    assert got["a"] == _kernel_spans(rows[0][1])
+    assert got["b"] == [] and got["c"] == []
+    assert got["d"] == _kernel_spans(rows[3][1])
+    assert len(got["d"]) == 1 and got["d"][0][2] == "SSN"
+
+
+def test_chunked_giant_doc_offsets(spark):
+    # one pathological 200 kB doc: an email on every line; every offset must
+    # be rebased exactly
+    n_lines = 4000
+    text = "\n".join(
+        f"filler words before contact{i}@example.org end" for i in range(n_lines)
+    )
+    df = spark.createDataFrame([("g", text)], "url string, extracted_text string")
+    got = _collected(detect_spans_chunked(df, chunk_size=8192))["g"]
+    assert len(got) == n_lines
+    assert got == _kernel_spans(text)
+
+
+def test_chunked_is_one_python_hop(spark):
+    from redactifai_spark.plans.inspect import count_python_eval_nodes
+
+    pages = generate_pages(spark, 10, n_partitions=2).select(
+        "url", F.col("text").alias("extracted_text")
+    )
+    assert count_python_eval_nodes(detect_spans_chunked(pages, chunk_size=128)) == 1

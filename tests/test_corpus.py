@@ -29,3 +29,31 @@ def test_prepare_training_corpus(spark):
     assert all("@example" not in t for t in texts)
     assert all(r["quality_score"] >= 0.3 for r in rows)
     assert all(r["lang_detected"] in ("en", "und") for r in rows)
+
+
+def test_checkpointed_corpus_matches_cached_and_has_no_python_downstream(
+    spark, tmp_path
+):
+    # The 100 TB shape: with checkpoint_path the per-doc Python runs exactly
+    # once (inside the checkpoint write); the corpus and stats plans read the
+    # table back and contain ZERO Python nodes.
+    from redactifai_spark.plans.inspect import count_python_eval_nodes
+
+    base = generate_pages(spark, 60, n_partitions=4)
+    dupes = base.limit(8).withColumn("url", F.concat(F.col("url"), F.lit("-c")))
+    pages = base.unionByName(dupes)
+
+    corpus_c, stats_c = prepare_training_corpus(
+        pages, quality_min=0.3, langs=("en", "und")
+    )
+    corpus_k, stats_k = prepare_training_corpus(
+        pages, quality_min=0.3, langs=("en", "und"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    assert count_python_eval_nodes(corpus_k) == 0
+    assert count_python_eval_nodes(stats_k) == 0
+    assert stats_c.collect() == stats_k.collect()
+    key = lambda r: r["url"]
+    assert sorted(corpus_c.collect(), key=key) == sorted(
+        corpus_k.collect(), key=key
+    )
