@@ -42,6 +42,10 @@ class PipelineConfig:
     # boundary that exposes a pattern the first pass could not match (e.g. the
     # digits after a masked phone number suddenly matching the SSN pattern).
     redact_fixed_point: bool = False
+    # X3 row-level retry (tasks.py:45-52 parity): total tries for the extract
+    # step before X2 failure isolation marks the row failed; 1 = no retry.
+    retry_attempts: int = 1
+    retry_backoff_s: float = 0.0
 
 
 def build_detector(config: PipelineConfig):
@@ -88,11 +92,20 @@ def process_document(
             blocks = []
         elif config.sniff_format:
             from .formats import extract_any
+            from .retry import call_with_retries
 
-            _fmt, extracted, n_blocks_routed = extract_any(html, None, config.extract)
+            _fmt, extracted, n_blocks_routed = call_with_retries(
+                extract_any, html, None, config.extract,
+                attempts=config.retry_attempts, backoff_s=config.retry_backoff_s,
+            )
             blocks = [None] * n_blocks_routed  # only the count is surfaced
         else:
-            extracted, blocks = extract_blocks(html, config.extract)
+            from .retry import call_with_retries
+
+            extracted, blocks = call_with_retries(
+                extract_blocks, html, config.extract,
+                attempts=config.retry_attempts, backoff_s=config.retry_backoff_s,
+            )
         if detector is None:
             detector = build_detector(config)
         entities = [

@@ -1,0 +1,52 @@
+"""X3 — bounded retry with exponential backoff for per-row work.
+
+The reference retries failed Celery tasks with autoretry + backoff
+(/root/reference/src/tasks.py:45-52). Spark's analog splits in two:
+
+- TASK level: ``spark.task.maxFailures`` (surfaced in session.get_spark) —
+  a lost/crashed task is rescheduled by the engine, the real cluster story.
+- ROW level: this helper — a transient per-document failure (codec hiccup,
+  remote fetch) is retried in place before X2 failure isolation marks the
+  row failed, and the attempt count is recorded in the error message so the
+  lineage/errors path carries it.
+
+Deterministic kernels never need this (retry_attempts=1 is the default and a
+zero-cost passthrough); it exists for I/O-backed extract/codec steps.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+class RetriesExhausted(Exception):
+    """Raised after ``attempts`` failures; message carries the attempt count."""
+
+
+def call_with_retries(
+    fn,
+    *args,
+    attempts: int = 1,
+    backoff_s: float = 0.0,
+    sleep=time.sleep,
+):
+    """Call ``fn(*args)``; on exception retry up to ``attempts`` total tries
+    with exponential backoff (backoff_s, 2*backoff_s, 4*backoff_s, ...).
+
+    attempts == 1 re-raises the original exception unchanged (byte-identical
+    error messages to the no-retry path); attempts > 1 raises
+    ``RetriesExhausted`` annotated with the final cause and the count.
+    """
+    if attempts <= 1:
+        return fn(*args)
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            return fn(*args)
+        except Exception as exc:
+            last = exc
+            if i < attempts - 1 and backoff_s > 0:
+                sleep(backoff_s * (2 ** i))
+    raise RetriesExhausted(
+        f"{type(last).__name__}: {last} (attempts={attempts})"
+    ) from last

@@ -52,6 +52,14 @@ def partition_metrics(output_df: DataFrame, run_id: str) -> DataFrame:
     return cols.mapInPandas(_metrics, METRICS_SCHEMA)
 
 
+def _is_table(target: str) -> bool:
+    return "/" not in target and "." in target
+
+
+def _read_target(spark, target: str) -> DataFrame:
+    return spark.read.table(target) if _is_table(target) else spark.read.parquet(target)
+
+
 def run_and_commit(
     output_df: DataFrame,
     out_path: str,
@@ -62,15 +70,25 @@ def run_and_commit(
     """Write pipeline output partitioned by run_id, then compute+append lineage
     metrics from THIS run's committed partition (so metrics reflect exactly
     what this run landed — append/resume runs never re-count earlier runs).
-    Parquet here; swap format for an Iceberg catalog (`writeTo(...).append()`)
-    on a cluster — snapshot commit semantics replace the reference's
-    upload-then-delete (src/tasks.py:133-144)."""
+
+    ``out_path``/``metrics_path``: parquet directory paths, or dotted catalog
+    table identifiers (routed through sinks.write_output — with an Iceberg
+    catalog the commit is a snapshot, replacing the reference's
+    upload-then-delete, src/tasks.py:133-144)."""
+    from ..sources.sinks import write_output
+
     spark = output_df.sparkSession
-    output_df.withColumn("run_id", F.lit(run_id)).write.mode(mode).partitionBy(
-        "run_id"
-    ).parquet(out_path)
-    committed = spark.read.parquet(out_path).filter(F.col("run_id") == run_id)
-    partition_metrics(committed, run_id).write.mode("append").parquet(metrics_path)
+    stamped = output_df.withColumn("run_id", F.lit(run_id))
+    if _is_table(out_path):
+        write_output(stamped, out_path, mode=mode)
+    else:
+        stamped.write.mode(mode).partitionBy("run_id").parquet(out_path)
+    committed = _read_target(spark, out_path).filter(F.col("run_id") == run_id)
+    metrics = partition_metrics(committed, run_id)
+    if _is_table(metrics_path):
+        write_output(metrics, metrics_path, mode="append")
+    else:
+        metrics.write.mode("append").parquet(metrics_path)
 
 
 def spans_table(output_df: DataFrame, include_text: bool = False) -> DataFrame:

@@ -5,11 +5,15 @@ Spark mapping of the reference's 6-stage orchestration
 (/root/reference/src/services/deidentification_service.py:105-201); SURVEY.md §3.1
 "Spark equivalent". Two physical strategies with identical bytes:
 
-- staged  (default): three pandas UDFs with the D3/D4 policy filters as native
-  Catalyst ``F.filter`` between detect and redact — the declarative plan.
-- fused: one ``mapInPandas`` hop running the whole per-document kernel — one
-  Arrow round-trip instead of three; the policy is applied inside the kernel
-  (same pure predicate). Used when the policy is static for the run.
+- fused (default): one Arrow hop running the whole per-document kernel — one
+  string round-trip instead of three; the policy is applied inside the kernel
+  (same pure predicate). The policy is static for a run by construction
+  (PipelineConfig is frozen at plan time), so this is always safe — and
+  measured ~1.3-1.7x faster than staged at 32 cores.
+- staged (``fused=False``): three pandas UDFs with the D3/D4 policy filters as
+  native Catalyst ``F.filter`` between detect and redact — the declarative
+  plan, for callers that want the policy visible/overridable in the plan
+  (e.g. re-filtering pre-detected spans without re-running detection).
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ def run_pipeline(
     df: DataFrame,
     config: PipelineConfig = PipelineConfig(),
     n_partitions: int | None = None,
-    fused: bool = False,
+    fused: bool = True,
     fuse_extract_detect: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> redacted output DataFrame.
@@ -89,7 +93,11 @@ def run_pipeline(
             .drop("_ed")
         )
     else:
-        extract = make_extract_udf(config.extract, sniff_format=config.sniff_format)
+        extract = make_extract_udf(
+            config.extract, sniff_format=config.sniff_format,
+            retry_attempts=config.retry_attempts,
+            retry_backoff_s=config.retry_backoff_s,
+        )
         staged = (
             df.withColumn("_ex", extract(F.col("html")))
             .withColumns(

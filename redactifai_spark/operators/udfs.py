@@ -26,23 +26,39 @@ from pyspark.sql import types as T
 SPAN_ARRAY = T.ArrayType(SPAN_TYPE)
 
 
-def make_extract_udf(config: ExtractConfig = ExtractConfig(), sniff_format: bool = False):
+def make_extract_udf(
+    config: ExtractConfig = ExtractConfig(),
+    sniff_format: bool = False,
+    retry_attempts: int = 1,
+    retry_backoff_s: float = 0.0,
+):
     """html:binary -> struct(extracted_text, n_blocks, extract_error).
 
     Spark mapping of S4 (TIFF load) + T2 (segmentation) + T3 (full_text join):
     the DOM parse happens per Arrow batch inside the executor's Python worker.
     With ``sniff_format`` each payload is magic-byte routed (HTML/PDF/binary).
+    ``retry_attempts`` > 1 retries transient per-row failures in place (X3,
+    tasks.py:45-52 parity) before X2 isolation records the row as failed —
+    the attempt count lands in extract_error.
     """
+    from ..kernels.retry import call_with_retries
+
     if sniff_format:
         from ..kernels.formats import extract_any
 
-        def _extract_one(payload):
+        def _extract_raw(payload):
             _fmt, text, n_blocks = extract_any(payload, None, config)
             return text, n_blocks
     else:
-        def _extract_one(payload):
+        def _extract_raw(payload):
             text, blocks = extract_blocks(payload, config)
             return text, len(blocks)
+
+    def _extract_one(payload):
+        return call_with_retries(
+            _extract_raw, payload,
+            attempts=retry_attempts, backoff_s=retry_backoff_s,
+        )
 
     @pandas_udf(EXTRACT_TYPE)
     def extract(html: pd.Series) -> pd.DataFrame:

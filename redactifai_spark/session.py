@@ -57,6 +57,11 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # X3 task-level retry (the engine half of tasks.py:45-52 parity; the
+        # row-level half is PipelineConfig.retry_attempts). Honored by cluster
+        # schedulers; plain local[N] always uses 1 — use local[N,F] to test.
+        .config("spark.task.maxFailures",
+                os.environ.get("SPARK_GRAFT_TASK_MAX_FAILURES", "4"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

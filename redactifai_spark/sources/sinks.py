@@ -25,21 +25,35 @@ def iceberg_catalogs(spark: SparkSession) -> list[str]:
 
 
 def write_output(df: DataFrame, target: str, mode: str = "append") -> str:
-    """Write pipeline output; returns 'iceberg' or 'parquet' (what happened).
+    """Write pipeline output; returns 'iceberg', 'table', or 'parquet'.
 
     ``target``: a catalog table identifier (``cat.db.tbl``) writes via the
-    Iceberg DataFrameWriterV2; anything else is a parquet directory path."""
+    DataFrameWriterV2 (``writeTo``); anything else is a parquet directory
+    path. With an Iceberg catalog configured the V2 write lands as a snapshot
+    commit; against the session catalog it lands as a managed parquet table —
+    SAME code path, so the branch is testable without the Iceberg jars this
+    container lacks. Cluster recipe (run_redaction_job.py docstring):
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>`` +
+    ``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog``."""
     spark = df.sparkSession
     looks_like_table = "/" not in target and target.count(".") >= 1
-    if looks_like_table and iceberg_catalogs(spark):
-        writer = df.writeTo(target)
+    if looks_like_table:
+        catalog = target.split(".", 1)[0]
+        is_iceberg = catalog in iceberg_catalogs(spark)
+        writer = df.writeTo(target).using("iceberg" if is_iceberg else "parquet")
         if mode == "overwrite":
             writer.createOrReplace()
+        elif not spark.catalog.tableExists(target):
+            writer.create()
         else:
             try:
                 writer.append()
             except Exception:
-                writer.create()
-        return "iceberg"
+                if is_iceberg:
+                    raise
+                # session-catalog parquet tables lack the V2 append capability;
+                # fall back to the V1 writer (same rows, same table)
+                df.write.mode("append").format("parquet").saveAsTable(target)
+        return "iceberg" if is_iceberg else "table"
     df.write.mode(mode).parquet(target)
     return "parquet"

@@ -10,6 +10,16 @@ Examples:
   python run_redaction_job.py --input /data/pages --output /data/clean \
       --metrics /data/lineage --resume --masking-level limited_dataset \
       --fixed-point --sniff-format --repartition 4096
+
+Iceberg (cluster) recipe — snapshot commits + snapshot-id resume; the sandbox
+ships no Iceberg jars, so sinks.write_output exercises the same writeTo() V2
+path against the session catalog instead:
+  spark-submit --py-files redactifai_spark.zip \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=hadoop \
+      --conf spark.sql.catalog.lake.warehouse=s3a://bucket/warehouse \
+      run_redaction_job.py --input lake.db.pages --output lake.db.clean ...
 """
 
 from __future__ import annotations
@@ -74,10 +84,12 @@ def main(argv: list[str] | None = None) -> int:
         redact_fixed_point=args.fixed_point,
     )
 
-    pages = spark.read.parquet(args.input)
+    from redactifai_spark.operators.metrics import _read_target
+
+    pages = _read_target(spark, args.input)
     if args.resume:
         try:
-            committed = spark.read.parquet(args.output)
+            committed = _read_target(spark, args.output)
         except Exception:
             committed = None
         pages = resume_filter(pages, committed)
@@ -97,7 +109,7 @@ def main(argv: list[str] | None = None) -> int:
         })
     run_and_commit(out, args.output, args.metrics, run_id=run_id)
 
-    n = spark.read.parquet(args.output).count()
+    n = _read_target(spark, args.output).count()
     print(f"committed run_id={run_id}; output rows now {n}")
     spark.stop()
     return 0

@@ -36,7 +36,7 @@ def test_text_column_is_extractor_golden(pages_rows):
 
 
 def test_staged_output_matches_oracle(spark, pages, pages_rows):
-    out = {r["url"]: r for r in run_pipeline(pages).collect()}
+    out = {r["url"]: r for r in run_pipeline(pages, fused=False).collect()}
     assert len(out) == N
     for url, row in out.items():
         golden = process_document(pages_rows[url]["html"])
@@ -51,7 +51,7 @@ def test_staged_output_matches_oracle(spark, pages, pages_rows):
 
 
 def test_fused_identical_to_staged(spark, pages):
-    staged = {r["url"]: r for r in run_pipeline(pages).collect()}
+    staged = {r["url"]: r for r in run_pipeline(pages, fused=False).collect()}
     fused = {r["url"]: r for r in run_pipeline(pages, fused=True).collect()}
     assert staged.keys() == fused.keys()
     for url in staged:
@@ -78,7 +78,7 @@ def test_spans_detected_and_masked(spark, pages):
 
 def test_limited_dataset_policy_in_catalyst(spark, pages):
     cfg = PipelineConfig(masking_level=LIMITED_DATASET)
-    rows = run_pipeline(pages, cfg).collect()
+    rows = run_pipeline(pages, cfg, fused=False).collect()
     cats = {s["category"] for r in rows for s in r["spans"]}
     assert "HealthcareProfessional" not in cats
     assert "Person" in cats
@@ -139,7 +139,7 @@ def test_malformed_html_fails_safe(spark):
 def test_gazetteer_in_pipeline(spark, pages, pages_rows):
     from redactifai_spark.kernels.oracle import build_detector
     cfg = PipelineConfig(gazetteer_names=("Alice Johnson", "Robert Smith", "Karen Hall"))
-    staged = {r["url"]: r for r in run_pipeline(pages, cfg).collect()}
+    staged = {r["url"]: r for r in run_pipeline(pages, cfg, fused=False).collect()}
     fused = {r["url"]: r for r in run_pipeline(pages, cfg, fused=True).collect()}
     det = build_detector(cfg)
     found_gaz = 0
@@ -169,19 +169,19 @@ def test_sniff_format_routes_pdf_payloads(spark):
     assert "reach" in out["p1"]["redacted_text"] and "today" in out["p1"]["redacted_text"]
     assert out["b1"]["extracted_text"] == "" and out["b1"]["status"] == "complete"
     # staged path routes identically
-    staged = {r["url"]: r["redacted_text"] for r in run_pipeline(df, cfg).collect()}
+    staged = {r["url"]: r["redacted_text"] for r in run_pipeline(df, cfg, fused=False).collect()}
     assert all(staged[u] == out[u]["redacted_text"] for u in staged)
 
 
 def test_two_hop_staged_identical(spark, pages):
-    two_hop = {r["url"]: r for r in run_pipeline(pages, fuse_extract_detect=True).collect()}
-    three_hop = {r["url"]: r for r in run_pipeline(pages).collect()}
+    two_hop = {r["url"]: r for r in run_pipeline(pages, fused=False, fuse_extract_detect=True).collect()}
+    three_hop = {r["url"]: r for r in run_pipeline(pages, fused=False).collect()}
     assert two_hop.keys() == three_hop.keys()
     for u in two_hop:
         assert two_hop[u]["redacted_text"] == three_hop[u]["redacted_text"], u
         assert two_hop[u]["n_spans"] == three_hop[u]["n_spans"], u
     from redactifai_spark.plans.inspect import count_python_eval_nodes, policy_filter_is_catalyst
-    plan_df = run_pipeline(pages, fuse_extract_detect=True)
+    plan_df = run_pipeline(pages, fused=False, fuse_extract_detect=True)
     assert count_python_eval_nodes(plan_df) == 2
     assert policy_filter_is_catalyst(plan_df)
 

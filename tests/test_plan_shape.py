@@ -26,7 +26,7 @@ def pages(spark):
 
 
 def test_staged_exactly_three_python_nodes(pages):
-    out = run_pipeline(pages)
+    out = run_pipeline(pages, fused=False)
     assert count_python_eval_nodes(out) == 3
 
 
@@ -36,13 +36,13 @@ def test_fused_exactly_one_python_node(pages):
 
 
 def test_policy_filter_stays_catalyst(pages):
-    out = run_pipeline(pages, PipelineConfig(confidence_threshold=0.5))
+    out = run_pipeline(pages, PipelineConfig(confidence_threshold=0.5), fused=False)
     assert policy_filter_is_catalyst(out)
 
 
 def test_pipeline_is_shuffle_free(pages):
     # pure per-row map: any Exchange in this plan is a perf bug
-    assert count_exchanges(run_pipeline(pages)) == 0
+    assert count_exchanges(run_pipeline(pages, fused=False)) == 0
     assert count_exchanges(run_pipeline(pages, fused=True)) == 0
 
 

@@ -1,0 +1,71 @@
+"""X3 retry surface: bounded row-level retry with backoff + the task-level
+config knob (tasks.py:45-52 parity — autoretry_for/max_retries/backoff)."""
+
+import pytest
+
+from redactifai_spark.kernels.retry import RetriesExhausted, call_with_retries
+
+
+def test_succeeds_after_transient_failures():
+    calls = {"n": 0}
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return x * 2
+
+    assert call_with_retries(flaky, 21, attempts=3) == 42
+    assert calls["n"] == 3
+
+
+def test_exhaustion_records_attempt_count():
+    def always(x):
+        raise ValueError("boom")
+
+    with pytest.raises(RetriesExhausted, match=r"ValueError: boom \(attempts=3\)"):
+        call_with_retries(always, 1, attempts=3)
+
+
+def test_single_attempt_reraises_original():
+    def always(x):
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        call_with_retries(always, 1, attempts=1)
+
+
+def test_exponential_backoff_schedule():
+    slept = []
+
+    def always(x):
+        raise OSError("x")
+
+    with pytest.raises(RetriesExhausted):
+        call_with_retries(always, 0, attempts=4, backoff_s=0.5,
+                          sleep=slept.append)
+    assert slept == [0.5, 1.0, 2.0]  # no sleep after the final failure
+
+
+def test_session_sets_task_max_failures(spark):
+    assert spark.conf.get("spark.task.maxFailures") == "4"
+
+
+def test_pipeline_error_carries_attempt_count(spark):
+    # a payload the extractor genuinely raises on, with retry_attempts=2:
+    # the failed row's error column must carry the count (and never text)
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.pipeline import run_pipeline
+
+    bad = b"%PDF-1.4"  # sniff routes to the PDF parser, which raises on a stub
+    df = spark.createDataFrame(
+        [("u1", None, bad, None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = PipelineConfig(sniff_format=True, retry_attempts=2)
+    rows = run_pipeline(df, cfg, fused=False).collect()
+    row = rows[0]
+    if row["status"] == "failed":
+        assert "attempts=2" in row["error"]
+    else:  # the tiny PDF parses to empty text — still a valid complete row
+        assert row["extracted_text"] == ""

@@ -23,3 +23,65 @@ def test_table_identifier_without_catalog_goes_parquet(spark, tmp_path):
     df = generate_pages(spark, 5, n_partitions=1)
     target = str(tmp_path / "a.b.out")
     assert write_output(df, target) == "parquet"
+
+
+def test_writeto_v2_table_branch_and_snapshot_resume(spark):
+    # The Iceberg write lands through df.writeTo(...) — the same V2 code path
+    # exercised here against the session catalog (parquet provider), since the
+    # container ships no Iceberg jars. Covers create-on-first-append, append
+    # accumulation, and resume via anti-join against the committed table.
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.operators.metrics import resume_filter
+
+    tbl = "spark_catalog.default.rfai_sink_smoke"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        df = generate_pages(spark, 12, n_partitions=2)
+        first = df.filter(F.xxhash64("url") % 2 == 0)
+        assert write_output(first, tbl) == "table"
+        n_first = spark.read.table(tbl).count()
+        assert n_first == first.count()
+
+        # snapshot-style resume: only the not-yet-committed rows remain
+        remaining = resume_filter(df, spark.read.table(tbl))
+        assert remaining.count() == 12 - n_first
+        assert write_output(remaining, tbl) == "table"
+        assert spark.read.table(tbl).count() == 12
+        # second resume is a no-op
+        assert resume_filter(df, spark.read.table(tbl)).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_run_and_commit_to_table_targets(spark):
+    # run_and_commit with dotted identifiers routes both output and metrics
+    # through the V2 table path and still scopes metrics to THIS run.
+    import shutil
+
+    from redactifai_spark.operators.metrics import run_and_commit
+    from redactifai_spark.operators.pipeline import run_pipeline
+
+    out_t = "spark_catalog.default.rfai_out_smoke"
+    met_t = "spark_catalog.default.rfai_met_smoke"
+    for t in (out_t, met_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        pages = generate_pages(spark, 15, n_partitions=2)
+        out = run_pipeline(pages)
+        run_and_commit(out, out_t, met_t, run_id="tbl-1")
+        assert spark.read.table(out_t).count() == 15
+        m = spark.read.table(met_t).filter("run_id = 'tbl-1'").collect()
+        assert sum(r["n_docs"] for r in m) == 15
+        # second run appends and is metric-scoped to its own run_id
+        run_and_commit(out, out_t, met_t, run_id="tbl-2")
+        assert spark.read.table(out_t).count() == 30
+        m2 = spark.read.table(met_t).filter("run_id = 'tbl-2'").collect()
+        assert sum(r["n_docs"] for r in m2) == 15
+    finally:
+        for t in (out_t, met_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
