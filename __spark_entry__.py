@@ -569,6 +569,17 @@ def _embeddings_lsh_topk(spark, sf_dir):
     return lsh_topk(indexed, query, dim=len(query), k=10, n_planes=8)
 
 
+def _embeddings_near_pairs(spark, sf_dir):
+    # embedding-cosine near-duplicate pairs: LSH-bucket self-join (exact-bucket
+    # candidates) verified by exact cosine; oracle recomputes buckets from the
+    # same hyperplane literals and verifies the same candidate set in SQL.
+    from redactifai_spark.operators.similarity import cosine_near_pairs
+
+    return cosine_near_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.0, n_planes=8
+    )
+
+
 def _embeddings_ivf_topk(spark, sf_dir):
     # IVF ANN: deterministic k-means coarse quantizer (md5-seeded, 2 Lloyd
     # iterations) + cluster-pruned cosine top-k; the oracle replays the whole
@@ -633,6 +644,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "docs_chunked_detect": _docs_chunked_detect,
         "embeddings_lsh_topk": _embeddings_lsh_topk,
         "embeddings_ivf_topk": _embeddings_ivf_topk,
+        "embeddings_near_pairs": _embeddings_near_pairs,
         "training_corpus_funnel": _training_corpus,
     }
 
@@ -757,6 +769,36 @@ def _lsh_topk_oracle_sql(n_planes: int = 8, k: int = 10) -> str:
         "FROM ee JOIN q USING (i) GROUP BY ee.vec_id) "
         "SELECT vec_id, ROUND(dot / sqrt(nrm * qn), 6) AS cos_sim FROM dd "
         f"ORDER BY dot / sqrt(nrm * qn) DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+def _near_pairs_oracle_sql(n_planes: int = 8, threshold: float = 0.0) -> str:
+    """Twin of similarity.cosine_near_pairs: exact-bucket LSH candidates
+    (buckets recomputed from the shared hyperplane literals) verified by
+    exact pairwise cosine >= threshold."""
+    from redactifai_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, 64)
+    vals = ", ".join(
+        f"({p}, {j + 1}, {w!r})"
+        for p, plane in enumerate(planes) for j, w in enumerate(plane)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+        f"p(plane_id, i, w) AS (VALUES {vals}), "
+        "d AS (SELECT e.vec_id, p.plane_id, SUM(e.ev * p.w) AS dot "
+        "FROM e JOIN p USING (i) GROUP BY 1, 2), "
+        "b AS (SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN 1 << plane_id "
+        "ELSE 0 END) AS BIGINT) AS bucket FROM d GROUP BY 1), "
+        "cand AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a "
+        "JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id), "
+        "dd AS (SELECT c.id_a, c.id_b, SUM(ea.ev * eb.ev) AS dot, "
+        "SUM(ea.ev * ea.ev) AS na, SUM(eb.ev * eb.ev) AS nb "
+        "FROM cand c JOIN e ea ON ea.vec_id = c.id_a "
+        "JOIN e eb ON eb.vec_id = c.id_b AND eb.i = ea.i GROUP BY 1, 2) "
+        "SELECT id_a, id_b, ROUND(dot / sqrt(na * nb), 6) AS cos_sim FROM dd "
+        f"WHERE dot / sqrt(na * nb) >= {threshold}"
     )
 
 
@@ -892,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash_neardups": _simhash_neardups_oracle_sql(),
         "embeddings_lsh_topk": _lsh_topk_oracle_sql(),
         "embeddings_ivf_topk": _ivf_topk_oracle_sql(),
+        "embeddings_near_pairs": _near_pairs_oracle_sql(),
         "training_corpus_funnel": _funnel_oracle_sql(),
         "events_type_counts": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
