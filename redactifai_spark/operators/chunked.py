@@ -25,8 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from ..kernels.oracle import PipelineConfig
-from .functions import spans_sorted
-from .udfs import make_detect_udf
+from .functions import filter_spans, spans_sorted
+from .udfs import make_detect_udf, make_extract_udf, make_redact_udf
 
 
 def detect_spans_chunked(
@@ -105,3 +105,94 @@ def detect_spans_chunked(
         .select(F.col("_id").alias(id_col), spans_sorted("spans").alias("spans"))
     )
     return out
+
+
+def run_pipeline_chunked(
+    df: DataFrame,
+    config: PipelineConfig = PipelineConfig(),
+    chunk_size: int = 20_000,
+    size_threshold: int | None = None,
+) -> DataFrame:
+    """Full extract->detect->filter->redact pipeline for corpora with
+    pathological page sizes: rows whose extracted text exceeds
+    ``size_threshold`` (default: chunk_size) detect via the D5 chunked path
+    (bounded per-call Python, chunks fanned out across the cluster); the rest
+    take the ordinary one-shot detect. Same output schema as
+    ``pipeline.run_pipeline``; byte-identical to it whenever no PII span
+    straddles a chunk boundary (chunks cut at newlines — see module note).
+
+    Requires distinct ``url`` values (they key the chunk regroup join).
+    """
+    from .pipeline import OUTPUT_COLUMNS
+
+    threshold = size_threshold if size_threshold is not None else chunk_size
+
+    if config.prefer_text_column:
+        staged = df.withColumns(
+            {
+                "extracted_text": F.coalesce(F.col("text"), F.lit("")),
+                "n_blocks": F.lit(0),
+                "extract_error": F.lit(None).cast("string"),
+            }
+        )
+    else:
+        extract = make_extract_udf(
+            config.extract, sniff_format=config.sniff_format,
+            retry_attempts=config.retry_attempts,
+            retry_backoff_s=config.retry_backoff_s,
+        )
+        staged = (
+            df.withColumn("_ex", extract(F.col("html")))
+            .withColumns(
+                {
+                    "extracted_text": F.col("_ex.extracted_text"),
+                    "n_blocks": F.col("_ex.n_blocks"),
+                    "extract_error": F.col("_ex.extract_error"),
+                }
+            )
+            .drop("_ex")
+        )
+
+    is_large = F.length("extracted_text") > threshold
+    small = staged.filter(~is_large).withColumn(
+        "_spans_all", make_detect_udf(config)(F.col("extracted_text"))
+    )
+    large = staged.filter(is_large)
+    large_spans = detect_spans_chunked(
+        large, id_col="url", text_col="extracted_text",
+        config=config, chunk_size=chunk_size,
+    ).withColumnRenamed("spans", "_spans_all")
+    large = large.join(large_spans, "url", "left").withColumn(
+        "_spans_all", F.coalesce(F.col("_spans_all"), F.array().cast(
+            small.schema["_spans_all"].dataType.simpleString()))
+    )
+    merged = small.unionByName(large)
+
+    merged = merged.withColumn(
+        "spans",
+        filter_spans(
+            F.col("_spans_all"),
+            masking_level=config.masking_level,
+            custom_categories=config.custom_categories,
+            confidence_threshold=config.confidence_threshold,
+        ),
+    ).drop("_spans_all")
+
+    redact = make_redact_udf(config.mask_char, config.span_padding)
+    intervals = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(s["offset"].alias("offset"), s["length"].alias("length")),
+    )
+    merged = merged.withColumn("_red", redact(F.col("extracted_text"), intervals))
+    merged = merged.withColumns(
+        {
+            "redacted_text": F.col("_red.redacted_text"),
+            "merged_spans": F.col("_red.merged_spans"),
+            "n_masked_chars": F.col("_red.n_masked_chars"),
+            "n_spans": F.size("spans").cast("long"),
+            "status": F.when(F.col("extract_error").isNotNull(), F.lit("failed"))
+            .otherwise(F.lit("complete")),
+            "error": F.col("extract_error"),
+        }
+    ).drop("_red", "extract_error")
+    return merged.select(*OUTPUT_COLUMNS)

@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
                         "split, src/tasks.py:133-144)")
     p.add_argument("--repartition", type=int, default=None,
                    help="explicit xxhash64(url) re-balance partition count")
+    p.add_argument("--chunked-detect", type=int, default=None, metavar="CHARS",
+                   help="D5: detect docs larger than CHARS via newline-safe "
+                        "chunks (bounded per-call Python; offsets rebased)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -95,8 +98,16 @@ def main(argv: list[str] | None = None) -> int:
         pages = resume_filter(pages, committed)
 
     run_id = args.run_id or f"run-{int(time.time())}"
-    out = run_pipeline(pages, config, n_partitions=args.repartition,
-                       fused=not args.staged)
+    if args.chunked_detect:
+        from redactifai_spark.operators.chunked import run_pipeline_chunked
+        from redactifai_spark.operators.partitioning import repartition_by_url
+
+        if args.repartition:
+            pages = repartition_by_url(pages, args.repartition)
+        out = run_pipeline_chunked(pages, config, chunk_size=args.chunked_detect)
+    else:
+        out = run_pipeline(pages, config, n_partitions=args.repartition,
+                           fused=not args.staged)
     if not args.include_text:
         # M4 default: the clean output path never carries raw PII surface forms
         from pyspark.sql import functions as F

@@ -71,3 +71,49 @@ def test_chunked_is_one_python_hop(spark):
         "url", F.col("text").alias("extracted_text")
     )
     assert count_python_eval_nodes(detect_spans_chunked(pages, chunk_size=128)) == 1
+
+
+def test_run_pipeline_chunked_matches_run_pipeline(spark):
+    from redactifai_spark.operators.chunked import run_pipeline_chunked
+    from redactifai_spark.operators.pipeline import run_pipeline
+
+    pages = generate_pages(spark, 50, n_partitions=4)
+    # tiny threshold forces EVERY page down the chunked-detect route
+    chunked = {r["url"]: r for r in
+               run_pipeline_chunked(pages, chunk_size=64, size_threshold=0).collect()}
+    normal = {r["url"]: r for r in run_pipeline(pages).collect()}
+    assert chunked.keys() == normal.keys()
+    for url in normal:
+        c, n = chunked[url], normal[url]
+        assert c["redacted_text"] == n["redacted_text"], url
+        assert c["extracted_text"] == n["extracted_text"], url
+        assert c["n_spans"] == n["n_spans"], url
+        assert c["n_masked_chars"] == n["n_masked_chars"], url
+        assert [(m["start"], m["end"]) for m in c["merged_spans"]] == \
+               [(m["start"], m["end"]) for m in n["merged_spans"]], url
+
+
+def test_run_pipeline_chunked_mixed_sizes(spark):
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.operators.chunked import run_pipeline_chunked
+    from redactifai_spark.operators.pipeline import run_pipeline
+
+    # mix: ordinary pages + one giant text-only doc with PII on many lines
+    big_text = "\n".join(
+        f"line {i} phone (555) 123-{i % 10000:04d} ok" for i in range(3000)
+    )
+    rows = [("big://1", None, None, big_text, "en"),
+            ("small://2", None, None, "tiny clean line", "en")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    cfg = PipelineConfig(prefer_text_column=True)
+    out = {r["url"]: r for r in
+           run_pipeline_chunked(df, cfg, chunk_size=4096).collect()}
+    ref = {r["url"]: r for r in run_pipeline(df, cfg, fused=False).collect()}
+    for url in ref:
+        assert out[url]["redacted_text"] == ref[url]["redacted_text"], url
+        assert out[url]["n_spans"] == ref[url]["n_spans"], url
+    assert out["big://1"]["n_spans"] == 3000
+    assert out["small://2"]["redacted_text"] == "tiny clean line"
