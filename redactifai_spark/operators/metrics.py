@@ -34,14 +34,17 @@ def partition_metrics(output_df: DataFrame, run_id: str) -> DataFrame:
                 n_failed += int((pdf["status"] == "failed").sum())
                 n_spans += int(pdf["n_spans"].sum())
                 n_masked += int(pdf["n_masked_chars"].sum())
-        wall_ms = (time.monotonic() - t0) * 1000.0
+        # clock starts at generator creation, so this measures batch-stream
+        # iteration INCLUDING upstream compute of this task — a per-task cost
+        # proxy (schemas.py note), deliberately not named "wall"
+        task_batch_ms = (time.monotonic() - t0) * 1000.0
         if pid is None:
             return
         yield pd.DataFrame(
             [{
                 "run_id": run_id, "partition_id": pid, "n_docs": n_docs,
                 "n_failed": n_failed, "n_spans": n_spans,
-                "n_masked_chars": n_masked, "wall_ms": wall_ms,
+                "n_masked_chars": n_masked, "task_batch_ms": task_batch_ms,
                 "status": "complete" if n_failed == 0 else "partial",
             }]
         )

@@ -62,7 +62,10 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("n_failed", T.LongType()),
         T.StructField("n_spans", T.LongType()),
         T.StructField("n_masked_chars", T.LongType()),
-        T.StructField("wall_ms", T.DoubleType()),
+        # task-proxy timing: iteration time of this task's Arrow batch
+        # stream, INCLUDING upstream compute pulled through the generator —
+        # a per-task cost signal, not end-to-end pipeline wall
+        T.StructField("task_batch_ms", T.DoubleType()),
         T.StructField("status", T.StringType()),
     ]
 )
