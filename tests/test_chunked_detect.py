@@ -117,3 +117,54 @@ def test_run_pipeline_chunked_mixed_sizes(spark):
         assert out[url]["n_spans"] == ref[url]["n_spans"], url
     assert out["big://1"]["n_spans"] == 3000
     assert out["small://2"]["redacted_text"] == "tiny clean line"
+
+
+def test_chunked_parity_randomized_corpus(spark):
+    # deterministic randomized corpus: empty lines, newline runs, partial
+    # patterns at line edges, PII mid-line, very long lines — one Spark job
+    # over 120 docs, each compared against the pure kernel
+    import random
+
+    rng = random.Random(20260816)
+    # NOTE: no fragment pair here can form a match ACROSS a newline (the
+    # phone/MRN \s* and name \s+ forms can cross \n — that divergence is the
+    # documented contract, pinned by test_cross_newline_divergence_contract)
+    frags = [
+        "", " ", "plain words here", "SSN 123-45-6789 inline",
+        "call (555) 123-4567 now", "mail a.b@example.org ok",
+        "ends with digits 123-45-", "6789 starts with digits",
+        "Dr. Alice Johnson attending", "MRN: 12345678 on file",
+        "x" * 300, "word " * 120, "born 01/02/1980.",
+        "555-1234", "Johnson follows lowercase",
+    ]
+    texts = []
+    for _ in range(120):
+        n_lines = rng.randint(0, 25)
+        texts.append("\n".join(rng.choice(frags) for _ in range(n_lines)))
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "url string, extracted_text string",
+    )
+    got = _collected(detect_spans_chunked(df, chunk_size=100))
+    mismatches = []
+    for i, t in enumerate(texts):
+        if got[str(i)] != _kernel_spans(t):
+            mismatches.append((i, got[str(i)], _kernel_spans(t)))
+    # the ONLY allowed divergence is a match straddling a chunk boundary via
+    # \s+ (phone/MRN/name patterns) — our fragments keep PII within one line,
+    # so there must be none
+    assert not mismatches, mismatches[:3]
+
+
+def test_cross_newline_divergence_contract(spark):
+    # The ONE documented divergence from the whole-doc detector: a match that
+    # crosses a newline (name \s+, phone/MRN \s*) is found by the kernel but
+    # lost by chunking IF the newline is a chunk boundary; when both lines
+    # land in the same chunk it is found identically.
+    text = "Alice\nJohnson met nobody else here at all today"
+    assert len(_kernel_spans(text)) == 1  # kernel finds the cross-line name
+    df = spark.createDataFrame([("u", text)], "url string, extracted_text string")
+    same_chunk = _collected(detect_spans_chunked(df, chunk_size=1000))["u"]
+    assert same_chunk == _kernel_spans(text)  # same chunk -> identical
+    split_chunk = _collected(detect_spans_chunked(df, chunk_size=4))["u"]
+    assert split_chunk == []  # boundary between the lines -> match lost
