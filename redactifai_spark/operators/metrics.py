@@ -118,6 +118,31 @@ def spans_table(output_df: DataFrame, include_text: bool = False) -> DataFrame:
     )
 
 
+def fully_committed_files(
+    source_df: DataFrame, committed_df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """S3 analog — the reference deletes source blobs after processing
+    (src/tasks.py:133-144). A 10^12-row table source is immutable to the
+    engine, so instead of deleting rows this returns the source FILES whose
+    EVERY row is already committed: the safe delete/archive list for an
+    external janitor (or an Iceberg `expire`/`rewrite_data_files` action).
+
+    Returns (file, n_rows). One scan of each side; the committed side is
+    pruned to urls only."""
+    src = source_df.select(F.col(url_col), F.input_file_name().alias("_file"))
+    done = committed_df.select(url_col).distinct()
+    n_done = (
+        src.join(done, url_col, "left_semi")
+        .groupBy("_file").agg(F.count("*").alias("n_done"))
+    )
+    totals = src.groupBy("_file").agg(F.count("*").alias("n_total"))
+    return (
+        totals.join(n_done, "_file", "left")
+        .filter(F.coalesce(F.col("n_done"), F.lit(0)) == F.col("n_total"))
+        .select(F.col("_file").alias("file"), F.col("n_total").alias("n_rows"))
+    )
+
+
 def resume_filter(source_df: DataFrame, committed_df: DataFrame | None) -> DataFrame:
     """X4 resume: drop source urls already present in the committed output.
 

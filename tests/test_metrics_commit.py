@@ -49,3 +49,31 @@ def test_spans_table_side_output(spark):
     assert {"Person", "Date", "PhoneNumber", "Email"} <= cats
     shown = spans_table(out, include_text=True).collect()
     assert any(r["text"] and "@example" in r["text"] for r in shown)
+
+
+def test_fully_committed_files_janitor_list(spark, tmp_path):
+    # S3 analog: only source files whose EVERY url is committed are listed
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.operators.metrics import fully_committed_files
+    from redactifai_spark.operators.pipeline import run_pipeline
+    from redactifai_spark.sources.pages import generate_pages
+
+    src_dir = str(tmp_path / "src")
+    a = generate_pages(spark, 20, n_partitions=1)
+    b = generate_pages(spark, 40, n_partitions=1).filter("url like '%/article/3%'")
+    a.coalesce(1).write.mode("append").parquet(src_dir)
+    b.coalesce(1).write.mode("append").parquet(src_dir)
+    source = spark.read.parquet(src_dir)
+
+    # commit ONLY file a's rows (urls of pages 0..19)
+    committed = run_pipeline(a)
+    files = fully_committed_files(source, committed).collect()
+    assert len(files) == 1
+    assert files[0]["n_rows"] == 20
+    # committing everything lists both files
+    all_committed = run_pipeline(source)
+    assert len(fully_committed_files(source, all_committed).collect()) == 2
+    # nothing committed -> empty janitor list
+    none = committed.filter(F.lit(False))
+    assert fully_committed_files(source, none).count() == 0
