@@ -306,12 +306,16 @@ def _redact_documents(spark, sf_dir):
 
 
 def _redact_pages(spark, sf_dir):
-    # rows-only: full HTML pipeline over documents wrapped as synthetic pages
-    # (PII injected deterministically) — not SQL-expressible
+    # full HTML pipeline over documents wrapped as synthetic pages. The
+    # injected PII is deterministic, so the ENTIRE redacted output — byte-exact
+    # masks included — is predictable from first principles; the oracle
+    # constructs it in SQL (url, golden text, and every mask run).
     pages = wrap_documents_as_pages(_t(spark, sf_dir, "documents"))
     out = run_pipeline(pages, PipelineConfig())
-    return out.select("url", "lang", "redacted_text", "n_spans", "n_masked_chars",
-                      "n_blocks", "status")
+    return out.select(
+        "url", "lang", "redacted_text", "n_spans", "n_masked_chars",
+        F.col("n_blocks").cast("long").alias("n_blocks"), "status",
+    )
 
 
 def _events_asof_purchase(spark, sf_dir):
@@ -881,6 +885,44 @@ def _ivf_topk_oracle_sql(
     )
 
 
+def _redact_pages_oracle_sql() -> str:
+    """Byte-exact twin of the full HTML pipeline over wrapped documents.
+
+    Works because wrap_documents_as_pages injects PII deterministically and
+    the corpus itself is detector-clean (the redact_documents invariant), so
+    the detector finds exactly: the Person span 'Contact {name}' (or, for
+    Dr-prefixed bylines, 'Contact Dr' as Person plus the name as
+    HealthcareProfessional — the 10-char lookbehind), the 14-char phone, the
+    (20+digits)-char email, and the 10-char date. Every mask run's position
+    and length is therefore pure arithmetic; validated byte-identical against
+    the Spark output at sf0.001 and sf0.01 before wiring."""
+    from redactifai_spark.sources.pages import NAMES
+
+    names_sql = "[" + ", ".join(f"'{n}'" for n in NAMES) + "]"
+    return (
+        "WITH d AS (SELECT doc_id, lang, "
+        "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm, "
+        "length(CAST(doc_id AS VARCHAR)) AS dlen, "
+        f"({names_sql})[CAST(doc_id % 20 AS INT) + 1] AS name, "
+        "doc_id % 7 = 0 AS is_dr FROM documents) "
+        "SELECT 'https://' || CASE WHEN doc_id % 16 < 8 THEN 'popular-news.com' "
+        "WHEN doc_id % 16 < 12 THEN 'big-blog.org' "
+        "ELSE 'site-' || CAST(doc_id % 997 AS VARCHAR) || '.example.com' END "
+        "|| '/doc/' || CAST(doc_id AS VARCHAR) AS url, "
+        "lang, "
+        "'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || norm || chr(10) "
+        "|| CASE WHEN is_dr THEN repeat('█', 10) || '. ' || repeat('█', length(name)) "
+        "ELSE repeat('█', 8 + length(name)) END "
+        "|| ' at ' || repeat('█', 14) || ' or ' || repeat('█', 20 + dlen) "
+        "|| ' before ' || repeat('█', 10) || '.' AS redacted_text, "
+        "CAST(CASE WHEN is_dr THEN 5 ELSE 4 END AS BIGINT) AS n_spans, "
+        "CAST((CASE WHEN is_dr THEN 10 ELSE 8 END) + length(name) + 14 + 20 "
+        "+ dlen + 10 AS BIGINT) AS n_masked_chars, "
+        "CAST(3 AS BIGINT) AS n_blocks, "
+        "'complete' AS status FROM d"
+    )
+
+
 def _funnel_oracle_sql() -> str:
     """SQL twin of the training-corpus funnel over `documents`: redaction is a
     byte passthrough on the clean corpus (the redact_documents invariant), so
@@ -973,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_ivf_topk": _ivf_topk_oracle_sql(),
         "embeddings_near_pairs": _near_pairs_oracle_sql(),
         "training_corpus_funnel": _funnel_oracle_sql(),
+        "redact_pages": _redact_pages_oracle_sql(),
         "events_type_counts": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
         ),
@@ -1146,6 +1189,5 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_unique "
             "FROM documents"
         ),
-        # rows-only (not SQL-expressible): redact_pages only — the full
-        # HTML-parse pipeline over synthetic pages with injected PII
+        # every queries() entry has a DuckDB oracle
     }
