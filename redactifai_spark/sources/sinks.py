@@ -57,3 +57,23 @@ def write_output(df: DataFrame, target: str, mode: str = "append") -> str:
         return "iceberg" if is_iceberg else "table"
     df.write.mode(mode).parquet(target)
     return "parquet"
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "url",
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+ optionally sorted) managed table: joins and
+    aggregations on ``bucket_col`` between co-bucketed tables then run with
+    ZERO Exchange (plan-asserted in tests) — the pre-shuffle trade that makes
+    repeated url-keyed joins (pages x committed output x spans side-table)
+    cheap at 10^12 rows. Iceberg's equivalent is a bucket partition transform
+    on the same column."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)

@@ -85,3 +85,37 @@ def test_run_and_commit_to_table_targets(spark):
         for t in (out_t, met_t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    # the 100 TB trade: co-bucketed tables join on the bucket key with ZERO
+    # Exchange — pre-shuffled once at write time, reused by every later join
+    import shutil
+
+    from redactifai_spark.plans.inspect import count_exchanges
+    from redactifai_spark.sources.sinks import write_bucketed_table
+
+    a_t, b_t = "spark_catalog.default.rfai_bkt_a", "spark_catalog.default.rfai_bkt_b"
+    for t in (a_t, b_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        pages = generate_pages(spark, 200, n_partitions=4)
+        write_bucketed_table(pages.select("url", "lang"), a_t,
+                             bucket_col="url", n_buckets=8, sort_col="url")
+        write_bucketed_table(pages.select("url", "warc_ts"), b_t,
+                             bucket_col="url", n_buckets=8, sort_col="url")
+        # force a non-broadcast join so bucketing (not a broadcast) does the work
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.read.table(a_t).join(spark.read.table(b_t), "url")
+        assert count_exchanges(joined) == 0
+        assert joined.count() == 200
+        # same key, unbucketed: the join needs two shuffles — the contrast
+        unbucketed = pages.select("url", "lang").join(
+            pages.select("url", "warc_ts"), "url")
+        assert count_exchanges(unbucketed) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for t in (a_t, b_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
