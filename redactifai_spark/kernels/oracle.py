@@ -68,6 +68,23 @@ def build_detector(config: PipelineConfig):
     return detect
 
 
+_DETECTOR_CACHE: dict = {}
+
+
+def get_detector(config: PipelineConfig):
+    """Per-process detector cache (PipelineConfig is frozen/hashable): UDF
+    closures ship only the compact config; the gazetteer automaton builds
+    ONCE per Python worker process on first use and is reused across batches
+    and tasks (pyspark reuses workers). Keeps the pickled closure proportional
+    to the name LIST, not the trie — for dictionaries too large to ship in a
+    closure at all, swap the name source here for a shared file/broadcast."""
+    det = _DETECTOR_CACHE.get(config)
+    if det is None:
+        det = build_detector(config)
+        _DETECTOR_CACHE[config] = det
+    return det
+
+
 def should_include(category: str, config: PipelineConfig) -> bool:
     return should_include_category(category, config.masking_level,
                                    config.custom_categories)

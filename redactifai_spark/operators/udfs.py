@@ -16,8 +16,7 @@ from pyspark.sql.functions import pandas_udf
 from ..kernels.detect import SAFE_HARBOR, detect_pii
 from ..kernels.extract import ExtractConfig
 from ..kernels.extract_fast import extract_blocks_fast as extract_blocks
-from ..kernels.oracle import build_detector
-from ..kernels.oracle import PipelineConfig, process_document
+from ..kernels.oracle import PipelineConfig, get_detector, process_document
 from ..kernels.spans import mask_text, merge_spans, total_masked_chars
 from .schemas import EXTRACT_TYPE, REDACT_TYPE, SPAN_TYPE
 
@@ -88,7 +87,6 @@ def make_extract_detect_udf(config: PipelineConfig):
     three, while the D3/D4 policy filters stay Catalyst-visible between this
     stage and redact. Measured benefit is modest (~5%): the staged plan's
     dominant overhead is the span-array round-trip into redact."""
-    detector = build_detector(config)
     ex_cfg = config.extract
     if config.sniff_format:
         from ..kernels.formats import extract_any
@@ -107,6 +105,7 @@ def make_extract_detect_udf(config: PipelineConfig):
 
     @pandas_udf(out_type)
     def extract_detect(html: pd.Series) -> pd.DataFrame:
+        detector = get_detector(config)  # per-worker cache, not per batch
         texts, n_blocks, errors, spans = [], [], [], []
         for payload in html:
             try:
@@ -134,14 +133,15 @@ def make_detect_udf(config: "PipelineConfig | None" = None):
     policies are applied afterwards as Catalyst ``F.filter`` on the span array
     (D3/D4) — equivalent to the reference's in-detector filter
     (phi_detection_service.py:43-76) because the policy is a pure per-entity
-    category predicate. The gazetteer automaton is built on the driver and
-    shipped in the UDF closure (broadcast analog) — built once, reused across
-    every Arrow batch."""
-    detector = build_detector(config) if config is not None \
-        else (lambda t: detect_pii(t, SAFE_HARBOR))
+    category predicate. The closure ships only the (compact) config; the
+    gazetteer automaton builds once per WORKER process via the oracle's
+    detector cache and is reused across batches and tasks — the closure stays
+    proportional to the name list, never the trie."""
 
     @pandas_udf(SPAN_ARRAY)
     def detect(text: pd.Series) -> pd.Series:
+        detector = get_detector(config) if config is not None \
+            else (lambda t: detect_pii(t, SAFE_HARBOR))
         out = []
         for t in text:
             if not t:
@@ -209,14 +209,14 @@ _RESULT_KEYS = [f.name for f in FUSED_RESULT_TYPE.fields]
 
 
 def make_process_udf(config: PipelineConfig):
-    """(html[, text]) -> full result struct; one Arrow round-trip per batch."""
-
-    detector = build_detector(config)  # gazetteer automaton built once, shipped once
+    """(html[, text]) -> full result struct; one Arrow round-trip per batch.
+    Detector resolves through the per-worker cache (see make_detect_udf)."""
 
     if config.prefer_text_column:
 
         @pandas_udf(FUSED_RESULT_TYPE)
         def process(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+            detector = get_detector(config)
             rows = [process_document(h, t, config, detector)
                     for h, t in zip(html, text)]
             return pd.DataFrame(
@@ -227,6 +227,7 @@ def make_process_udf(config: PipelineConfig):
 
     @pandas_udf(FUSED_RESULT_TYPE)
     def process(html: pd.Series) -> pd.DataFrame:
+        detector = get_detector(config)
         rows = [process_document(h, None, config, detector) for h in html]
         return pd.DataFrame({k: [r[k] for r in rows] for k in _RESULT_KEYS})
 
@@ -256,9 +257,9 @@ FUSED_OUTPUT_SCHEMA = T.StructType(FUSED_OUTPUT_FIELDS)
 
 def make_fused_map(config: PipelineConfig):
     """mapInPandas function running extract→detect→filter→merge→mask per batch."""
-    detector = build_detector(config)  # built once, not per row
 
     def fused(batches):
+        detector = get_detector(config)  # per-worker cache, not per row
         for pdf in batches:
             rows = []
             for url, warc_ts, html, text, lang in zip(

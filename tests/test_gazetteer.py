@@ -81,3 +81,18 @@ def test_unicode_case_expansion_offsets_safe():
     assert len(ents) == 1
     e = ents[0]
     assert text[e.offset:e.offset + e.length] == "John Smith"
+
+
+def test_detector_cache_one_build_per_config():
+    # worker-side cache: equal configs share ONE automaton instance; distinct
+    # configs get their own (closures ship the config, not the trie)
+    from redactifai_spark.kernels.oracle import PipelineConfig, get_detector
+
+    a = PipelineConfig(gazetteer_names=("Alice Johnson", "Robert Smith"))
+    b = PipelineConfig(gazetteer_names=("Alice Johnson", "Robert Smith"))
+    c = PipelineConfig(gazetteer_names=("Karen Hall",))
+    assert a == b and a is not b
+    assert get_detector(a) is get_detector(b)
+    assert get_detector(a) is not get_detector(c)
+    spans = get_detector(a)("met Alice Johnson today")
+    assert any(e.text == "Alice Johnson" for e in spans)
