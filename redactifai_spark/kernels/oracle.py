@@ -36,6 +36,11 @@ class PipelineConfig:
     extract: ExtractConfig = field(default_factory=ExtractConfig)
     prefer_text_column: bool = False  # True: skip HTML extraction, use `text` as-is
     gazetteer_names: tuple[str, ...] | None = None  # extra dictionary detector (D2 trie)
+    # Path to a newline-delimited name dictionary on a WORKER-visible shared
+    # filesystem: the closure/config then carries only this string, and each
+    # worker loads + builds the automaton locally (the 10M-name shape —
+    # shipping the names themselves in the config stops scaling ~10^5 names).
+    gazetteer_path: str | None = None
     sniff_format: bool = False  # True: magic-byte routing (HTML vs PDF vs binary)
     # True: re-detect on the masked text until no new spans appear (<=5 passes).
     # Masking is length-preserving, so a mask char can create a fresh word
@@ -49,16 +54,21 @@ class PipelineConfig:
 
 
 def build_detector(config: PipelineConfig):
-    """Per-config detector closure: regex bank + optional gazetteer trie.
-    Build once (per worker, via the UDF closure) and call per document."""
+    """Per-config detector closure: regex bank + optional gazetteer trie
+    (inline names and/or a worker-visible dictionary file). Build once per
+    worker — resolve through ``get_detector`` — and call per document."""
     from .detect import SpanEntity  # noqa: F401 (type of the returned list)
 
-    if not config.gazetteer_names:
+    names = list(config.gazetteer_names or ())
+    if config.gazetteer_path:
+        with open(config.gazetteer_path) as f:
+            names.extend(line.strip() for line in f if line.strip())
+    if not names:
         return lambda text: detect_pii(text, SAFE_HARBOR)
 
     from .gazetteer import GazetteerDetector
 
-    gaz = GazetteerDetector(list(config.gazetteer_names))
+    gaz = GazetteerDetector(names)
 
     def detect(text: str):
         ents = detect_pii(text, SAFE_HARBOR) + gaz.detect(text)

@@ -41,7 +41,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma list for --masking-level custom")
     p.add_argument("--confidence-threshold", type=float, default=0.0)
     p.add_argument("--gazetteer", default=None,
-                   help="path to newline-delimited dictionary names")
+                   help="path to newline-delimited dictionary names "
+                        "(read on the DRIVER, shipped in the config — fine "
+                        "to ~10^5 names)")
+    p.add_argument("--gazetteer-path", default=None,
+                   help="same file format, but loaded by each WORKER from a "
+                        "shared filesystem — the 10M-name shape (only the "
+                        "path string ships)")
     p.add_argument("--resume", action="store_true",
                    help="skip urls already present in --output")
     p.add_argument("--fixed-point", action="store_true",
@@ -83,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
         confidence_threshold=args.confidence_threshold,
         gazetteer_names=gazetteer,
+        gazetteer_path=args.gazetteer_path,
         sniff_format=args.sniff_format,
         redact_fixed_point=args.fixed_point,
     )

@@ -96,3 +96,29 @@ def test_detector_cache_one_build_per_config():
     assert get_detector(a) is not get_detector(c)
     spans = get_detector(a)("met Alice Johnson today")
     assert any(e.text == "Alice Johnson" for e in spans)
+
+
+def test_gazetteer_loaded_from_worker_path(spark, tmp_path):
+    # the 10M-name shape: config ships only a path; workers load and build
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.pipeline import run_pipeline
+
+    path = tmp_path / "names.txt"
+    path.write_text("Zebulon Quarry\n\n  Xenia Marblecrest  \n")
+    rows = [("u1", None, None, "met Zebulon Quarry and Xenia Marblecrest here", "en"),
+            ("u2", None, None, "nobody notable in this one", "en")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+    cfg = PipelineConfig(prefer_text_column=True, gazetteer_path=str(path))
+    out = {r["url"]: r for r in run_pipeline(df, cfg).collect()}
+    cats = {(s["text"], s["category"]) for s in out["u1"]["spans"]}
+    assert ("Zebulon Quarry", "Person") in cats or any(
+        t == "Zebulon Quarry" for t, _ in cats)
+    assert "Zebulon Quarry" not in out["u1"]["redacted_text"]
+    assert out["u2"]["redacted_text"] == "nobody notable in this one"
+    # staged path identical
+    staged = {r["url"]: r["redacted_text"]
+              for r in run_pipeline(df, cfg, fused=False).collect()}
+    assert staged == {u: r["redacted_text"] for u, r in out.items()}
