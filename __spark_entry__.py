@@ -495,6 +495,16 @@ def _docs_lang_detect(spark, sf_dir):
     )
 
 
+def _docs_quality_scores(spark, sf_dir):
+    # the composite C4/Gopher-style quality score itself (the funnel's gate
+    # input), per doc — formula twinned in SQL
+    from redactifai_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+
+
 def _docs_winnow_fingerprints(spark, sf_dir):
     # MOSS-style winnowing (k-gram rolling-hash fingerprint selection): the
     # oracle recomputes the k-gram hex hashes, per-window minima, and the
@@ -658,6 +668,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "docs_pair_jaccard": _docs_pair_jaccard,
         "customer_fuzzy_match": _customer_fuzzy_match,
         "docs_quality_stats": _docs_quality_stats,
+        "docs_quality_scores": _docs_quality_scores,
         "docs_fingerprint_stats": _docs_fingerprint_stats,
         "docs_minhash_neardups": _docs_minhash_neardups,
         "docs_simhash_neardups": _docs_simhash_neardups,
@@ -1183,6 +1194,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper, "
             "CAST(len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS BIGINT) AS n_punct "
             "FROM documents"
+        ),
+        "docs_quality_scores": (
+            "WITH qs AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "len(regexp_extract_all(text, '[.!?]+')) AS n_sentences, "
+            "length(text) AS n_chars, "
+            "len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS n_punct "
+            "FROM documents) "
+            "SELECT doc_id, ROUND("
+            "LEAST(n_tokens / 50.0, 1.0) * 0.4 "
+            "+ CASE WHEN n_sentences > 0 THEN 0.2 ELSE 0.0 END "
+            "+ GREATEST(0.0, 0.2 - CASE WHEN n_chars > 0 THEN "
+            "CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 2.0, 6) "
+            "AS quality_score FROM qs"
         ),
         "docs_fingerprint_stats": (
             "SELECT COUNT(*) AS n_docs, "
