@@ -579,9 +579,12 @@ def _training_corpus(spark, sf_dir):
         F.col("text"),
         F.col("lang"),
     )
+    # deterministic checkpoint dir + overwrite: repeated gate runs reuse ONE
+    # directory instead of leaking a full corpus copy per invocation
+    ckpt = os.path.join(tempfile.gettempdir(), "rfai_funnel_ckpt")
     _corpus, stats = prepare_training_corpus(
         pages, PipelineConfig(prefer_text_column=True),
-        checkpoint_path=tempfile.mkdtemp(prefix="rfai_funnel_ckpt_"),
+        checkpoint_path=ckpt,
         **_FUNNEL_ARGS,
     )
     return stats

@@ -13,6 +13,7 @@ text on error (SURVEY.md §4 note) — failed rows carry status='failed'.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 from .detect import (
@@ -78,11 +79,15 @@ def build_detector(config: PipelineConfig):
     return detect
 
 
-_DETECTOR_CACHE: dict = {}
+_DETECTOR_CACHE: "OrderedDict" = OrderedDict()
+# Bounded LRU: a long-lived worker sweeping many distinct configs (e.g.
+# different gazetteer_path values) must not retain every automaton forever —
+# at 10M-name scale one automaton is the leak, not the rebuild cost.
+_DETECTOR_CACHE_MAX = 8
 
 
 def get_detector(config: PipelineConfig):
-    """Per-process detector cache (PipelineConfig is frozen/hashable): UDF
+    """Per-process detector LRU cache (PipelineConfig is frozen/hashable): UDF
     closures ship only the compact config; the gazetteer automaton builds
     ONCE per Python worker process on first use and is reused across batches
     and tasks (pyspark reuses workers). Keeps the pickled closure proportional
@@ -92,6 +97,10 @@ def get_detector(config: PipelineConfig):
     if det is None:
         det = build_detector(config)
         _DETECTOR_CACHE[config] = det
+        if len(_DETECTOR_CACHE) > _DETECTOR_CACHE_MAX:
+            _DETECTOR_CACHE.popitem(last=False)
+    else:
+        _DETECTOR_CACHE.move_to_end(config)
     return det
 
 

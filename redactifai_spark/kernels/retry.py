@@ -28,10 +28,21 @@ def call_with_retries(
     *args,
     attempts: int = 1,
     backoff_s: float = 0.0,
+    retryable: tuple = (Exception,),
     sleep=time.sleep,
 ):
-    """Call ``fn(*args)``; on exception retry up to ``attempts`` total tries
-    with exponential backoff (backoff_s, 2*backoff_s, 4*backoff_s, ...).
+    """Call ``fn(*args)``; on a ``retryable`` exception retry up to
+    ``attempts`` total tries with exponential backoff (backoff_s,
+    2*backoff_s, 4*backoff_s, ...).
+
+    ``retryable`` defaults to ``(Exception,)`` for parity with the
+    reference's ``autoretry_for=(Exception,)`` (src/tasks.py:47) — note the
+    cost: a DETERMINISTIC per-row failure (bad bytes, parse error) then pays
+    ``attempts - 1`` wasted re-parses plus any backoff sleeps inside the
+    executor before X2 isolation marks the row failed. For I/O-backed steps
+    narrow it to transients, e.g. ``(OSError, TimeoutError, ConnectionError)``
+    — a non-retryable exception re-raises immediately, unchanged. The
+    recommended default stays ``backoff_s=0`` (no executor sleeps).
 
     attempts == 1 re-raises the original exception unchanged (byte-identical
     error messages to the no-retry path); attempts > 1 raises
@@ -43,7 +54,7 @@ def call_with_retries(
     for i in range(attempts):
         try:
             return fn(*args)
-        except Exception as exc:
+        except retryable as exc:
             last = exc
             if i < attempts - 1 and backoff_s > 0:
                 sleep(backoff_s * (2 ** i))

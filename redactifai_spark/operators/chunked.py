@@ -112,37 +112,61 @@ def run_pipeline_chunked(
     config: PipelineConfig = PipelineConfig(),
     chunk_size: int = 20_000,
     size_threshold: int | None = None,
+    extract_row_counter=None,
 ) -> DataFrame:
     """Full extract->detect->filter->redact pipeline for corpora with
-    pathological page sizes: rows whose extracted text exceeds
-    ``size_threshold`` (default: chunk_size) detect via the D5 chunked path
+    pathological page sizes: oversized rows detect via the D5 chunked path
     (bounded per-call Python, chunks fanned out across the cluster); the rest
     take the ordinary one-shot detect. Same output schema as
     ``pipeline.run_pipeline``; byte-identical to it whenever no PII span
     straddles a chunk boundary (chunks cut at newlines — see module note).
 
-    Requires distinct ``url`` values (they key the chunk regroup join).
+    Scale shape: the large/small routing is a CHEAP Catalyst proxy evaluated
+    BEFORE the extract UDF — exact (``length(text)``) when
+    ``prefer_text_column``, an upper bound (``length(html)`` octets >=
+    extracted char count, since extraction only drops markup) otherwise — so
+    each branch filters the raw scan and extraction runs exactly once per
+    input row (no branch recomputation; asserted by an accumulator test).
+    A row the proxy over-routes to the chunked path whose extracted text fits
+    one chunk detects identically to the one-shot path (single chunk == whole
+    doc), so routing is purely a cost decision. The oversized branch carries
+    its scalar payload through the chunk regroup keyed on a per-row unique id
+    (duplicate ``url`` values are safe) and reconstructs ``extracted_text``
+    from the exploded lines (split/join round-trip is byte-exact) instead of
+    self-joining — one extract pass, no join recompute.
+
+    ``extract_row_counter``: optional Spark accumulator test seam, incremented
+    once per row entering the extract UDF.
     """
     from .pipeline import OUTPUT_COLUMNS
 
     threshold = size_threshold if size_threshold is not None else chunk_size
 
+    # cheap pre-UDF routing proxy (never null: coalesce to 0 so null
+    # html/text rows route small and fail/coalesce exactly as run_pipeline)
     if config.prefer_text_column:
-        staged = df.withColumns(
-            {
-                "extracted_text": F.coalesce(F.col("text"), F.lit("")),
-                "n_blocks": F.lit(0),
-                "extract_error": F.lit(None).cast("string"),
-            }
-        )
+        proxy = F.length(F.coalesce(F.col("text"), F.lit("")))
     else:
+        proxy = F.length(F.col("html"))
+    is_large = F.coalesce(proxy, F.lit(0)) > F.lit(threshold)
+
+    def stage(frame: DataFrame) -> DataFrame:
+        if config.prefer_text_column:
+            return frame.withColumns(
+                {
+                    "extracted_text": F.coalesce(F.col("text"), F.lit("")),
+                    "n_blocks": F.lit(0),
+                    "extract_error": F.lit(None).cast("string"),
+                }
+            )
         extract = make_extract_udf(
             config.extract, sniff_format=config.sniff_format,
             retry_attempts=config.retry_attempts,
             retry_backoff_s=config.retry_backoff_s,
+            row_counter=extract_row_counter,
         )
-        staged = (
-            df.withColumn("_ex", extract(F.col("html")))
+        return (
+            frame.withColumn("_ex", extract(F.col("html")))
             .withColumns(
                 {
                     "extracted_text": F.col("_ex.extracted_text"),
@@ -153,18 +177,79 @@ def run_pipeline_chunked(
             .drop("_ex")
         )
 
-    is_large = F.length("extracted_text") > threshold
-    small = staged.filter(~is_large).withColumn(
+    payload = ["url", "warc_ts", "lang", "n_blocks", "extract_error"]
+
+    small = stage(df.filter(~is_large)).withColumn(
         "_spans_all", make_detect_udf(config)(F.col("extracted_text"))
+    ).select(*payload, "extracted_text", "_spans_all")
+
+    # oversized branch: extract once -> explode lines (scalar payload rides
+    # along) -> chunk -> bounded detect -> rebase -> regroup on _rid
+    staged_large = stage(df.filter(is_large)).withColumn(
+        "_rid", F.monotonically_increasing_id()
     )
-    large = staged.filter(is_large)
-    large_spans = detect_spans_chunked(
-        large, id_col="url", text_col="extracted_text",
-        config=config, chunk_size=chunk_size,
-    ).withColumnRenamed("spans", "_spans_all")
-    large = large.join(large_spans, "url", "left").withColumn(
-        "_spans_all", F.coalesce(F.col("_spans_all"), F.array().cast(
-            small.schema["_spans_all"].dataType.simpleString()))
+    lines = staged_large.select(
+        "_rid", *payload,
+        F.posexplode_outer(
+            F.split(F.coalesce("extracted_text", F.lit("")), "\n", -1)
+        ).alias("line_no", "line"),
+    )
+    w_prev = W.partitionBy("_rid").orderBy("line_no").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    lines = lines.withColumn(
+        "line_start",
+        F.coalesce(F.sum(F.length("line") + 1).over(w_prev), F.lit(0)).cast("long"),
+    ).withColumn("chunk_id", F.floor(F.col("line_start") / F.lit(chunk_size)))
+
+    chunks = lines.groupBy("_rid", "chunk_id").agg(
+        *[F.first(c).alias(c) for c in payload],
+        F.min("line_start").alias("chunk_base"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("chunk_text"),
+    )
+    detected = chunks.withColumn(
+        "_spans", make_detect_udf(config)(F.col("chunk_text"))
+    )
+    rebased = detected.withColumn(
+        "_spans",
+        F.transform(
+            F.col("_spans"),
+            lambda s: F.struct(
+                s["text"].alias("text"),
+                s["category"].alias("category"),
+                (s["offset"] + F.col("chunk_base")).alias("offset"),
+                s["length"].alias("length"),
+                s["confidence"].alias("confidence"),
+                s["subcategory"].alias("subcategory"),
+            ),
+        ),
+    )
+    large = (
+        rebased.groupBy("_rid")
+        .agg(
+            *[F.first(c).alias(c) for c in payload],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                "\n",
+            ).alias("extracted_text"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "_spans"))),
+                    lambda s: s["_spans"],
+                )
+            ).alias("_spans_raw"),
+        )
+        .withColumn("_spans_all", spans_sorted("_spans_raw"))
+        .select(*payload, "extracted_text", "_spans_all")
     )
     merged = small.unionByName(large)
 

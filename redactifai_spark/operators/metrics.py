@@ -56,7 +56,9 @@ def partition_metrics(output_df: DataFrame, run_id: str) -> DataFrame:
 
 
 def _is_table(target: str) -> bool:
-    return "/" not in target and "." in target
+    from ..sources.sinks import is_table_identifier
+
+    return is_table_identifier(target)
 
 
 def _read_target(spark, target: str) -> DataFrame:
@@ -127,18 +129,19 @@ def fully_committed_files(
     EVERY row is already committed: the safe delete/archive list for an
     external janitor (or an Iceberg `expire`/`rewrite_data_files` action).
 
-    Returns (file, n_rows). One scan of each side; the committed side is
-    pruned to urls only."""
+    Returns (file, n_rows). ONE scan of each side: a left join flags committed
+    urls, then a single aggregation computes total and done counts together
+    (the committed side is deduped, so the join cannot fan out)."""
     src = source_df.select(F.col(url_col), F.input_file_name().alias("_file"))
-    done = committed_df.select(url_col).distinct()
-    n_done = (
-        src.join(done, url_col, "left_semi")
-        .groupBy("_file").agg(F.count("*").alias("n_done"))
-    )
-    totals = src.groupBy("_file").agg(F.count("*").alias("n_total"))
+    done = committed_df.select(url_col).distinct().withColumn("_done", F.lit(1))
     return (
-        totals.join(n_done, "_file", "left")
-        .filter(F.coalesce(F.col("n_done"), F.lit(0)) == F.col("n_total"))
+        src.join(done, url_col, "left")
+        .groupBy("_file")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.coalesce(F.col("_done"), F.lit(0))).alias("n_done"),
+        )
+        .filter(F.col("n_done") == F.col("n_total"))
         .select(F.col("_file").alias("file"), F.col("n_total").alias("n_rows"))
     )
 

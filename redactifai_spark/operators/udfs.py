@@ -30,6 +30,7 @@ def make_extract_udf(
     sniff_format: bool = False,
     retry_attempts: int = 1,
     retry_backoff_s: float = 0.0,
+    row_counter=None,
 ):
     """html:binary -> struct(extracted_text, n_blocks, extract_error).
 
@@ -39,6 +40,8 @@ def make_extract_udf(
     ``retry_attempts`` > 1 retries transient per-row failures in place (X3,
     tasks.py:45-52 parity) before X2 isolation records the row as failed —
     the attempt count lands in extract_error.
+    ``row_counter``: optional Spark accumulator, incremented by the number of
+    rows each batch processes — a test seam for exactly-once-per-row plans.
     """
     from ..kernels.retry import call_with_retries
 
@@ -61,6 +64,8 @@ def make_extract_udf(
 
     @pandas_udf(EXTRACT_TYPE)
     def extract(html: pd.Series) -> pd.DataFrame:
+        if row_counter is not None:
+            row_counter.add(len(html))
         texts: list[str] = []
         n_blocks: list[int] = []
         errors: list[str | None] = []

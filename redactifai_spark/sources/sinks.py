@@ -24,6 +24,25 @@ def iceberg_catalogs(spark: SparkSession) -> list[str]:
     return out
 
 
+_PATH_SUFFIXES = (".parquet", ".orc", ".json", ".csv", ".avro", ".txt")
+
+
+def is_table_identifier(target: str) -> bool:
+    """True only for dotted catalog identifiers (``cat.db.tbl`` / ``db.tbl``)
+    that cannot be mistaken for a relative file path: slash-free, dotted, no
+    known data-file extension, and not an existing filesystem path — so
+    ``--output clean.parquet`` stays a parquet path, never a managed table."""
+    import os
+
+    if "/" in target or "\\" in target or "." not in target:
+        return False
+    if target.lower().endswith(_PATH_SUFFIXES):
+        return False
+    if os.path.exists(target):
+        return False
+    return True
+
+
 def write_output(df: DataFrame, target: str, mode: str = "append") -> str:
     """Write pipeline output; returns 'iceberg', 'table', or 'parquet'.
 
@@ -36,8 +55,7 @@ def write_output(df: DataFrame, target: str, mode: str = "append") -> str:
     ``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>`` +
     ``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog``."""
     spark = df.sparkSession
-    looks_like_table = "/" not in target and target.count(".") >= 1
-    if looks_like_table:
+    if is_table_identifier(target):
         catalog = target.split(".", 1)[0]
         is_iceberg = catalog in iceberg_catalogs(spark)
         writer = df.writeTo(target).using("iceberg" if is_iceberg else "parquet")

@@ -119,6 +119,57 @@ def test_run_pipeline_chunked_mixed_sizes(spark):
     assert out["small://2"]["redacted_text"] == "tiny clean line"
 
 
+def test_run_pipeline_chunked_extract_runs_once_per_row(spark):
+    # the round-2 scale flaw: extract used to re-run per branch (~3x over the
+    # input). The accumulator counts rows entering the extract UDF across ALL
+    # evaluations — it must equal the input row count exactly, which also
+    # proves the cheap routing proxy filters BEFORE the UDF.
+    from redactifai_spark.operators.chunked import run_pipeline_chunked
+
+    pages = generate_pages(spark, 40, n_partitions=4)
+    n = pages.count()
+    counter = spark.sparkContext.accumulator(0)
+    out = run_pipeline_chunked(
+        pages, chunk_size=64, size_threshold=0, extract_row_counter=counter
+    ).collect()
+    assert len(out) == n
+    assert counter.value == n
+
+    # mixed routing (some rows small, some large) still exactly once
+    counter2 = spark.sparkContext.accumulator(0)
+    out2 = run_pipeline_chunked(
+        pages, chunk_size=4096, size_threshold=512, extract_row_counter=counter2
+    ).collect()
+    assert len(out2) == n
+    assert counter2.value == n
+
+
+def test_run_pipeline_chunked_duplicate_urls(spark):
+    # duplicate urls must NOT merge spans across rows (round-2 ADVICE): the
+    # regroup is keyed on a per-row unique id, so each row redacts alone.
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.chunked import run_pipeline_chunked
+    from redactifai_spark.operators.pipeline import run_pipeline
+
+    t1 = "\n".join(f"line {i} mail a{i}@x.org ok" for i in range(40))
+    t2 = "\n".join(f"row {i} SSN 123-45-6789 here" for i in range(40))
+    rows = [("dup://u", None, None, t1, "en"), ("dup://u", None, None, t2, "en"),
+            ("dup://u", None, None, "clean tiny", "en")]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    df = spark.createDataFrame(rows, schema)
+    cfg = PipelineConfig(prefer_text_column=True)
+    got = sorted(
+        (r["extracted_text"], r["redacted_text"], r["n_spans"])
+        for r in run_pipeline_chunked(df, cfg, chunk_size=128).collect()
+    )
+    ref = sorted(
+        (r["extracted_text"], r["redacted_text"], r["n_spans"])
+        for r in run_pipeline(df, cfg).collect()
+    )
+    assert got == ref
+    assert len(got) == 3 and got != [] and {g[2] for g in got} == {0, 40}
+
+
 def test_chunked_parity_randomized_corpus(spark):
     # deterministic randomized corpus: empty lines, newline runs, partial
     # patterns at line edges, PII mid-line, very long lines — one Spark job

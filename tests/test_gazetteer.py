@@ -122,3 +122,16 @@ def test_gazetteer_loaded_from_worker_path(spark, tmp_path):
     staged = {r["url"]: r["redacted_text"]
               for r in run_pipeline(df, cfg, fused=False).collect()}
     assert staged == {u: r["redacted_text"] for u, r in out.items()}
+
+
+def test_detector_cache_is_bounded():
+    from redactifai_spark.kernels import oracle as O
+
+    O._DETECTOR_CACHE.clear()
+    for i in range(O._DETECTOR_CACHE_MAX + 5):
+        O.get_detector(O.PipelineConfig(gazetteer_names=(f"Name{i}",)))
+    assert len(O._DETECTOR_CACHE) == O._DETECTOR_CACHE_MAX
+    # most-recent config still cached (LRU keeps the hot entry)
+    hot = O.PipelineConfig(gazetteer_names=(f"Name{O._DETECTOR_CACHE_MAX + 4}",))
+    assert hot in O._DETECTOR_CACHE
+    O._DETECTOR_CACHE.clear()

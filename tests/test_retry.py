@@ -69,3 +69,21 @@ def test_pipeline_error_carries_attempt_count(spark):
         assert "attempts=2" in row["error"]
     else:  # the tiny PDF parses to empty text — still a valid complete row
         assert row["extracted_text"] == ""
+
+
+def test_non_retryable_exception_reraises_immediately():
+    from redactifai_spark.kernels.retry import call_with_retries
+
+    calls = []
+
+    def bad():
+        calls.append(1)
+        raise ValueError("deterministic parse failure")
+
+    try:
+        call_with_retries(bad, attempts=5, retryable=(OSError,), sleep=lambda s: None)
+    except ValueError as exc:
+        assert "deterministic" in str(exc)
+    else:
+        raise AssertionError("expected ValueError")
+    assert len(calls) == 1  # no wasted re-parses for non-transient failures

@@ -119,3 +119,25 @@ def test_bucketed_tables_join_without_shuffle(spark):
         for t in (a_t, b_t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_is_table_identifier_path_guard(tmp_path):
+    # relative file paths with extensions must never route to the catalog
+    from redactifai_spark.sources.sinks import is_table_identifier
+
+    assert is_table_identifier("db.tbl")
+    assert is_table_identifier("cat.db.tbl")
+    assert not is_table_identifier("pages.parquet")
+    assert not is_table_identifier("clean.ORC")
+    assert not is_table_identifier("out/dir")
+    assert not is_table_identifier("plain")
+    # an existing dotted path (e.g. a directory named like a table) is a path
+    p = tmp_path / "my.data"
+    p.mkdir()
+    import os
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        assert not is_table_identifier("my.data")
+    finally:
+        os.chdir(cwd)
