@@ -3,10 +3,17 @@
 Images/audio/video ride as ``binary`` columns exactly like the reference's TIFF
 bytes ride through its pipeline (/root/reference/src/tasks.py:111-140). The
 Spark-side plumbing — schemas, mapInPandas batch shape, partition-friendly
-signatures — is real and tested; the codec step itself is STUBBED because this
-container has no image/audio libraries: ``decode_stub=True`` (default) computes
-deterministic byte-level features, ``decode_stub=False`` raises
-NotImplementedError where PIL/ffmpeg would be called.
+signatures — is real and tested. Two codec modes:
+
+- ``decode_stub=True`` (default): deterministic byte-level features, no
+  decode — the fast fake for plumbing tests and for formats the container
+  cannot decode.
+- ``decode_stub=False``: REAL decoding via the pure-stdlib codecs in
+  ``kernels.codecs`` (mirrors the reference's bytes->PIL decode,
+  tiff_processor.py:43-91): BMP/PPM/PNG pixels for images, WAV PCM samples
+  for audio — features are computed from actual pixels/samples. Video has no
+  stdlib parser and stays honestly stubbed (NotImplementedError -> the row
+  fails in isolation, never the task).
 """
 
 from __future__ import annotations
@@ -39,7 +46,7 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_DIM = 16
+from ..kernels.codecs import FEATURE_DIM  # single source of the feature width
 
 
 def _stub_feature(payload: bytes) -> list[float]:
@@ -62,20 +69,29 @@ def extract_media_features(
     call on a cluster with the codecs installed."""
 
     def _features(batches):
+        from ..kernels.codecs import audio_feature, image_feature
+
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 try:
-                    if not decode_stub:
-                        raise NotImplementedError(
-                            "real codec path requires PIL/ffmpeg (not in container)"
-                        )
                     payload = bytes(payload) if payload is not None else b""
+                    if decode_stub:
+                        feature = _stub_feature(payload)
+                    elif kind == "image":
+                        feature = image_feature(payload)
+                    elif kind == "audio":
+                        feature = audio_feature(payload)
+                    else:
+                        raise NotImplementedError(
+                            f"no stdlib decoder for kind={kind!r} (video needs "
+                            "ffmpeg, not in container)"
+                        )
                     rows.append({
                         "media_id": mid, "kind": kind,
                         "n_bytes": len(payload),
                         "digest": hashlib.blake2b(payload, digest_size=16).hexdigest(),
-                        "feature": _stub_feature(payload),
+                        "feature": feature,
                         "status": "complete", "error": None,
                     })
                 except Exception as exc:
@@ -88,6 +104,46 @@ def extract_media_features(
 
     cols = media.select("media_id", "kind", "payload")
     return cols.mapInPandas(_features, FEATURE_SCHEMA)
+
+
+def generate_real_media(spark, n_rows: int, n_partitions: int | None = None) -> DataFrame:
+    """Deterministic synthetic media with REAL encoded payloads (BMP/PPM/PNG
+    images, WAV audio — rotating by id; every 7th image is deliberately
+    corrupt to exercise failure isolation). Executor-side encode via
+    mapInPandas: test plumbing, not a hot-path operator."""
+    from ..kernels.codecs import encode_bmp, encode_png, encode_ppm, encode_wav
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 4 == 3:
+                    kind, ct = "audio", "audio/wav"
+                    samples = [((i + 1) * 37 * t) % 20001 - 10000
+                               for t in range(800 + i % 160)]
+                    payload = encode_wav(samples, framerate=8000 + (i % 3) * 4000)
+                else:
+                    kind = "image"
+                    w, h = 4 + i % 13, 3 + i % 7
+                    rgb = bytes(((i + 1) * (p + 1) * 2654435761) % 256
+                                for p in range(w * h * 3))
+                    enc, ct = [(encode_bmp, "image/bmp"), (encode_ppm, "image/x-ppm"),
+                               (encode_png, "image/png")][i % 3]
+                    payload = enc(w, h, rgb)
+                    if i % 7 == 0:
+                        payload = payload[: len(payload) // 2]  # corrupt
+                rows.append({
+                    "media_id": i,
+                    "url": f"https://cdn.example.com/m/{i}",
+                    "kind": kind, "content_type": ct, "payload": payload,
+                    "meta": {"source": "synthetic-real"},
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(0, n_rows, 1, n_partitions or 8).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
 
 
 def generate_media(spark, n_rows: int, n_partitions: int | None = None) -> DataFrame:

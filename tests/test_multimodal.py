@@ -38,10 +38,59 @@ def test_deterministic(media):
     assert a == b
 
 
-def test_real_codec_path_gated(media):
+def test_real_codec_path_on_garbage_isolates(media):
+    # synthetic generate_media payloads are NOT valid media: the real codec
+    # path must fail each row in isolation (CodecError for image/audio,
+    # NotImplementedError for video — no stdlib video parser), never the task
     rows = extract_media_features(media, decode_stub=False).collect()
     assert all(r["status"] == "failed" for r in rows)
-    assert all("NotImplementedError" in r["error"] for r in rows)
+    by_kind = {r["kind"]: r["error"] for r in rows}
+    assert "CodecError" in by_kind["image"]
+    assert "CodecError" in by_kind["audio"]
+    assert "NotImplementedError" in by_kind["video"]
+
+
+def test_codec_round_trips():
+    # pure-kernel: every encoder/decoder pair is byte-exact
+    from redactifai_spark.kernels.codecs import (
+        decode_bmp, decode_image, decode_png, decode_ppm, decode_wav,
+        encode_bmp, encode_png, encode_ppm, encode_wav,
+    )
+
+    rgb = bytes((i * 37) % 256 for i in range(11 * 5 * 3))
+    for enc, dec in [(encode_ppm, decode_ppm), (encode_bmp, decode_bmp),
+                     (encode_png, decode_png)]:
+        assert dec(enc(11, 5, rgb)) == (11, 5, rgb)
+        assert decode_image(enc(11, 5, rgb)) == (11, 5, rgb)  # magic routing
+    samples = [(i * 123) % 8001 - 4000 for i in range(1000)]
+    assert decode_wav(encode_wav(samples, 16000, 1)) == (1, 16000, 2, samples)
+
+
+def test_real_decode_end_to_end(spark):
+    # real payloads through the Spark path: features equal the pure-Python
+    # kernel's on the same bytes; the planted-corrupt rows fail in isolation
+    from redactifai_spark.kernels.codecs import audio_feature, image_feature
+    from redactifai_spark.operators.multimodal import generate_real_media
+
+    media = generate_real_media(spark, 48, n_partitions=4)
+    local = {r["media_id"]: (r["kind"], bytes(r["payload"]))
+             for r in media.collect()}
+    got = {r["media_id"]: r
+           for r in extract_media_features(media, decode_stub=False).collect()}
+    assert got.keys() == local.keys()
+    n_ok = n_fail = 0
+    for mid, (kind, payload) in local.items():
+        r = got[mid]
+        if mid % 4 != 3 and mid % 7 == 0:  # planted corrupt image
+            assert r["status"] == "failed" and "CodecError" in r["error"], mid
+            n_fail += 1
+            continue
+        assert r["status"] == "complete", (mid, r["error"])
+        expect = audio_feature(payload) if kind == "audio" else image_feature(payload)
+        assert [round(x, 6) for x in r["feature"]] == \
+               [round(x, 6) for x in expect], mid
+        n_ok += 1
+    assert n_ok > 30 and n_fail > 3
 
 
 def test_null_payload_isolated(spark):
