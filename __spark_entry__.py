@@ -550,6 +550,114 @@ def _docs_chunked_detect(spark, sf_dir):
     )
 
 
+def _docs_match_regions(spark, sf_dir):
+    # J1-J7 composed: the noisy-token EntityMatcher (offset-map walk with
+    # fuzzy locate -> span<->token overlap join -> Levenshtein validation ->
+    # block grouping + padding + confidence gate) over a deterministic
+    # fixture whose regions are pure arithmetic. Per doc: 40 fixed-width
+    # (8-char md5) words joined by single spaces; every (doc_id+t)%5==0 token
+    # (except the last — nothing follows it, so the fuzzy window could not
+    # try the exact length) gets TWO mid-word substitutions ('z','q' never
+    # occur in hex), which the fuzzy locate must absorb at the ORIGINAL
+    # length, keeping the offset map exact: token t <-> [9t, 9t+8). Entities
+    # are planted at word index a=(doc_id*7+e*11)%39 spanning n=1+e%2 words;
+    # the 0.65 confidence gate keeps e%5>=2. Regions split per 10-word block
+    # with padding 3 clamped to [0, 359]. Verified against the pure kernel
+    # for 2100 doc ids (> all (mod 5, mod 39) residue classes).
+    from redactifai_spark.operators.udfs import make_match_udf
+
+    K, W, BLK, PAD, NENT = 40, 8, 10, 3, 6
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    df = docs.withColumn(
+        "_words",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(K - 1)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws("-", F.col("doc_id").cast("string"),
+                                  i.cast("string"))), 1, W),
+        ),
+    )
+    tokens = F.transform(
+        F.col("_words"),
+        lambda w, i: F.struct(
+            F.when(
+                ((F.col("doc_id") + i) % 5 == 0) & (i < K - 1),
+                F.concat(F.substring(w, 1, 1), F.lit("zq"),
+                         F.substring(w, 4, W - 3)),
+            ).otherwise(w).alias("text"),
+            (F.floor(i / BLK) + 1).cast("int").alias("block"),
+        ),
+    )
+    cats = F.array(F.lit("Email"), F.lit("Person"), F.lit("Phone"))
+    confs = F.array(*[F.lit(c) for c in (0.5, 0.6, 0.7, 0.8, 0.9)])
+
+    def ent(e):
+        a = (F.col("doc_id") * 7 + e * 11) % (K - 1)
+        n = 1 + e % 2
+        first = F.element_at("_words", (a + 1).cast("int"))
+        text = first if n == 1 else F.concat_ws(
+            " ", first, F.element_at("_words", (a + 2).cast("int")))
+        return F.struct(
+            text.alias("text"),
+            F.lit(["Email", "Person", "Phone"][e % 3]).alias("category"),
+            (a * (W + 1)).cast("long").alias("offset"),
+            F.lit(n * W + n - 1).cast("long").alias("length"),
+            F.lit([0.5, 0.6, 0.7, 0.8, 0.9][e % 5]).alias("confidence"),
+        )
+
+    ents = F.array(*[ent(e) for e in range(NENT)])
+    match = make_match_udf(fuzzy_threshold=2, confidence_threshold=0.65,
+                           padding=PAD)
+    out = df.withColumn(
+        "_regions", match(F.array_join("_words", " "), tokens, ents)
+    )
+    return out.select("doc_id", F.explode("_regions").alias("r")).select(
+        "doc_id",
+        F.col("r.block").cast("long").alias("block"),
+        F.col("r.start").alias("region_start"),
+        F.col("r.end").alias("region_end"),
+        F.col("r.category").alias("category"),
+        F.col("r.confidence").alias("confidence"),
+    )
+
+
+# the gazetteer fixture sentence: every span offset below is arithmetic in
+# the doc-dependent pad length p = doc_id % 7 + 1 prepended before it
+_GAZ_SENTENCE = (
+    " meet alice johnson. then Dr. Alice Johnson arrived. "
+    "Blue Cross denied bobby claim while Zara Quill watched."
+)
+
+
+def _docs_gazetteer_hits(spark, sf_dir):
+    # D2 driver-oracled: gazetteer trie + name-heuristic interplay. Per doc,
+    # p = doc_id%7+1 'x' chars are prepended to a fixed sentence planting:
+    # lowercase "alice johnson" (gazetteer only — heuristic needs caps);
+    # "Dr. Alice Johnson" (BOTH gazetteer and the Dr-lookbehind heuristic ->
+    # HealthcareProfessional); "Blue Cross" (SKIP-PHRASE kills the heuristic,
+    # gazetteer still fires); "bobby" (gazetteer "Bob" suppressed by word
+    # bounding); "Zara Quill" (heuristic only). 5 spans/doc at offsets p+6,
+    # p+30 (x2), p+53, p+89 — pure arithmetic.
+    from redactifai_spark.operators.udfs import make_detect_udf
+
+    cfg = PipelineConfig(
+        gazetteer_names=("Alice Johnson", "Blue Cross", "Bob"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    text = F.concat(
+        F.repeat(F.lit("x"), (F.col("doc_id") % 7 + 1).cast("int")),
+        F.lit(_GAZ_SENTENCE),
+    )
+    df = docs.withColumn("_spans", make_detect_udf(cfg)(text))
+    return df.select("doc_id", F.explode("_spans").alias("s")).select(
+        "doc_id",
+        F.col("s.category").alias("category"),
+        F.col("s.offset").alias("offset"),
+        F.col("s.length").alias("length"),
+        F.col("s.confidence").alias("confidence"),
+        F.col("s.subcategory").alias("subcategory"),
+    )
+
+
 _FUNNEL_ARGS = dict(
     quality_min=0.2,
     langs=("en", "und", "de", "fr", "es"),
@@ -677,6 +785,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "docs_simhash_neardups": _docs_simhash_neardups,
         "docs_lang_detect": _docs_lang_detect,
         "docs_chunked_detect": _docs_chunked_detect,
+        "docs_match_regions": _docs_match_regions,
+        "docs_gazetteer_hits": _docs_gazetteer_hits,
         "docs_winnow_fingerprints": _docs_winnow_fingerprints,
         "embeddings_lsh_topk": _embeddings_lsh_topk,
         "embeddings_ivf_topk": _embeddings_ivf_topk,
@@ -1023,6 +1133,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST((r.j - 1) * (n + dlen + 41) + n + 14 AS BIGINT) AS \"offset\", "
             "CAST(21 + dlen AS BIGINT) AS length, 'Email' AS category "
             "FROM u, range(1, 9) r(j)"
+        ),
+        "docs_match_regions": (
+            # arithmetic replay of the matcher fixture (see _docs_match_regions):
+            # kept entities e in {2,3,4} (conf >= 0.65), word index
+            # a=(doc_id*7+e*11)%39, n=1+e%2 words, regions split per 10-word
+            # block, padding 3 clamped to [0, 359]
+            "WITH ents AS ("
+            "  SELECT d.doc_id, e.e,"
+            "         (d.doc_id * 7 + e.e * 11) % 39 AS a,"
+            "         1 + (e.e % 2) AS n,"
+            "         CASE CAST(e.e % 3 AS INT) WHEN 0 THEN 'Email'"
+            "           WHEN 1 THEN 'Person' ELSE 'Phone' END AS category,"
+            "         CAST(CASE CAST(e.e % 5 AS INT) WHEN 2 THEN 0.7"
+            "           WHEN 3 THEN 0.8 ELSE 0.9 END AS DOUBLE) AS confidence"
+            "  FROM documents d, (SELECT unnest(range(0, 6)) AS e) e"
+            "  WHERE (e.e % 5) >= 2), "
+            "blocks AS ("
+            "  SELECT doc_id, category, confidence, a, n,"
+            "         unnest(range(a // 10, (a + n - 1) // 10 + 1)) AS b0"
+            "  FROM ents) "
+            "SELECT doc_id, CAST(b0 + 1 AS BIGINT) AS block,"
+            "       CAST(GREATEST(0, GREATEST(a, b0 * 10) * 9 - 3) AS BIGINT)"
+            "         AS region_start,"
+            "       CAST(LEAST(359, LEAST(a + n - 1, b0 * 10 + 9) * 9 + 11)"
+            "         AS BIGINT) AS region_end,"
+            "       category, confidence "
+            "FROM blocks"
+        ),
+        "docs_gazetteer_hits": (
+            # fixed sentence spans shifted by the pad p = doc_id%7+1
+            "SELECT d.doc_id, v.category,"
+            "       CAST(v.off + (d.doc_id % 7) + 1 AS BIGINT) AS \"offset\","
+            "       CAST(v.len AS BIGINT) AS length,"
+            "       CAST(v.conf AS DOUBLE) AS confidence, v.subcat AS subcategory "
+            "FROM documents d, (VALUES"
+            "  ('Person', 6, 13, 0.85, 'Gazetteer'),"
+            "  ('Person', 30, 13, 0.85, 'Gazetteer'),"
+            "  ('HealthcareProfessional', 30, 13, 0.90, 'PersonName'),"
+            "  ('Person', 53, 10, 0.85, 'Gazetteer'),"
+            "  ('Person', 89, 10, 0.90, 'PersonName')"
+            ") v(category, off, len, conf, subcat)"
         ),
         "docs_simhash_neardups": _simhash_neardups_oracle_sql(),
         "embeddings_lsh_topk": _lsh_topk_oracle_sql(),
