@@ -550,6 +550,131 @@ def _docs_chunked_detect(spark, sf_dir):
     )
 
 
+def _embeddings_ann_recall(spark, sf_dir):
+    # ANN recall@k MEASURED, not asserted (the round-2 re-parameterization
+    # hazard): the recall/cost CURVE of hyperplane LSH at 4 planes for
+    # probe_hamming 0 (single bucket) and 1 (multi-probe), vs exact
+    # brute-force cosine top-10, for the 5 query vectors vec_id<5. Output per
+    # (query, probe): candidate-set size (the cost), hit count, recall. The
+    # synthetic embeddings are near-random, so recall is genuinely partial —
+    # the metric detects a re-parameterization regression instead of
+    # vacuously reading 1.0. Oracle replays buckets + both top-ks + the
+    # recall join in SQL from the same hyperplane literals.
+    from redactifai_spark.operators.similarity import (
+        _hyperplanes, brute_force_topk, lsh_topk, with_lsh_bucket,
+    )
+
+    N_PLANES, K, N_Q = 4, 10, 5
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+          for r in emb.filter(F.col("vec_id") < N_Q).collect()}
+    indexed = with_lsh_bucket(emb, dim=64, n_planes=N_PLANES)
+    exacts, approxes, cand_counts = [], [], []
+    for qid in sorted(qs):
+        exacts.append(
+            brute_force_topk(emb, qs[qid], k=K)
+            .select(F.lit(qid).cast("long").alias("query_id"), "vec_id"))
+    for h in (0, 1):
+        for qid in sorted(qs):
+            key = [F.lit(qid).cast("long").alias("query_id"),
+                   F.lit(h).cast("long").alias("probe_hamming")]
+            approxes.append(
+                lsh_topk(indexed, qs[qid], dim=64, k=K, n_planes=N_PLANES,
+                         probe_hamming=h).select(*key, "vec_id"))
+            # candidate-set size = the scan cost of this probe setting
+            base = 0
+            for i, plane in enumerate(_hyperplanes(N_PLANES, 64)):
+                if sum(float(a) * b for a, b in zip(qs[qid], plane)) >= 0:
+                    base |= 1 << i
+            buckets = {base} | (
+                {base ^ (1 << i) for i in range(N_PLANES)} if h else set())
+            cand_counts.append(
+                indexed.filter(F.col("bucket").isin(*sorted(buckets)))
+                .agg(F.count("*").alias("n_cand")).select(*key, "n_cand"))
+
+    def _union(frames):
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    exact_all = _union(exacts)
+    approx_all = _union(approxes)
+    cand_all = _union(cand_counts)
+    probes = approx_all.select("query_id", "probe_hamming").distinct()
+    hits = (
+        exact_all.join(probes, "query_id")
+        .join(approx_all.withColumn("_hit", F.lit(1)),
+              ["query_id", "probe_hamming", "vec_id"], "left")
+        .groupBy("query_id", "probe_hamming")
+        .agg(F.count("*").alias("n_exact"),
+             F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+    )
+    n_approx = approx_all.groupBy("query_id", "probe_hamming").agg(
+        F.count("*").alias("n_approx"))
+    return (
+        hits.join(n_approx, ["query_id", "probe_hamming"])
+        .join(cand_all, ["query_id", "probe_hamming"])
+        .select(
+            "query_id", "probe_hamming", "n_cand", "n_exact", "n_approx",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact").cast("double"))
+            .alias("recall"),
+        )
+    )
+
+
+def _ann_recall_oracle_sql(n_planes: int = 4, k: int = 10, n_q: int = 5) -> str:
+    """SQL twin of _embeddings_ann_recall: buckets from the shared hyperplane
+    literals, exact and bucket-candidate top-k per (query, probe_hamming in
+    {0,1}) via ROW_NUMBER, recall by left-join counting."""
+    from redactifai_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, 64)
+    vals = ", ".join(
+        f"({p}, {j + 1}, {w!r})"
+        for p, plane in enumerate(planes) for j, w in enumerate(plane)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+        f"p(plane_id, i, w) AS (VALUES {vals}), "
+        "d AS (SELECT e.vec_id, p.plane_id, SUM(e.ev * p.w) AS dot "
+        "FROM e JOIN p USING (i) GROUP BY 1, 2), "
+        "b AS (SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN 1 << plane_id "
+        "ELSE 0 END) AS BIGINT) AS bucket FROM d GROUP BY 1), "
+        f"q AS (SELECT vec_id AS qid, i, ev AS qv FROM e WHERE vec_id < {n_q}), "
+        "sims AS (SELECT q.qid, e.vec_id, SUM(e.ev * q.qv) AS dot, "
+        "SUM(e.ev * e.ev) AS nrm, SUM(q.qv * q.qv) AS qn "
+        "FROM e JOIN q USING (i) GROUP BY 1, 2), "
+        "exact AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, ROW_NUMBER() "
+        "OVER (PARTITION BY qid ORDER BY dot / sqrt(nrm * qn) DESC, vec_id ASC) "
+        f"AS rn FROM sims) t WHERE rn <= {k}), "
+        f"qb AS (SELECT vec_id AS qid, bucket AS qbucket FROM b WHERE vec_id < {n_q}), "
+        "hh AS (SELECT unnest([0, 1]) AS h), "
+        "cand AS (SELECT qb.qid, hh.h, b.vec_id FROM b, qb, hh "
+        "WHERE bit_count(xor(CAST(b.bucket AS UBIGINT), "
+        "CAST(qb.qbucket AS UBIGINT))) <= hh.h), "
+        "cc AS (SELECT qid, h, COUNT(*) AS n_cand FROM cand GROUP BY 1, 2), "
+        "approx AS (SELECT qid, h, vec_id FROM (SELECT s.qid, c.h, s.vec_id, "
+        "ROW_NUMBER() OVER (PARTITION BY s.qid, c.h "
+        "ORDER BY s.dot / sqrt(s.nrm * s.qn) DESC, s.vec_id ASC) AS rn "
+        "FROM sims s JOIN cand c ON c.qid = s.qid AND c.vec_id = s.vec_id) t "
+        f"WHERE rn <= {k}), "
+        "counts AS (SELECT ex.qid, hh.h, COUNT(*) AS n_exact, "
+        "SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits "
+        "FROM exact ex CROSS JOIN hh LEFT JOIN approx ap ON ap.qid = ex.qid "
+        "AND ap.h = hh.h AND ap.vec_id = ex.vec_id GROUP BY 1, 2), "
+        "ac AS (SELECT qid, h, COUNT(*) AS n_approx FROM approx GROUP BY 1, 2) "
+        "SELECT counts.qid AS query_id, CAST(counts.h AS BIGINT) AS probe_hamming, "
+        "CAST(cc.n_cand AS BIGINT) AS n_cand, CAST(n_exact AS BIGINT) AS n_exact, "
+        "CAST(n_approx AS BIGINT) AS n_approx, CAST(n_hits AS BIGINT) AS n_hits, "
+        "CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall "
+        "FROM counts JOIN ac ON ac.qid = counts.qid AND ac.h = counts.h "
+        "JOIN cc ON cc.qid = counts.qid AND cc.h = counts.h"
+    )
+
+
 def _docs_match_regions(spark, sf_dir):
     # J1-J7 composed: the noisy-token EntityMatcher (offset-map walk with
     # fuzzy locate -> span<->token overlap join -> Levenshtein validation ->
@@ -791,6 +916,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embeddings_lsh_topk": _embeddings_lsh_topk,
         "embeddings_ivf_topk": _embeddings_ivf_topk,
         "embeddings_near_pairs": _embeddings_near_pairs,
+        "embeddings_ann_recall": _embeddings_ann_recall,
         "training_corpus_funnel": _training_corpus,
     }
 
@@ -1179,6 +1305,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_lsh_topk": _lsh_topk_oracle_sql(),
         "embeddings_ivf_topk": _ivf_topk_oracle_sql(),
         "embeddings_near_pairs": _near_pairs_oracle_sql(),
+        "embeddings_ann_recall": _ann_recall_oracle_sql(),
         "training_corpus_funnel": _funnel_oracle_sql(),
         "redact_pages": _redact_pages_oracle_sql(),
         "events_type_counts": (

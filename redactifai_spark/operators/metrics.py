@@ -156,3 +156,23 @@ def resume_filter(source_df: DataFrame, committed_df: DataFrame | None) -> DataF
         return source_df
     done = committed_df.select("url")
     return source_df.join(done, on="url", how="left_anti")
+
+
+def resume_filter_from_runs(
+    source_df: DataFrame, committed_target: str, run_ids: list[str]
+) -> DataFrame:
+    """X4 snapshot-resume: treat exactly the named ``run_ids`` as COMPLETE
+    (the reference's PENDING->COMPLETE job state machine, db/models.py:13-18,
+    mapped onto committed snapshots) and drop their urls from the source.
+
+    The committed side is read WITH the run_id predicate, so only those
+    runs' data is scanned — ``run_and_commit`` writes parquet partitioned by
+    run_id, making this a partition-pruned read (plan-asserted in tests);
+    on Iceberg the same predicate prunes by the run_id partition transform,
+    and a snapshot-id read (``VERSION AS OF``) is the equivalent when run ==
+    snapshot. Never re-reads the whole committed table."""
+    spark = source_df.sparkSession
+    committed = _read_target(spark, committed_target).filter(
+        F.col("run_id").isin(list(run_ids))
+    )
+    return resume_filter(source_df, committed)

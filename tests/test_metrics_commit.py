@@ -77,3 +77,38 @@ def test_fully_committed_files_janitor_list(spark, tmp_path):
     # nothing committed -> empty janitor list
     none = committed.filter(F.lit(False))
     assert fully_committed_files(source, none).count() == 0
+
+
+def test_resume_from_specific_run_ids_prunes_partitions(spark, tmp_path):
+    # X4 snapshot-resume: resume against ONLY the named run_ids; the
+    # committed side is read with a run_id predicate that prunes to those
+    # run partitions (never re-reads the whole committed table).
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.operators.metrics import (
+        resume_filter_from_runs, run_and_commit,
+    )
+    from redactifai_spark.operators.pipeline import run_pipeline
+    from redactifai_spark.sources.pages import generate_pages
+
+    out = str(tmp_path / "clean")
+    metrics = str(tmp_path / "metrics")
+    pages = generate_pages(spark, 30, n_partitions=3)
+    half_a = pages.filter(F.xxhash64("url") % 2 == 0)
+    half_b = pages.filter(F.xxhash64("url") % 2 != 0)
+    run_and_commit(run_pipeline(half_a), out, metrics, run_id="run-1")
+    run_and_commit(run_pipeline(half_b), out, metrics, run_id="run-2")
+
+    # treat only run-1 as COMPLETE: exactly run-2's urls remain to process
+    remaining = resume_filter_from_runs(pages, out, ["run-1"])
+    assert remaining.count() == half_b.count()
+    assert {r["url"] for r in remaining.select("url").collect()} == \
+           {r["url"] for r in half_b.select("url").collect()}
+    # both runs complete -> nothing remains
+    assert resume_filter_from_runs(pages, out, ["run-1", "run-2"]).count() == 0
+    # the run_id predicate reaches the scan as a partition filter
+    plan = remaining._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "run_id" in plan, plan[:2000]
+    import re
+    pf = re.search(r"PartitionFilters: \[[^\]]*run_id[^\]]*\]", plan)
+    assert pf is not None, plan[:2000]
