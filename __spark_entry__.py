@@ -550,6 +550,57 @@ def _docs_chunked_detect(spark, sf_dir):
     )
 
 
+def _media_feature_stats(spark, sf_dir):
+    # Multimodal plumbing through the driver gate: documents text re-cast as
+    # binary media payloads -> mapInPandas feature extraction (stub codec:
+    # normalized byte histogram mod 16). The output re-materializes the
+    # histogram COUNTS (round(feature[i] * n_bytes) is exact for counts <
+    # 2^52), which DuckDB replays by counting characters per ord%16 bin —
+    # documents text is pure ASCII, so bytes == characters. The REAL codec
+    # path (BMP/PPM/PNG/WAV) is pytest-verified against the pure kernels
+    # (tests/test_multimodal.py) — PNG inflate is not SQL-expressible.
+    from redactifai_spark.operators.multimodal import (
+        FEATURE_DIM, extract_media_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("text/plain").alias("content_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("source"), F.lit("documents")).alias("meta"),
+    )
+    feats = extract_media_features(media)
+    bins = [
+        F.round(F.element_at("feature", i + 1) * F.col("n_bytes"))
+        .cast("long").alias(f"b{i}")
+        for i in range(FEATURE_DIM)
+    ]
+    return feats.select("media_id", "kind", "n_bytes", *bins)
+
+
+def _media_feature_stats_oracle_sql() -> str:
+    from redactifai_spark.operators.multimodal import FEATURE_DIM
+
+    bins = ", ".join(
+        f"CAST(len(list_filter(chars, c -> ord(c) % 16 = {i})) AS BIGINT) AS b{i}"
+        for i in range(FEATURE_DIM)
+    )
+    return (
+        "SELECT doc_id AS media_id, "
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+        "ELSE 'video' END AS kind, "
+        f"CAST(length(text) AS BIGINT) AS n_bytes, {bins} "
+        "FROM (SELECT doc_id, text, string_split(text, '') AS chars "
+        "FROM documents) t"
+    )
+
+
 def _embeddings_ann_recall(spark, sf_dir):
     # ANN recall@k MEASURED, not asserted (the round-2 re-parameterization
     # hazard): the recall/cost CURVE of hyperplane LSH at 4 planes for
@@ -917,6 +968,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embeddings_ivf_topk": _embeddings_ivf_topk,
         "embeddings_near_pairs": _embeddings_near_pairs,
         "embeddings_ann_recall": _embeddings_ann_recall,
+        "media_feature_stats": _media_feature_stats,
         "training_corpus_funnel": _training_corpus,
     }
 
@@ -1306,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_ivf_topk": _ivf_topk_oracle_sql(),
         "embeddings_near_pairs": _near_pairs_oracle_sql(),
         "embeddings_ann_recall": _ann_recall_oracle_sql(),
+        "media_feature_stats": _media_feature_stats_oracle_sql(),
         "training_corpus_funnel": _funnel_oracle_sql(),
         "redact_pages": _redact_pages_oracle_sql(),
         "events_type_counts": (
