@@ -50,6 +50,16 @@ def main(argv: list[str] | None = None) -> int:
                         "path string ships)")
     p.add_argument("--resume", action="store_true",
                    help="skip urls already present in --output")
+    p.add_argument("--resume-from-runs", default=None, metavar="RUN1,RUN2",
+                   help="snapshot-style resume: treat exactly these committed "
+                        "run_ids as COMPLETE and skip their urls; the "
+                        "committed side is read partition-pruned by run_id "
+                        "(never rescans the whole output)")
+    p.add_argument("--retry-attempts", type=int, default=1,
+                   help="X3: total tries per row for the extract step before "
+                        "failure isolation records it (1 = no retry)")
+    p.add_argument("--retry-backoff", type=float, default=0.0,
+                   help="X3: base backoff seconds (exponential per attempt)")
     p.add_argument("--fixed-point", action="store_true",
                    help="re-detect on masked text until clean")
     p.add_argument("--sniff-format", action="store_true",
@@ -92,12 +102,19 @@ def main(argv: list[str] | None = None) -> int:
         gazetteer_path=args.gazetteer_path,
         sniff_format=args.sniff_format,
         redact_fixed_point=args.fixed_point,
+        retry_attempts=args.retry_attempts,
+        retry_backoff_s=args.retry_backoff,
     )
 
     from redactifai_spark.operators.metrics import _read_target
 
     pages = _read_target(spark, args.input)
-    if args.resume:
+    if args.resume_from_runs:
+        from redactifai_spark.operators.metrics import resume_filter_from_runs
+
+        pages = resume_filter_from_runs(
+            pages, args.output, args.resume_from_runs.split(","))
+    elif args.resume:
         try:
             committed = _read_target(spark, args.output)
         except Exception:

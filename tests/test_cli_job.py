@@ -36,3 +36,41 @@ def test_job_output_suppresses_raw_text_by_default(spark, tmp_path):
             assert s["text"] is None  # surface form suppressed
     # lineage landed for the run
     assert spark.read.parquet(met).filter("run_id = 't1'").count() >= 1
+
+
+def test_job_resume_from_runs_flag(spark, tmp_path):
+    # --resume-from-runs: only urls from the named committed run are skipped;
+    # the follow-up commit completes the table without reprocessing them.
+    inp = str(tmp_path / "in")
+    outp, met = str(tmp_path / "out"), str(tmp_path / "met")
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 30, n_partitions=2)
+    pages.write.parquet(inp)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    # first run covers an url-hash half via a pre-filtered input
+    half = str(tmp_path / "half")
+    pages.filter(F.xxhash64("url") % 2 == 0).write.parquet(half)
+    n_half = spark.read.parquet(half).count()
+    r1 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_redaction_job.py"),
+         "--input", half, "--output", outp, "--metrics", met,
+         "--run-id", "r1", "--master", "local[2]"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    # resume against ONLY r1 over the full input
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_redaction_job.py"),
+         "--input", inp, "--output", outp, "--metrics", met,
+         "--run-id", "r2", "--resume-from-runs", "r1", "--master", "local[2]"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out = spark.read.parquet(outp)
+    assert out.count() == 30
+    assert out.filter("run_id = 'r2'").count() == 30 - n_half
+    # no url processed twice
+    assert out.select("url").distinct().count() == 30
