@@ -782,8 +782,10 @@ def _docs_match_regions(spark, sf_dir):
         )
 
     ents = F.array(*[ent(e) for e in range(NENT)])
+    # asNondeterministic: see _docs_gazetteer_hits — blocks the
+    # InferFiltersFromGenerate rewrite that would evaluate the match UDF twice
     match = make_match_udf(fuzzy_threshold=2, confidence_threshold=0.65,
-                           padding=PAD)
+                           padding=PAD).asNondeterministic()
     out = df.withColumn(
         "_regions", match(F.array_join("_words", " "), tokens, ents)
     )
@@ -823,7 +825,10 @@ def _docs_gazetteer_hits(spark, sf_dir):
         F.repeat(F.lit("x"), (F.col("doc_id") % 7 + 1).cast("int")),
         F.lit(_GAZ_SENTENCE),
     )
-    df = docs.withColumn("_spans", make_detect_udf(cfg)(text))
+    # asNondeterministic: InferFiltersFromGenerate would otherwise push a
+    # size(spans)>0 filter BELOW the project and re-run the detect UDF twice
+    # per row (plan-audited); the marker blocks the duplicating pushdown
+    df = docs.withColumn("_spans", make_detect_udf(cfg).asNondeterministic()(text))
     return df.select("doc_id", F.explode("_spans").alias("s")).select(
         "doc_id",
         F.col("s.category").alias("category"),
