@@ -90,3 +90,30 @@ def test_dim_joins_are_broadcast(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_driver_udf_queries_single_arrow_hop(spark):
+    # InferFiltersFromGenerate regression guard: explode over a UDF output
+    # must NOT re-evaluate the UDF in a duplicated pre-filter (the
+    # asNondeterministic marker in the driver queries blocks the rewrite)
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    for name in ("docs_match_regions", "docs_gazetteer_hits",
+                 "docs_chunked_detect"):
+        assert count_python_eval_nodes(q[name](spark, SF)) == 1, name
+
+
+def test_chunked_pipeline_extract_nodes_pre_filtered(spark):
+    # run_pipeline_chunked: each branch carries exactly one extract eval and
+    # the branch filters sit on RAW input columns (below the UDF), so the
+    # plan has exactly 3 Arrow nodes total (small: extract+detect fused into
+    # per-branch evals; large: extract once + chunk detect once)
+    from redactifai_spark.operators.chunked import run_pipeline_chunked
+
+    pages = generate_pages(spark, 10, n_partitions=2)
+    out = run_pipeline_chunked(pages, chunk_size=256, size_threshold=512)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # extract appears once per branch — never a third time (the old
+    # self-join shape had up to 3 extract lineages over the full input)
+    assert plan.count("extract(") <= 2, plan[:3000]
