@@ -92,12 +92,12 @@ def extract_blocks_fast(
             pos = lt + 1
             continue
         pos = m.end()
-        tag = m.group(2)
+        closing, tag, self_closing = m.group(1, 2, 4)  # one C call, not three
         if tag is None:
             continue  # comment / doctype / CDATA / PI
         tag = tag.lower()
-        closing = m.group(1) == "/"
-        self_closing = m.group(4) == "/"
+        closing = closing == "/"
+        self_closing = self_closing == "/"
 
         if not closing and tag in _RAWTEXT and not self_closing:
             # skip raw content until the stdlib-accepted close form

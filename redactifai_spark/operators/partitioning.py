@@ -45,3 +45,33 @@ def per_host_doc_counts(df: DataFrame, url_col: str = "url", n_salts: int = 16) 
     salted = with_salted_host(df, url_col, n_salts)
     partial = salted.groupBy("host", "salted_host").agg(F.count("*").alias("n_part"))
     return partial.groupBy("host").agg(F.sum("n_part").alias("n_docs"))
+
+
+def per_host_approx_distinct(
+    df: DataFrame,
+    value_col: str,
+    url_col: str = "url",
+    n_salts: int = 16,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Skew-safe per-host APPROXIMATE distinct count of ``value_col`` via
+    HyperLogLog++ sketches (`approx_count_distinct`). Cardinality estimation
+    is the 100 TB answer to "how many distinct users/pages per host": exact
+    distinct shuffles every value; the sketch is fixed-size per group and
+    MERGEABLE, so the salted partial -> final re-aggregation works on raw
+    values grouped by the salted key (each value lands in exactly one salt
+    bucket per host... values are salted by xxhash64(value), so the SAME
+    value always lands in the SAME bucket — bucket sketches count disjoint
+    value sets and their distinct counts SUM exactly).
+
+    Returns (host, approx_distinct). Error ~rsd (default 5%); tested within
+    bounds against the exact count."""
+    salted = df.withColumn("host", url_host(url_col)).withColumn(
+        "_vsalt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts))
+    )
+    partial = salted.groupBy("host", "_vsalt").agg(
+        F.approx_count_distinct(value_col, rsd).alias("n_part")
+    )
+    return partial.groupBy("host").agg(
+        F.sum("n_part").cast("long").alias("approx_distinct")
+    )

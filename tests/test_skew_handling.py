@@ -60,3 +60,24 @@ def test_salted_host_distributes_hot_key(spark):
         F.min("count"), F.max("count")
     ).collect()[0]
     assert per_bucket[1] < per_bucket[0] * 3  # roughly balanced
+
+
+def test_per_host_approx_distinct_within_rsd(spark):
+    # HLL++ sketch per host, salted by VALUE hash (same value -> same bucket,
+    # so bucket-distincts sum exactly); estimate within ~3x rsd of exact
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.operators.partitioning import per_host_approx_distinct
+    from redactifai_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 20_000, n_partitions=8).withColumn(
+        "visitor", F.concat(F.lit("u"), (F.xxhash64("url") % 500).cast("string"))
+    )
+    approx = {r["host"]: r["approx_distinct"]
+              for r in per_host_approx_distinct(pages, "visitor").collect()}
+    exact = {r["host"]: r["n"]
+             for r in pages.groupBy(F.parse_url("url", F.lit("HOST")).alias("host"))
+             .agg(F.count_distinct("visitor").alias("n")).collect()}
+    assert approx.keys() == exact.keys() and len(exact) > 3
+    for host, n in exact.items():
+        assert abs(approx[host] - n) <= max(3, 0.15 * n), (host, approx[host], n)
