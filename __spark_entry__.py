@@ -550,6 +550,51 @@ def _docs_chunked_detect(spark, sf_dir):
     )
 
 
+def _events_value_percentiles(spark, sf_dir):
+    # Exact ordered statistics per group (interpolated percentile — the
+    # ANALYZE-style summary). Exact percentile is fine at gate scale and for
+    # per-group summaries whose groups fit a partition; at 10^12 rows swap in
+    # approx_percentile (t-digest/GK sketch, mergeable) — same call shape.
+    ev = _t(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("_p50"),
+        F.percentile("value", F.lit(0.95)).alias("_p95"),
+    )
+    return pct.select(
+        "event_type", "n",
+        F.round("_p50", 6).alias("p50_value"),
+        F.round("_p95", 6).alias("p95_value"),
+    )
+
+
+def _events_sessionization(spark, sf_dir):
+    # Sessionization: gaps-and-islands over event time per user (30-min
+    # inactivity gap), then per-user session stats. One shuffle keyed on the
+    # uniform user_id; the same lag->cumsum shape as the interval union.
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ parquet ts -> LTZ -> epoch seconds; session TZ is UTC (session.py),
+    # so this equals DuckDB's epoch(ts) on the same naive timestamps
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "_new", F.when(prev.isNull() | ((epoch - prev) > 1800), 1).otherwise(0)
+    ).withColumn("_sess", F.sum("_new").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)))
+    per_sess = marked.groupBy("user_id", "_sess").agg(
+        F.count("*").alias("n_ev"),
+        (F.max(epoch) - F.min(epoch)).alias("dur_sec"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("max_session_events"),
+        F.sum("dur_sec").alias("total_active_sec"),
+    )
+
+
 def _media_feature_stats(spark, sf_dir):
     # Multimodal plumbing through the driver gate: documents text re-cast as
     # binary media payloads -> mapInPandas feature extraction (stub codec:
@@ -974,6 +1019,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embeddings_near_pairs": _embeddings_near_pairs,
         "embeddings_ann_recall": _embeddings_ann_recall,
         "media_feature_stats": _media_feature_stats,
+        "events_value_percentiles": _events_value_percentiles,
+        "events_sessionization": _events_sessionization,
         "training_corpus_funnel": _training_corpus,
     }
 
@@ -1364,6 +1411,32 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_near_pairs": _near_pairs_oracle_sql(),
         "embeddings_ann_recall": _ann_recall_oracle_sql(),
         "media_feature_stats": _media_feature_stats_oracle_sql(),
+        "events_value_percentiles": (
+            "SELECT event_type, COUNT(*) AS n, "
+            "ROUND(quantile_cont(value, 0.5), 6) AS p50_value, "
+            "ROUND(quantile_cont(value, 0.95), 6) AS p95_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "events_sessionization": (
+            # floor() matches Spark's timestamp->long truncation on
+            # sub-second timestamps (DuckDB would otherwise ROUND the cast)
+            "WITH o AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, "
+            "  event_id, LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "  FROM events), "
+            "m AS (SELECT user_id, es, event_id, "
+            "  CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END AS newg "
+            "  FROM o), "
+            "g AS (SELECT user_id, es, SUM(newg) OVER (PARTITION BY user_id "
+            "  ORDER BY es, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m), "
+            "s AS (SELECT user_id, sess, COUNT(*) AS n_ev, "
+            "  MAX(es) - MIN(es) AS dur_sec FROM g GROUP BY 1, 2) "
+            "SELECT user_id, COUNT(*) AS n_sessions, "
+            "CAST(SUM(n_ev) AS BIGINT) AS n_events, "
+            "CAST(MAX(n_ev) AS BIGINT) AS max_session_events, "
+            "CAST(SUM(dur_sec) AS BIGINT) AS total_active_sec "
+            "FROM s GROUP BY user_id"
+        ),
         "training_corpus_funnel": _funnel_oracle_sql(),
         "redact_pages": _redact_pages_oracle_sql(),
         "events_type_counts": (
