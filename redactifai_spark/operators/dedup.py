@@ -112,19 +112,14 @@ def with_minhash(
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n_hashes: int = 32,
-    n_bands: int = 8,
-    shingle_n: int = 3,
+def _band_frame(
+    df: DataFrame, id_col: str, text_col: str,
+    n_hashes: int, n_bands: int, shingle_n: int,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs
-    (id_a < id_b, distinct). Shuffles on uniformly-distributed band hashes."""
+    """(doc, band_id, band_hash) — one row per document per LSH band."""
     rows_per_band = n_hashes // n_bands
     sig = with_minhash(df.select(id_col, text_col), text_col, n_hashes, shingle_n)
-    bands = sig.select(
+    return sig.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.transform(
@@ -145,6 +140,19 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("doc", "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs
+    (id_a < id_b, distinct). Shuffles on uniformly-distributed band hashes."""
+    bands = _band_frame(df, id_col, text_col, n_hashes, n_bands, shingle_n)
     left = bands.alias("a")
     right = bands.alias("b")
     return (
@@ -190,6 +198,50 @@ def near_duplicate_pairs(
         .withColumn("jaccard", jaccard_similarity(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def near_duplicates_against(
+    corpus_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental (asymmetric) near-dup: NEW documents vs an EXISTING corpus
+    — the ingest-time shape at 100 TB, where re-running the O(corpus²)
+    self-join per batch is not an option. Bands for the new batch join
+    against the corpus's bands (at scale: a persisted band table bucketed by
+    band_hash, so each ingest shuffles only the new batch), candidates are
+    verified by exact shingle Jaccard.
+
+    Returns (new_id, corpus_id, jaccard); pairs where the same id appears on
+    both sides are excluded. Equivalence-tested against the self-join
+    operator restricted to cross pairs."""
+    nb = _band_frame(new_df, id_col, text_col, n_hashes, n_bands, shingle_n)
+    cb = _band_frame(corpus_df, id_col, text_col, n_hashes, n_bands, shingle_n)
+    cands = (
+        nb.alias("n").join(
+            cb.alias("c"),
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_hash") == F.col("c.band_hash"))
+            & (F.col("n.doc") != F.col("c.doc")),
+        )
+        .select(F.col("n.doc").alias("new_id"), F.col("c.doc").alias("corpus_id"))
+        .distinct()
+    )
+    sh_new = new_df.select(
+        F.col(id_col).alias("new_id"), word_shingles(text_col, shingle_n).alias("sh_n"))
+    sh_cor = corpus_df.select(
+        F.col(id_col).alias("corpus_id"), word_shingles(text_col, shingle_n).alias("sh_c"))
+    return (
+        cands.join(sh_new, "new_id").join(sh_cor, "corpus_id")
+        .withColumn("jaccard", jaccard_similarity(F.col("sh_n"), F.col("sh_c")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -35,3 +35,27 @@ def windowed_counts(
             "n",
         )
     )
+
+
+def session_window_counts(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+    group_cols: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Session windows: rows within ``gap`` of each other (per group) merge
+    into one variable-length window (`F.session_window` — state closes once
+    the watermark passes a session's end + gap, so state stays bounded).
+    Batch frames compute the same sessionization without state."""
+    src = stream.withWatermark(ts_col, watermark_delay) if stream.isStreaming else stream
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("win"), *group_cols)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *group_cols,
+            "n",
+        )
+    )

@@ -104,3 +104,28 @@ def test_char_shingles(spark):
     got = {(r["ia"], r["ib"]): r["j"] for r in j.collect()}
     assert got[(1, 2)] == 1.0
     assert got[(1, 3)] < 0.2
+
+
+def test_near_duplicates_against_equals_self_join_cross_pairs(spark):
+    # incremental ingest near-dup == self-join near-dup restricted to
+    # (old, new) cross pairs
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.operators.dedup import (
+        near_duplicate_pairs, near_duplicates_against,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    inc = {(min(r["new_id"], r["corpus_id"]), max(r["new_id"], r["corpus_id"]),
+            r["jaccard"])
+           for r in near_duplicates_against(
+               old, new, "doc_id", "text", threshold=0.5).collect()}
+    full = near_duplicate_pairs(docs, "doc_id", "text", threshold=0.5)
+    cross = {(r["id_a"], r["id_b"], r["jaccard"])
+             for r in full.collect()
+             if (r["id_a"] < 250) != (r["id_b"] < 250)}
+    assert inc == cross
+    assert len(inc) > 0  # fixture actually contains cross near-dups

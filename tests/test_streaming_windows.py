@@ -72,3 +72,54 @@ def test_streaming_watermark_late_data(spark, tmp_path):
     assert not ("2024-01-01T00:00:00", 3) in second
     # hour-2 finalized with both its rows
     assert ("2024-01-01T02:00:00", 2) in second
+
+
+def test_batch_session_windows(spark):
+    from redactifai_spark.streaming.windows import session_window_counts
+
+    # one url: events at 0,10,20 (one session) then 120,125 (second session)
+    rows = [("u", T0 + dt.timedelta(minutes=m), "en") for m in (0, 10, 20, 120, 125)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = sorted(
+        (r["session_start"].isoformat(), r["session_end"].isoformat(), r["n"])
+        for r in session_window_counts(df, gap="30 minutes").collect()
+    )
+    # session end = last event + gap (session_window semantics)
+    assert got == [
+        ("2024-01-01T00:00:00", "2024-01-01T00:50:00", 3),
+        ("2024-01-01T02:00:00", "2024-01-01T02:35:00", 2),
+    ]
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    from redactifai_spark.streaming.windows import session_window_counts
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        agg = session_window_counts(stream, gap="30 minutes",
+                                    watermark_delay="30 minutes")
+        q = (agg.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        try:
+            return sorted((r["session_start"].isoformat(), r["n"])
+                          for r in spark.read.parquet(out).collect())
+        except Exception:
+            return []
+
+    rows1 = [("u", T0 + dt.timedelta(minutes=m), "en") for m in (0, 10, 240)]
+    spark.createDataFrame(rows1, SCHEMA).write.mode("append").parquet(src)
+    first = run()
+    # the early session (ends 00:40) finalizes once the watermark (04:00 -
+    # 30min = 03:30) passes it; the 04:00 session stays open
+    assert ("2024-01-01T00:00:00", 2) in first
+    assert all(not s.startswith("2024-01-01T04") for s, _ in first)
+
+    rows2 = [("u", T0 + dt.timedelta(minutes=m), "en") for m in (245, 600)]
+    spark.createDataFrame(rows2, SCHEMA).write.mode("append").parquet(src)
+    second = run()
+    # 240 and 245 merged into ONE session of 2 events, now finalized
+    assert ("2024-01-01T04:00:00", 2) in second
