@@ -170,3 +170,50 @@ def test_matcher_invariants_on_random_streams(words, ent_pos, corrupt_first):
         assert r.end >= offset + len(surface) - 2
     # corrupted streams are best-effort: the reference's greedy fuzzy walk can
     # desync and yield no match (same semantics) — only the hard invariants hold
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_codec_round_trip_property(w, h, seed):
+    # every encoder/decoder pair is byte-exact for arbitrary pixel data
+    import random
+
+    from redactifai_spark.kernels.codecs import (
+        decode_bmp, decode_image, decode_png, decode_ppm,
+        encode_bmp, encode_png, encode_ppm, image_feature,
+    )
+
+    rng = random.Random(seed)
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    for enc, dec in ((encode_ppm, decode_ppm), (encode_bmp, decode_bmp),
+                     (encode_png, decode_png)):
+        payload = enc(w, h, rgb)
+        assert dec(payload) == (w, h, rgb)
+        assert decode_image(payload) == (w, h, rgb)
+        feat = image_feature(payload)
+        assert len(feat) == 16 and all(isinstance(x, float) for x in feat)
+        # histogram bins + dark fraction are fractions of n pixels
+        assert all(0.0 <= x <= 1.0 for x in feat[6:15])
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_round_trip_property(n, seed, rate):
+    import random
+
+    from redactifai_spark.kernels.codecs import audio_feature, decode_wav, encode_wav
+
+    rng = random.Random(seed)
+    samples = [rng.randrange(-32768, 32768) for _ in range(n)]
+    payload = encode_wav(samples, framerate=rate, n_channels=1)
+    assert decode_wav(payload) == (1, rate, 2, samples)
+    feat = audio_feature(payload)
+    assert len(feat) == 16 and 0.0 <= feat[3] <= 1.0 and 0.0 <= feat[4] <= 1.0
