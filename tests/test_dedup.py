@@ -129,3 +129,39 @@ def test_near_duplicates_against_equals_self_join_cross_pairs(spark):
              if (r["id_a"] < 250) != (r["id_b"] < 250)}
     assert inc == cross
     assert len(inc) > 0  # fixture actually contains cross near-dups
+
+
+def test_incremental_dedup_band_table_join_shape(spark):
+    # the 100 TB ingest shape: corpus bands persisted as a bucketed table;
+    # a (small) new batch's bands broadcast-join against it — ZERO Exchange
+    # on the corpus side, no corpus shuffle per ingest
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.operators.dedup import _band_frame
+    from redactifai_spark.plans.inspect import count_exchanges
+    from redactifai_spark.sources.sinks import write_bucketed_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    tbl = "rfai_band_table_smoke"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        corpus_bands = _band_frame(
+            docs.filter("doc_id < 400"), "doc_id", "text", 32, 8, 3)
+        write_bucketed_table(corpus_bands, tbl, bucket_col="band_hash",
+                             n_buckets=16)
+        cb = spark.read.table(tbl)
+        nb = _band_frame(docs.filter("doc_id >= 400"), "doc_id", "text", 32, 8, 3)
+        joined = cb.alias("c").join(
+            F.broadcast(nb.alias("n")),
+            (F.col("c.band_id") == F.col("n.band_id"))
+            & (F.col("c.band_hash") == F.col("n.band_hash"))
+            & (F.col("c.doc") != F.col("n.doc")),
+        ).select(F.col("n.doc").alias("new_id"), F.col("c.doc").alias("corpus_id"))
+        assert count_exchanges(joined) == 0  # broadcast side only; corpus unshuffled
+        assert joined.distinct().count() >= 0  # executes
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
