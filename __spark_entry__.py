@@ -364,6 +364,40 @@ def _customer_region_counts(spark, sf_dir):
     )
 
 
+def _orders_revenue_by_region(spark, sf_dir):
+    # 4-way join: big-big shuffle (orders x customer on custkey) + broadcast
+    # snowflake dims (nation, region) -> regional revenue rollup. Catalyst
+    # picks broadcast-hash for the dims (plan-asserted pattern as
+    # customer_region_counts); money summed as DECIMAL, emitted bigint cents.
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+def _part_brand_stats(spark, sf_dir):
+    # dimension-table rollup with decimal-exact money aggregation
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+        (F.sum(F.col("p_retailprice").cast("decimal(18,2)")) * 100)
+        .cast("long").alias("retail_cents"),
+    )
+
+
 def _lineitem_pricing_summary(spark, sf_dir):
     # TPC-H Q1 shape: rollup by flag/status; money summed as DECIMAL for
     # engine-exact equality (double sums are order-dependent), then emitted as
@@ -1000,6 +1034,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_props_json": _events_props_json,
         "events_rollup": _events_rollup,
         "customer_region_counts": _customer_region_counts,
+        "orders_revenue_by_region": _orders_revenue_by_region,
+        "part_brand_stats": _part_brand_stats,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "events_hourly_windows": _events_hourly_windows,
         "docs_pair_jaccard": _docs_pair_jaccard,
@@ -1577,6 +1613,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS max_discount_cents, "
             "strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_shipdate_s "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_revenue_by_region": (
+            "SELECT r_name AS region, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
+            "AS revenue_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "part_brand_stats": (
+            "SELECT p_brand, COUNT(*) AS n_parts, MIN(p_size) AS min_size, "
+            "MAX(p_size) AS max_size, "
+            "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
+            "AS retail_cents FROM part GROUP BY p_brand"
         ),
         "events_hourly_windows": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
