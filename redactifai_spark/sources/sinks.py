@@ -95,3 +95,33 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-file compaction janitor: rewrite a parquet directory into files
+    of ~``target_file_mb`` each (by on-disk source size). Streaming sinks and
+    per-batch commits accrete small files; at 10^12 rows scan cost is
+    dominated by file-open overhead unless something re-bins them. On Iceberg
+    the equivalent is the ``rewrite_data_files`` maintenance action — this is
+    the parquet-dir analog. Returns the output file count.
+
+    Writes to a NEW directory (never in place): swap atomically by renaming,
+    or point readers at ``dst_dir`` once `_SUCCESS` lands.
+    """
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files if not f.startswith(("_", "."))
+        )
+    n_files = max(1, total // (target_file_mb * 1024 * 1024))
+    df = spark.read.parquet(src_dir)
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(dst_dir)
+    return len([f for f in os.listdir(dst_dir) if f.endswith(".parquet")])

@@ -203,3 +203,17 @@ def test_winnowing_shared_fingerprint_on_common_substring(spark):
     assert a[1] & a[2]          # shared fingerprint exists
     assert not (a[1] & a[3] and a[2] & a[3]) or True  # doc 3 genuinely disjoint
     assert not a[1] & a[3]
+
+
+def test_approx_percentile_tracks_exact(spark):
+    # the 10^12-row drop-in for exact ordered stats: mergeable sketch within
+    # tolerance of the exact interpolated percentile
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    row = ev.agg(
+        F.percentile("value", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx"),
+        F.expr("max(value) - min(value)").alias("range"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= 0.01 * row["range"] + 1e-9

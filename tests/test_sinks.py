@@ -141,3 +141,20 @@ def test_is_table_identifier_path_guard(tmp_path):
         assert not is_table_identifier("my.data")
     finally:
         os.chdir(cwd)
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    # 40 tiny files -> a handful of right-sized ones, same rows
+    import os
+
+    from redactifai_spark.sources.sinks import compact_parquet_dir
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    generate_pages(spark, 400, n_partitions=40).write.parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small == 40
+    n_out = compact_parquet_dir(spark, src, dst, target_file_mb=256)
+    assert n_out < n_small
+    assert spark.read.parquet(dst).count() == 400
+    assert {r["url"] for r in spark.read.parquet(dst).select("url").collect()} == \
+           {r["url"] for r in spark.read.parquet(src).select("url").collect()}
