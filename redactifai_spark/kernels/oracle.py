@@ -17,7 +17,8 @@ from collections import OrderedDict
 from dataclasses import dataclass, field
 
 from .detect import (
-    SAFE_HARBOR, detect_pii, filter_confidence, should_include_category,
+    CUSTOM, LIMITED_DATASET, SAFE_HARBOR, detect_pii, filter_confidence,
+    should_include_category,
 )
 from .extract import ExtractConfig
 from .extract_fast import extract_blocks_fast as extract_blocks
@@ -52,6 +53,26 @@ class PipelineConfig:
     # step before X2 failure isolation marks the row failed; 1 = no retry.
     retry_attempts: int = 1
     retry_backoff_s: float = 0.0
+
+    def __post_init__(self):
+        # Fail fast at plan time: a multi-char mask_char would SILENTLY break
+        # the length-preserving masking contract (every later span's offsets
+        # shift -> partially unmasked PII), and the other knobs have hard
+        # domains. Better a ValueError on the driver than corrupt output.
+        if len(self.mask_char) != 1:
+            raise ValueError(
+                f"mask_char must be exactly one character (got "
+                f"{self.mask_char!r}): masking is length-preserving by contract")
+        if not (0.0 <= self.confidence_threshold <= 1.0):
+            raise ValueError(
+                f"confidence_threshold must be in [0, 1] "
+                f"(got {self.confidence_threshold})")
+        if self.masking_level not in (SAFE_HARBOR, LIMITED_DATASET, CUSTOM):
+            raise ValueError(f"unknown masking_level: {self.masking_level!r}")
+        if self.span_padding < 0:
+            raise ValueError(f"span_padding must be >= 0 (got {self.span_padding})")
+        if self.retry_attempts < 1 or self.retry_backoff_s < 0:
+            raise ValueError("retry_attempts must be >= 1 and retry_backoff_s >= 0")
 
 
 def build_detector(config: PipelineConfig):

@@ -163,6 +163,9 @@ def make_redact_udf(mask_char: str, span_padding: int = 0):
 
     The interval-union merge (A1, entity_matcher.py:397-442 semantics in 1-D)
     plus in-place masking (M1, image_masking_service.py:100-146 analog)."""
+    if len(mask_char) != 1:  # same guard as PipelineConfig, for direct callers
+        raise ValueError(
+            f"mask_char must be exactly one character (got {mask_char!r})")
 
     @pandas_udf(REDACT_TYPE)
     def redact(text: pd.Series, spans: pd.Series) -> pd.DataFrame:

@@ -214,3 +214,24 @@ def test_unicode_whitespace_golden_parity(spark):
         assert row["status"] == "complete", url
         assert row["extracted_text"] == golden[url], url
         assert extract_text(htmls[url]) == golden[url], url
+
+
+def test_config_validation_fails_fast():
+    # a multi-char mask_char would silently break length-preserving masking
+    # (later offsets shift -> partial PII leak); it must raise at plan time
+    import pytest
+
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.udfs import make_redact_udf
+
+    with pytest.raises(ValueError, match="mask_char"):
+        PipelineConfig(mask_char="**")
+    with pytest.raises(ValueError, match="mask_char"):
+        make_redact_udf("##")
+    with pytest.raises(ValueError, match="confidence_threshold"):
+        PipelineConfig(confidence_threshold=1.5)
+    with pytest.raises(ValueError, match="masking_level"):
+        PipelineConfig(masking_level="everything")
+    with pytest.raises(ValueError, match="span_padding"):
+        PipelineConfig(span_padding=-1)
+    PipelineConfig(mask_char="#", confidence_threshold=0.5)  # valid passes
