@@ -386,6 +386,27 @@ def _orders_revenue_by_region(spark, sf_dir):
     )
 
 
+def _orders_top_revenue(spark, sf_dir):
+    # TPC-H Q3 shape: big-big shuffle join (lineitem x orders on orderkey)
+    # -> per-order revenue -> deterministic top-10. Revenue is computed in
+    # EXACT integer units (cents x basis points: ep_cents * (10000 -
+    # discount_bp)) so both engines sum identical integers — no double-sum
+    # order dependence, no decimal-precision divergence.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ep_c = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    disc_bp = (F.col("l_discount").cast("decimal(18,4)") * 10000).cast("long")
+    rev = li.select(
+        "l_orderkey", (ep_c * (F.lit(10000) - disc_bp)).alias("_r")
+    ).groupBy("l_orderkey").agg(F.sum("_r").alias("revenue_cbp"))
+    return (
+        rev.join(o, rev["l_orderkey"] == o["o_orderkey"])
+        .select("o_orderkey", "o_orderpriority", "revenue_cbp")
+        .orderBy(F.desc("revenue_cbp"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
 def _part_brand_stats(spark, sf_dir):
     # dimension-table rollup with decimal-exact money aggregation
     p = _t(spark, sf_dir, "part")
@@ -1036,6 +1057,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "customer_region_counts": _customer_region_counts,
         "orders_revenue_by_region": _orders_revenue_by_region,
         "part_brand_stats": _part_brand_stats,
+        "orders_top_revenue": _orders_top_revenue,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "events_hourly_windows": _events_hourly_windows,
         "docs_pair_jaccard": _docs_pair_jaccard,
@@ -1627,6 +1649,15 @@ def oracle_sql() -> dict[str, str]:
             "MAX(p_size) AS max_size, "
             "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
             "AS retail_cents FROM part GROUP BY p_brand"
+        ),
+        "orders_top_revenue": (
+            "WITH rev AS (SELECT l_orderkey, "
+            "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "* (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) "
+            "AS revenue_cbp FROM lineitem GROUP BY l_orderkey) "
+            "SELECT o_orderkey, o_orderpriority, CAST(revenue_cbp AS BIGINT) "
+            "AS revenue_cbp FROM rev JOIN orders ON l_orderkey = o_orderkey "
+            "ORDER BY revenue_cbp DESC, o_orderkey ASC LIMIT 10"
         ),
         "events_hourly_windows": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
