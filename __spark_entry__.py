@@ -650,6 +650,34 @@ def _events_sessionization(spark, sf_dir):
     )
 
 
+def _docs_token_packing(spark, sf_dir):
+    # LM sequence packing (operators/packing.py): per-shard start-offset
+    # binning into 500-token packs; output per-pack stats. Whole chain is
+    # Catalyst (window cumsum per uniform shard) — the oracle replays it
+    # with the same md5-derived shard key and window arithmetic.
+    # same binning as operators/packing.pack_training_sequences, with the
+    # shard key swapped from xxhash64 (not replayable in DuckDB) to the
+    # md5-low-nibble trick the IVF oracle established — same uniformity
+    from redactifai_spark.operators.packing import pack_stats, token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1), 16, 10)
+        .cast("int") % 8
+    )
+    with_t = docs.withColumn("n_tokens", token_count("text")).withColumn(
+        "shard", shard)
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0)
+    running = F.sum("n_tokens").over(w)
+    packed = with_t.withColumn(
+        "pack_id",
+        F.floor((running - F.col("n_tokens")) / F.lit(500)).cast("long"))
+    return pack_stats(packed).select(
+        F.col("shard").cast("long").alias("shard"), "pack_id", "n_docs",
+        "total_tokens")
+
+
 def _media_feature_stats(spark, sf_dir):
     # Multimodal plumbing through the driver gate: documents text re-cast as
     # binary media payloads -> mapInPandas feature extraction (stub codec:
@@ -1058,6 +1086,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "orders_revenue_by_region": _orders_revenue_by_region,
         "part_brand_stats": _part_brand_stats,
         "orders_top_revenue": _orders_top_revenue,
+        "docs_token_packing": _docs_token_packing,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "events_hourly_windows": _events_hourly_windows,
         "docs_pair_jaccard": _docs_pair_jaccard,
@@ -1649,6 +1678,19 @@ def oracle_sql() -> dict[str, str]:
             "MAX(p_size) AS max_size, "
             "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
             "AS retail_cents FROM part GROUP BY p_brand"
+        ),
+        "docs_token_packing": (
+            "WITH t AS (SELECT doc_id, "
+            "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) % 8 AS shard, "
+            "CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "r AS (SELECT shard, doc_id, n_tokens, SUM(n_tokens) OVER "
+            "(PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS running "
+            "FROM t) "
+            "SELECT CAST(shard AS BIGINT) AS shard, "
+            "CAST(FLOOR((running - n_tokens) / 500.0) AS BIGINT) AS pack_id, "
+            "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
+            "FROM r GROUP BY 1, 2"
         ),
         "orders_top_revenue": (
             "WITH rev AS (SELECT l_orderkey, "

@@ -1,0 +1,67 @@
+"""LM training-sequence packing: assign documents to fixed-token-budget packs.
+
+The last mile of a training-data pipeline: downstream dataloaders want
+sequences of ~max_tokens, so documents are grouped ("packed") until the
+budget fills. Exact bin-packing is inherently sequential; the scalable Spark
+form used here is per-shard start-offset binning:
+
+- shard by a uniform key (docs are independent, any hash works) so each
+  shard's cumulative sum is an independent window — NO global single-partition
+  cumsum (the classic scale anti-pattern);
+- within a shard, order deterministically, take the running token total, and
+  bin each doc by the budget interval its START offset falls in:
+  ``pack = floor((running - n_tokens) / max_tokens)``.
+
+Semantics: packs are filled greedily in order; a pack may OVERFLOW by at most
+one document (the doc that straddles a boundary joins the pack its first
+token falls in) and is never under-filled by more than that straddle. That is
+the standard streaming-packing tradeoff — exact capacity-capped packing would
+serialize the scan. Oversized single documents (n_tokens > max_tokens) get a
+pack of their own (cap via the D5 chunker upstream if needed).
+
+Everything is Catalyst (tokenize = regexp split count; window cumsum per
+shard; groupBy) — SQL-replayable, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count — the budget unit (swap for BPE counts via
+    textstats.with_bpe_token_counts when packing for a real tokenizer)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(col), r"\s+")).cast("long")
+
+
+def pack_training_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assign each doc a (shard, pack_id); returns the input columns plus
+    ``n_tokens``, ``shard``, ``pack_id``. Deterministic: shard =
+    pmod(xxhash64(id), n_shards), in-shard order = id."""
+    shard = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+    with_t = df.withColumn("n_tokens", token_count(text_col)).withColumn(
+        "shard", shard.cast("int")
+    )
+    w = W.partitionBy("shard").orderBy(id_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    running = F.sum("n_tokens").over(w)
+    return with_t.withColumn(
+        "pack_id",
+        F.floor((running - F.col("n_tokens")) / F.lit(max_tokens)).cast("long"),
+    )
+
+
+def pack_stats(packed: DataFrame) -> DataFrame:
+    """Per-pack summary: (shard, pack_id, n_docs, total_tokens)."""
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

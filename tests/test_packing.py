@@ -1,0 +1,49 @@
+"""Sequence packing: per-shard start-offset binning — deterministic, bounded
+overflow, pure Catalyst."""
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.packing import (
+    pack_stats, pack_training_sequences,
+)
+
+
+def test_packing_invariants(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    packed = pack_training_sequences(docs, max_tokens=300, n_shards=8)
+    rows = packed.select("doc_id", "n_tokens", "shard", "pack_id").collect()
+    assert len(rows) == docs.count()
+
+    # replay the greedy start-offset binning per shard in Python
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs_in in by_shard.items():
+        running = 0
+        for r in docs_in:
+            expect = (running) // 300
+            assert r["pack_id"] == expect, (shard, r["doc_id"])
+            running += r["n_tokens"]
+
+    stats = {(r["shard"], r["pack_id"]): (r["n_docs"], r["total_tokens"])
+             for r in pack_stats(packed).collect()}
+    max_doc = max(r["n_tokens"] for r in rows)
+    for (_s, _p), (n_docs, total) in stats.items():
+        assert n_docs >= 1
+        # bounded overflow: a pack never exceeds budget + one straddling doc
+        assert total < 300 + max_doc
+    # packs are contiguous per shard: ids 0..max with no gaps
+    for shard, docs_in in by_shard.items():
+        pids = sorted({r["pack_id"] for r in docs_in})
+        assert pids == list(range(len(pids)))
+
+
+def test_packing_is_deterministic(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    a = sorted(tuple(r) for r in pack_training_sequences(docs).select(
+        "doc_id", "shard", "pack_id").collect())
+    b = sorted(tuple(r) for r in pack_training_sequences(
+        docs.repartition(7)).select("doc_id", "shard", "pack_id").collect())
+    assert a == b  # independent of input partitioning
