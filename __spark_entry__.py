@@ -650,6 +650,28 @@ def _events_sessionization(spark, sf_dir):
     )
 
 
+def _docs_train_eval_split(spark, sf_dir):
+    # Deterministic eval-holdout split — the standard leak-proof recipe:
+    # membership is a pure function of the doc id (hash threshold), never of
+    # row order or sampling state, so re-runs, backfills, and cluster
+    # re-partitioning cannot move a doc across the split. ~1/16 eval via the
+    # md5 first hex nibble; output per (lang, split) counts + token totals.
+    docs = _t(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == F.lit("0"),
+        F.lit("eval"),
+    ).otherwise(F.lit("train"))
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("long"))
+            .alias("total_tokens"),
+        )
+    )
+
+
 def _docs_token_packing(spark, sf_dir):
     # LM sequence packing (operators/packing.py): per-shard start-offset
     # binning into 500-token packs; output per-pack stats. Whole chain is
@@ -1087,6 +1109,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "part_brand_stats": _part_brand_stats,
         "orders_top_revenue": _orders_top_revenue,
         "docs_token_packing": _docs_token_packing,
+        "docs_train_eval_split": _docs_train_eval_split,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "events_hourly_windows": _events_hourly_windows,
         "docs_pair_jaccard": _docs_pair_jaccard,
@@ -1678,6 +1701,12 @@ def oracle_sql() -> dict[str, str]:
             "MAX(p_size) AS max_size, "
             "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
             "AS retail_cents FROM part GROUP BY p_brand"
+        ),
+        "docs_train_eval_split": (
+            "SELECT lang, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
+            "= '0' THEN 'eval' ELSE 'train' END AS split, COUNT(*) AS n_docs, "
+            "CAST(SUM(len(regexp_extract_all(trim(text), '\\S+'))) AS BIGINT) "
+            "AS total_tokens FROM documents GROUP BY 1, 2"
         ),
         "docs_token_packing": (
             "WITH t AS (SELECT doc_id, "
