@@ -650,6 +650,42 @@ def _events_sessionization(spark, sf_dir):
     )
 
 
+def _supplier_balance_by_nation(spark, sf_dir):
+    # broadcast dim join + decimal-exact money rollup (completes per-table
+    # coverage: every registered table now feeds at least one oracled query)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            (F.sum(F.col("s_acctbal").cast("decimal(18,2)")) * 100)
+            .cast("long").alias("acctbal_cents"),
+        )
+    )
+
+
+def _docs_top_bigrams(spark, sf_dir):
+    # corpus-level n-gram frequency: explode word bigrams -> count ->
+    # deterministic top-20. The shuffle key (bigram) is Zipf-ish but the
+    # partial (map-side) aggregation absorbs the skew before the exchange.
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i.cast("int")),
+            F.element_at(toks, (i + 1).cast("int"))),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 def _docs_train_eval_split(spark, sf_dir):
     # Deterministic eval-holdout split — the standard leak-proof recipe:
     # membership is a pure function of the doc id (hash threshold), never of
@@ -1110,6 +1146,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "orders_top_revenue": _orders_top_revenue,
         "docs_token_packing": _docs_token_packing,
         "docs_train_eval_split": _docs_train_eval_split,
+        "supplier_balance_by_nation": _supplier_balance_by_nation,
+        "docs_top_bigrams": _docs_top_bigrams,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "events_hourly_windows": _events_hourly_windows,
         "docs_pair_jaccard": _docs_pair_jaccard,
@@ -1701,6 +1739,20 @@ def oracle_sql() -> dict[str, str]:
             "MAX(p_size) AS max_size, "
             "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
             "AS retail_cents FROM part GROUP BY p_brand"
+        ),
+        "supplier_balance_by_nation": (
+            "SELECT n_name AS nation, COUNT(*) AS n_suppliers, "
+            "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) "
+            "AS acctbal_cents FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "docs_top_bigrams": (
+            "WITH t AS (SELECT regexp_extract_all(trim(text), '\\S+') AS toks "
+            "FROM documents), "
+            "b AS (SELECT unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t) "
+            "SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram "
+            "ORDER BY n DESC, bigram ASC LIMIT 20"
         ),
         "docs_train_eval_split": (
             "SELECT lang, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
