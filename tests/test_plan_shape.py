@@ -117,3 +117,29 @@ def test_chunked_pipeline_extract_nodes_pre_filtered(spark):
     # extract appears once per branch — never a third time (the old
     # self-join shape had up to 3 extract lineages over the full input)
     assert plan.count("extract(") <= 2, plan[:3000]
+
+
+def test_join_strategy_selection(spark):
+    # snowflake dims are ALWAYS broadcast (explicit F.broadcast hints); the
+    # orders x customer edge is size-adaptive — at test SF the optimizer
+    # rightly broadcasts tiny customer too, and once auto-broadcast is off
+    # the same plan falls back to a shuffle join (SortMerge/ShuffledHash),
+    # which is what the edge becomes at production scale
+    import __spark_entry__ as entry
+
+    q = entry.queries()["orders_revenue_by_region"]
+    plan = q(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan2 = q(spark, "/root/testdata/sf0.001") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert ("SortMergeJoin" in plan2) or ("ShuffledHashJoin" in plan2), \
+            plan2[:1500]
+        # the explicit dim hints still broadcast even with auto-broadcast off
+        assert plan2.count("BroadcastHashJoin") >= 2, plan2[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
