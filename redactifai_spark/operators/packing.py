@@ -32,7 +32,10 @@ def token_count(text: Column | str) -> Column:
     """Whitespace token count — the budget unit (swap for BPE counts via
     textstats.with_bpe_token_counts when packing for a real tokenizer)."""
     col = F.col(text) if isinstance(text, str) else text
-    return F.size(F.split(F.trim(col), r"\s+")).cast("long")
+    # regexp_extract_all (not split): split('') yields [''] (count 1), while
+    # this counts non-empty runs — 0 for blank/whitespace-only docs, matching
+    # the SQL twin len(regexp_extract_all(text, '\S+')).
+    return F.size(F.regexp_extract_all(col, F.lit(r"\S+"), 0)).cast("long")
 
 
 def pack_training_sequences(

@@ -112,8 +112,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.resume_from_runs:
         from redactifai_spark.operators.metrics import resume_filter_from_runs
 
-        pages = resume_filter_from_runs(
-            pages, args.output, args.resume_from_runs.split(","))
+        try:
+            pages = resume_filter_from_runs(
+                pages, args.output, args.resume_from_runs.split(","))
+        except Exception:
+            # mirror --resume: an unreadable/absent output target means the
+            # named runs committed zero rows — proceed with the full input
+            pass
     elif args.resume:
         try:
             committed = _read_target(spark, args.output)
