@@ -66,6 +66,16 @@ def _run_redaction(
     ``input_path``: read the pages from parquet (the north-rule job shape —
     the real pipeline reads a table, it doesn't synthesize input); otherwise
     generate via Catalyst. The scan is inside the timed window."""
+    walls, n = _run_redaction_walls(spark, n_docs, parallelism, fused, repeats,
+                                    input_path)
+    return walls[len(walls) // 2], n
+
+
+def _run_redaction_walls(
+    spark, n_docs: int, parallelism: int, fused: bool, repeats: int = 1,
+    input_path: str | None = None,
+) -> tuple[list[float], int]:
+    """All wall times (sorted ascending) over ``repeats`` runs + row count."""
     if input_path is not None:
         pages = spark.read.parquet(input_path)
     else:
@@ -77,7 +87,7 @@ def _run_redaction(
         n = _consume_pipeline(run_pipeline(pages, PipelineConfig(), fused=fused))
         walls.append(time.monotonic() - t0)
     walls.sort()
-    return walls[len(walls) // 2], n
+    return walls, n
 
 
 def _control_doc(i: int) -> bytes:
@@ -127,7 +137,12 @@ def _control_docs_per_sec(cores: int, n_docs: int) -> float:
     return (chunk * cores) / wall
 
 
-def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def _bench_queries(
+    spark, sf_dir: str, repeats: int = 3
+) -> tuple[dict[str, float], dict[str, float]]:
+    """(best-of-``repeats``, median-of-``repeats``) wall per query — the
+    best-of is the noise-robust headline (host weather only ADDS time), the
+    median shows the typical window."""
     import __spark_entry__ as mod
     from redactifai_spark.operators.partitioning import per_host_doc_counts
     from redactifai_spark.sources.pages import wrap_documents_as_pages
@@ -140,24 +155,31 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "docs_prefix_dedup",
     ]
     q = mod.queries()
-    out: dict[str, float] = {}
-    for name in picks:
-        t0 = time.monotonic()
-        q[name](spark, sf_dir).agg(F.count("*")).collect()
-        out[name] = round(time.monotonic() - t0, 3)
-
-    # full HTML pipeline over the documents table, UDFs force-consumed
     pages = wrap_documents_as_pages(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    t0 = time.monotonic()
-    _consume_pipeline(run_pipeline(pages, PipelineConfig()))
-    out["redact_pages"] = round(time.monotonic() - t0, 3)
-
-    # salted two-phase per-host aggregation over Zipf-skewed synthetic pages (X5)
     skewed = generate_pages(spark, 100_000, n_partitions=64)
-    t0 = time.monotonic()
-    per_host_doc_counts(skewed).collect()
-    out["salted_host_counts"] = round(time.monotonic() - t0, 3)
-    return out
+
+    def timed(fn) -> list[float]:
+        walls = []
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            fn()
+            walls.append(time.monotonic() - t0)
+        walls.sort()
+        return walls
+
+    runs: dict[str, list[float]] = {}
+    for name in picks:
+        runs[name] = timed(lambda: q[name](spark, sf_dir).agg(F.count("*")).collect())
+    # full HTML pipeline over the documents table, UDFs force-consumed
+    runs["redact_pages"] = timed(
+        lambda: _consume_pipeline(run_pipeline(pages, PipelineConfig())))
+    # salted two-phase per-host aggregation over Zipf-skewed synthetic pages (X5)
+    runs["salted_host_counts"] = timed(
+        lambda: per_host_doc_counts(skewed).collect())
+
+    best = {k: round(w[0], 3) for k, w in runs.items()}
+    med = {k: round(w[len(w) // 2], 3) for k, w in runs.items()}
+    return best, med
 
 
 def main() -> None:
@@ -195,6 +217,40 @@ def main() -> None:
             "control_post": round(control_post, 1),
             "spark_vs_control": round(rate / control_rate, 3),
         }))
+        return
+
+    if "--funnel" in sys.argv:
+        # Funnel-at-scale evidence: the composed training-corpus pipeline
+        # (redact -> quality/lang gate -> exact dedup -> MinHash-LSH near-dup)
+        # over generated pages at the bench scale, single stats action, plus a
+        # plan audit asserting the post-checkpoint phases stay Python-free.
+        import tempfile
+
+        from redactifai_spark.operators.corpus import prepare_training_corpus
+
+        spark = get_spark(app_name="bench-funnel", master=f"local[{CPUS}]",
+                          shuffle_partitions=CPUS)
+        pages = generate_pages(spark, n_docs, n_partitions=CPUS * 4)
+        ckpt = os.path.join(tempfile.gettempdir(), f"rfai_funnel_bench_{os.getpid()}")
+        t0 = time.monotonic()
+        corpus, stats = prepare_training_corpus(
+            pages, PipelineConfig(), quality_min=0.2,
+            langs=("en", "und"), near_dup_threshold=0.85,
+            n_hashes=64, n_bands=32, checkpoint_path=ckpt,
+        )
+        stage_rows = stats.collect()[0].asDict()
+        wall = time.monotonic() - t0
+        # zero Python downstream of the checkpoint: the gating/dedup phases
+        # must not contain ArrowEvalPython/BatchEvalPython nodes
+        plan = corpus._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, "Python node leaked into funnel tail"
+        print(json.dumps({
+            "metric": "funnel_wall_sec", "value": round(wall, 3), "unit": "sec",
+            "sf": sf, "n_docs": n_docs, "stages": stage_rows,
+            "docs_per_sec": round(n_docs / wall, 1),
+            "python_free_downstream": True, "cores": CPUS,
+        }))
+        spark.stop()
         return
 
     if "--scaling" in sys.argv:
@@ -247,6 +303,15 @@ def main() -> None:
         _write_scaling_md(report)
         return
 
+    # Self-normalizing artifact (host weather swings ±30% minute to minute):
+    # every wall is best-of-3 (noise only ADDS time), medians ride alongside,
+    # and the Spark-free multiprocessing control — the same per-doc kernel on
+    # a plain pool — is sampled BEFORE and AFTER the Spark window (max of the
+    # two = what the hardware could do in this window). docs_per_sec divided
+    # by control_docs_per_sec is the machine-independent engine efficiency.
+    ctl_docs = min(n_docs, CPUS * 12000)
+    control_pre = _control_docs_per_sec(CPUS, ctl_docs)
+
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     # Warm up BOTH physical paths: each distinct UDF chain spins its own Python
@@ -255,23 +320,35 @@ def main() -> None:
     _run_redaction(spark, 2000, CPUS, fused=True)
     _run_redaction(spark, 2000, CPUS, fused=False)
 
-    wall_fused, n = _run_redaction(spark, n_docs, CPUS, fused=True, repeats=3)
-    wall_staged, _ = _run_redaction(spark, n_docs, CPUS, fused=False, repeats=3)
-    queries = _bench_queries(spark, SF_DIR)
-    queries["redact_pipeline_fused"] = round(wall_fused, 3)
-    queries["redact_pipeline_staged"] = round(wall_staged, 3)
+    walls_fused, n = _run_redaction_walls(spark, n_docs, CPUS, fused=True, repeats=3)
+    walls_staged, _ = _run_redaction_walls(spark, n_docs, CPUS, fused=False, repeats=3)
+    queries, queries_median = _bench_queries(spark, SF_DIR)
+    queries["redact_pipeline_fused"] = round(walls_fused[0], 3)
+    queries["redact_pipeline_staged"] = round(walls_staged[0], 3)
+    queries_median["redact_pipeline_fused"] = round(walls_fused[1], 3)
+    queries_median["redact_pipeline_staged"] = round(walls_staged[1], 3)
+    spark.stop()
+
+    control_post = _control_docs_per_sec(CPUS, ctl_docs)
+    control = max(control_pre, control_post)
+    best_rate = n / walls_fused[0]
 
     print(json.dumps({
         "metric": "redaction_pipeline_wall_sec",
-        "value": round(wall_fused, 3),
+        "value": round(walls_fused[0], 3),
         "unit": "sec",
         "queries": queries,
+        "queries_median": queries_median,
         "sf": sf,
         "n_docs": n_docs,
-        "docs_per_sec": round(n / wall_fused, 1),
+        "docs_per_sec": round(best_rate, 1),
+        "median_wall_sec": round(walls_fused[1], 3),
+        "control_docs_per_sec": round(control, 1),
+        "control_pre": round(control_pre, 1),
+        "control_post": round(control_post, 1),
+        "fused_vs_control": round(best_rate / control, 3),
         "cores": CPUS,
     }))
-    spark.stop()
 
 
 def _write_scaling_md(report: dict) -> None:

@@ -124,9 +124,13 @@ def run_pipeline_chunked(
     Scale shape: the large/small routing is a CHEAP Catalyst proxy evaluated
     BEFORE the extract UDF — exact (``length(text)``) when
     ``prefer_text_column``, an upper bound (``length(html)`` octets >=
-    extracted char count, since extraction only drops markup) otherwise — so
-    each branch filters the raw scan and extraction runs exactly once per
-    input row (no branch recomputation; asserted by an accumulator test).
+    extracted char count, since extraction only drops markup) otherwise. The
+    source is scanned ONCE: extraction runs over all rows with the proxy as
+    a routing column, the narrow staged frame (extracted text + scalars, no
+    markup) is persisted and eagerly materialized, and both branches read the
+    in-memory relation — at 100 TB the ``html:binary`` scan and the extract
+    UDF each run exactly once (asserted by an accumulator test and a
+    single-scan plan test).
     A row the proxy over-routes to the chunked path whose extracted text fits
     one chunk detects identically to the one-shot path (single chunk == whole
     doc), so routing is purely a cost decision. The oversized branch carries
@@ -179,13 +183,31 @@ def run_pipeline_chunked(
 
     payload = ["url", "warc_ts", "lang", "n_blocks", "extract_error"]
 
-    small = stage(df.filter(~is_large)).withColumn(
+    # SINGLE SCAN of the source: stage (extract) once over every row with the
+    # routing proxy as a column, then persist the NARROW staged frame (markup
+    # dropped — extracted text + scalars only) and branch off it. Both
+    # branches read the in-memory relation, so the 100 TB html:binary scan
+    # and the extract UDF each run exactly once (plan- and accumulator-
+    # asserted); without the persist each branch's filter would re-run the
+    # underlying scan.
+    from pyspark import StorageLevel
+
+    staged_all = stage(df.withColumn("_is_large", is_large)).select(
+        "_is_large", *payload, "extracted_text"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Eagerly populate the cache: the two branch stages otherwise launch
+    # concurrently in the first action and RACE to compute the same cached
+    # partitions (extract would run ~twice per row; the block store dedups
+    # storage, not computation). The count IS the single extract pass.
+    staged_all.count()
+
+    small = staged_all.filter(~F.col("_is_large")).withColumn(
         "_spans_all", make_detect_udf(config)(F.col("extracted_text"))
     ).select(*payload, "extracted_text", "_spans_all")
 
-    # oversized branch: extract once -> explode lines (scalar payload rides
-    # along) -> chunk -> bounded detect -> rebase -> regroup on _rid
-    staged_large = stage(df.filter(is_large)).withColumn(
+    # oversized branch: explode lines (scalar payload rides along) -> chunk
+    # -> bounded detect -> rebase -> regroup on _rid
+    staged_large = staged_all.filter(F.col("_is_large")).withColumn(
         "_rid", F.monotonically_increasing_id()
     )
     lines = staged_large.select(

@@ -1,0 +1,80 @@
+"""Edge-case text regressions (round-4 advice): blank / one-token documents
+must flow through token counting, bigram generation, and packing without
+ANSI-mode errors and with counts that match the SQL-twin semantics
+(len(regexp_extract_all(text, '\\S+')) -> 0 for blank text, not 1)."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+EDGE_TEXTS = ["", "   ", "\n\t ", "one", "  solo  ", "two tokens",
+              "a b c", "Trailing space "]
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    return spark.createDataFrame(
+        [(i, t, "en", "edge", len(t)) for i, t in enumerate(EDGE_TEXTS)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_token_count_zero_for_blank(spark, edge_docs):
+    from redactifai_spark.operators.packing import token_count as pack_tc
+    from redactifai_spark.operators.textstats import token_count as stats_tc
+
+    rows = edge_docs.select(
+        "doc_id", pack_tc("text").alias("p"), stats_tc("text").alias("s")
+    ).orderBy("doc_id").collect()
+    expected = [0, 0, 0, 1, 1, 2, 3, 2]
+    assert [r["p"] for r in rows] == expected
+    assert [r["s"] for r in rows] == expected
+
+
+def test_bigrams_survive_blank_and_one_token_docs(spark, edge_docs, tmp_path):
+    # write the edge corpus as a documents table and run the driver query
+    # end-to-end: before the guard, sequence(1, 0) -> element_at(toks, 0)
+    # threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode
+    import __spark_entry__ as entry
+
+    sf_dir = str(tmp_path)
+    edge_docs.write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["bigram"], r["n"])
+        for r in entry.queries()["docs_top_bigrams"](spark, sf_dir).collect()
+    }
+    assert got == {("a b", 1), ("b c", 1), ("two tokens", 1),
+                   ("Trailing space", 1)}
+
+    # and the DuckDB oracle agrees on the same parquet
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    oracle = {tuple(r) for r in
+              con.execute(entry.oracle_sql()["docs_top_bigrams"]).fetchall()}
+    assert got == oracle
+
+
+def test_train_eval_split_counts_blank_docs_as_zero_tokens(spark, edge_docs, tmp_path):
+    import __spark_entry__ as entry
+
+    sf_dir = str(tmp_path)
+    edge_docs.write.parquet(f"{sf_dir}/documents.parquet")
+    rows = entry.queries()["docs_train_eval_split"](spark, sf_dir).collect()
+    total = sum(r["total_tokens"] for r in rows)
+    assert total == 0 + 0 + 0 + 1 + 1 + 2 + 3 + 2
+    assert sum(r["n_docs"] for r in rows) == len(EDGE_TEXTS)
+
+
+def test_packing_blank_docs_pack_zero_width(spark):
+    from redactifai_spark.operators.packing import pack_training_sequences
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "alpha beta"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    packed = pack_training_sequences(docs, max_tokens=2)
+    got = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 1}

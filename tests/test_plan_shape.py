@@ -104,19 +104,20 @@ def test_driver_udf_queries_single_arrow_hop(spark):
         assert count_python_eval_nodes(q[name](spark, SF)) == 1, name
 
 
-def test_chunked_pipeline_extract_nodes_pre_filtered(spark):
-    # run_pipeline_chunked: each branch carries exactly one extract eval and
-    # the branch filters sit on RAW input columns (below the UDF), so the
-    # plan has exactly 3 Arrow nodes total (small: extract+detect fused into
-    # per-branch evals; large: extract once + chunk detect once)
+def test_chunked_pipeline_single_scan(spark):
+    # run_pipeline_chunked: ONE scan of the source — extraction runs once
+    # over all rows into an eagerly-persisted narrow frame, and both branches
+    # read the InMemoryRelation (no raw-source re-scan per branch)
     from redactifai_spark.operators.chunked import run_pipeline_chunked
 
     pages = generate_pages(spark, 10, n_partitions=2)
     out = run_pipeline_chunked(pages, chunk_size=256, size_threshold=512)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # extract appears once per branch — never a third time (the old
-    # self-join shape had up to 3 extract lineages over the full input)
-    assert plan.count("extract(") <= 2, plan[:3000]
+    assert plan.count("InMemoryTableScan") == 2, plan[:3000]
+    # neither branch re-runs the source scan or the extract UDF outside the
+    # cached relation: the only Range/parquet scan lives inside the cache
+    branch_plan = plan.split("InMemoryTableScan")[0]
+    assert "Range" not in branch_plan and "extract(" not in branch_plan, plan[:3000]
 
 
 def test_join_strategy_selection(spark):
