@@ -151,11 +151,118 @@ def resume_filter(source_df: DataFrame, committed_df: DataFrame | None) -> DataF
 
     ``left_anti`` join; at scale the committed side is read with column pruning
     (urls only) and the join benefits from AQE; for a massively larger committed
-    side, flip to a bloom-filter pushdown — semantics identical."""
+    side use ``resume_filter_bloom`` — semantics identical (equivalence-tested),
+    but the committed table is never shuffled."""
     if committed_df is None:
         return source_df
     done = committed_df.select("url")
     return source_df.join(done, on="url", how="left_anti")
+
+
+def build_url_bloom(
+    committed_df: DataFrame,
+    url_col: str = "url",
+    expected_items: int | None = None,
+    bits_per_key: int = 10,
+    n_hashes: int = 4,
+) -> tuple[DataFrame, int]:
+    """Distributed bloom-filter build over ``committed_df[url_col]`` — pure
+    Catalyst, fixed-size output regardless of input size.
+
+    The filter is a bitmap of ``m = bits_per_key * expected_items`` bits,
+    materialized as at most ``m/64`` (word_idx, word) rows: each url sets
+    ``n_hashes`` positions (seeded ``xxhash64`` — JVM-side), positions are
+    bit-packed per 64-bit word with a map-side-combining ``bit_or``
+    aggregate. At 10 bits/key + 4 hashes the false-positive rate is ~1.2%.
+    Returns (bitmap_df, m). The bitmap is broadcastable (~190 KB per million
+    committed urls), which is what makes the pre-filter shuffle-free."""
+    if expected_items is None:
+        expected_items = committed_df.count()
+    m = max(64, ((bits_per_key * max(1, expected_items) + 63) // 64) * 64)
+    positions = committed_df.select(
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64(F.col(url_col), F.lit(j)), F.lit(m))
+                for j in range(n_hashes)
+            ])
+        ).alias("pos")
+    )
+    bitmap = positions.groupBy(
+        (F.col("pos") / 64).cast("long").alias("word_idx")
+    ).agg(
+        # F.shiftleft only takes a literal bit count; the SQL form shifts by
+        # a column
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+        .alias("word")
+    )
+    return bitmap, m
+
+
+def resume_filter_bloom(
+    source_df: DataFrame,
+    committed_df: DataFrame | None,
+    url_col: str = "url",
+    expected_items: int | None = None,
+    bits_per_key: int = 10,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """X4 resume for a committed side MUCH larger than the new batch: bloom
+    pre-filter, then the exact anti-join only over bloom-positive candidates.
+
+    Semantics identical to ``resume_filter`` (equivalence-tested); the scale
+    shape differs. The plain anti-join SHUFFLES both sides on url — at 10^12
+    committed rows that exchange dominates. Here the committed side is never
+    shuffled at all:
+
+    1. one column-pruned scan builds the fixed-size bloom bitmap
+       (``build_url_bloom``; map-side combine, ~m/64-row result),
+    2. the bitmap is BROADCAST onto the source ``n_hashes`` times (word-index
+       equi-joins — no source shuffle either); rows with any unset bit are
+       DEFINITELY new and bypass the join entirely,
+    3. only the ~(overlap + 1.2% fp) candidates do the exact check: a second
+       committed scan is semi-joined against the broadcast candidate urls,
+       and the (small) hit set is broadcast back as the anti-join side.
+
+    Cost: two committed scans + three broadcasts, ZERO exchanges of either
+    full table, versus one scan + full two-sided shuffle for the plain
+    anti-join."""
+    if committed_df is None:
+        return source_df
+    bitmap, m = build_url_bloom(
+        committed_df, url_col, expected_items, bits_per_key, n_hashes)
+
+    src = source_df.withColumns({
+        f"_pos{j}": F.pmod(F.xxhash64(F.col(url_col), F.lit(j)), F.lit(m))
+        for j in range(n_hashes)
+    })
+    bit_checks = []
+    for j in range(n_hashes):
+        b_j = bitmap.select(
+            F.col("word_idx").alias(f"_bw_idx{j}"),
+            F.col("word").alias(f"_bw{j}"),
+        )
+        src = src.join(
+            F.broadcast(b_j),
+            (F.col(f"_pos{j}") / 64).cast("long") == F.col(f"_bw_idx{j}"),
+            "left",
+        )
+        mask_j = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_pos{j} % 64 AS INT))")
+        bit_checks.append(
+            F.coalesce(F.col(f"_bw{j}"), F.lit(0)).bitwiseAND(mask_j) != 0)
+    maybe = bit_checks[0]
+    for c in bit_checks[1:]:
+        maybe = maybe & c
+    drop = [c for j in range(n_hashes)
+            for c in (f"_pos{j}", f"_bw_idx{j}", f"_bw{j}")]
+    flagged = src.withColumn("_maybe", maybe).drop(*drop)
+
+    definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    candidates = flagged.filter(F.col("_maybe")).drop("_maybe")
+    cand_urls = candidates.select(url_col).distinct()
+    hits = committed_df.select(url_col).join(
+        F.broadcast(cand_urls), on=url_col, how="left_semi")
+    survivors = candidates.join(F.broadcast(hits), on=url_col, how="left_anti")
+    return definite_new.unionByName(survivors)
 
 
 def resume_filter_from_runs(

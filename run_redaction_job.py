@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
                         "path string ships)")
     p.add_argument("--resume", action="store_true",
                    help="skip urls already present in --output")
+    p.add_argument("--resume-bloom", action="store_true",
+                   help="like --resume, but pre-filter through a distributed "
+                        "bloom filter so the (huge) committed side is never "
+                        "shuffled — use when committed >> new batch")
     p.add_argument("--resume-from-runs", default=None, metavar="RUN1,RUN2",
                    help="snapshot-style resume: treat exactly these committed "
                         "run_ids as COMPLETE and skip their urls; the "
@@ -119,12 +123,17 @@ def main(argv: list[str] | None = None) -> int:
             # mirror --resume: an unreadable/absent output target means the
             # named runs committed zero rows — proceed with the full input
             pass
-    elif args.resume:
+    elif args.resume or args.resume_bloom:
         try:
             committed = _read_target(spark, args.output)
         except Exception:
             committed = None
-        pages = resume_filter(pages, committed)
+        if args.resume_bloom:
+            from redactifai_spark.operators.metrics import resume_filter_bloom
+
+            pages = resume_filter_bloom(pages, committed)
+        else:
+            pages = resume_filter(pages, committed)
 
     run_id = args.run_id or f"run-{int(time.time())}"
     if args.chunked_detect:

@@ -1,0 +1,90 @@
+"""Bloom-filter resume (X4 at scale): equivalence with the plain anti-join
+resume_filter, correctness of the pure-Catalyst bloom build, and the
+shuffle-free plan shape (bitmap + hit set broadcast; committed never
+exchanged)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.metrics import (
+    build_url_bloom,
+    resume_filter,
+    resume_filter_bloom,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    committed = spark.range(0, 3000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 97).cast("string"),
+                 F.lit(".example.com/p"), F.col("id").cast("string")).alias("url"),
+        F.lit("done").alias("status"),
+    )
+    # new batch: half overlaps committed, half is new; plus a null url row
+    source = spark.range(1500, 4500).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 97).cast("string"),
+                 F.lit(".example.com/p"), F.col("id").cast("string")).alias("url"),
+        F.col("id").alias("payload"),
+    ).unionByName(
+        spark.createDataFrame([(None, -1)], "url string, payload long")
+    )
+    return committed, source
+
+
+def test_bitmap_is_fixed_size(spark, frames):
+    committed, _ = frames
+    bitmap, m = build_url_bloom(committed, expected_items=3000)
+    assert m == ((10 * 3000 + 63) // 64) * 64
+    assert bitmap.count() <= m // 64
+
+
+def _spark_positions(spark, urls, m, n_hashes=4):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    cols = [F.pmod(F.xxhash64("url", F.lit(j)), F.lit(m)).alias(f"p{j}")
+            for j in range(n_hashes)]
+    return df.select("url", *cols).collect()
+
+
+def test_bloom_membership_spark_side(spark, frames):
+    committed, _ = frames
+    bitmap, m = build_url_bloom(committed, expected_items=3000)
+    words = {r["word_idx"]: r["word"] for r in bitmap.collect()}
+    rows = _spark_positions(
+        spark, [r["url"] for r in committed.limit(200).collect()], m)
+    for r in rows:
+        for j in range(4):
+            pos = r[f"p{j}"]
+            assert words.get(pos // 64, 0) & (1 << (pos % 64)), \
+                f"false negative for {r['url']} at hash {j}"
+
+
+def test_equivalence_with_plain_anti_join(spark, frames):
+    committed, source = frames
+    plain = {(r["url"], r["payload"])
+             for r in resume_filter(source, committed).collect()}
+    bloom = {(r["url"], r["payload"])
+             for r in resume_filter_bloom(source, committed,
+                                          expected_items=3000).collect()}
+    assert plain == bloom
+    # sanity: the overlap really was dropped and the new half kept
+    assert (None, -1) in bloom          # null url never matches -> kept
+    assert len(bloom) == 1500 + 1       # ids 3000..4499 are new
+
+
+def test_plan_broadcasts_and_never_shuffles_committed(spark, frames):
+    committed, source = frames
+    out = resume_filter_bloom(source, committed, expected_items=3000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the bitmap joins + the exact semi/anti checks are all broadcast
+    assert plan.count("BroadcastHashJoin") >= 6, plan[:2000]
+    # no sort-merge/shuffled-hash join anywhere: neither full table is
+    # exchanged on the join key
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bloom_empty_committed_passthrough(spark, frames):
+    _, source = frames
+    assert resume_filter_bloom(source, None).count() == source.count()
+    empty = source.sparkSession.createDataFrame([], "url string")
+    out = resume_filter_bloom(source, empty, expected_items=1)
+    assert out.count() == source.count()
