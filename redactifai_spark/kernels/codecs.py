@@ -9,8 +9,9 @@ standard library only:
   (8-bit grey/RGB/RGBA, non-interlaced — zlib inflate + the five scanline
   filters from the PNG spec).
 - audio: WAV PCM (8/16-bit) via the stdlib ``wave`` module.
-- video: no stdlib container parser exists — stays honestly stubbed
-  (NotImplementedError) at the call site.
+- video: REAL RIFF/AVI container-header parsing (MainAVIHeader -> dims, fps,
+  frame count, duration) — metadata features only; frame DECODE needs a real
+  codec (ffmpeg) and stays honestly stubbed (``decode_avi_frames``).
 
 Encoders for the same formats exist so tests can synthesize byte-exact
 payloads without any imaging library. Everything is deterministic: the same
@@ -41,6 +42,8 @@ def sniff_media_format(payload: bytes) -> str | None:
         return "ppm"
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return "wav"
+    if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -303,6 +306,85 @@ def encode_wav(
     return buf.getvalue()
 
 
+# ---------------------------------------------------------------- video ---
+
+def parse_avi_header(payload: bytes) -> dict:
+    """RIFF/AVI container header parse — pure stdlib, metadata only.
+
+    Walks the RIFF chunk tree to the LIST/hdrl 'avih' chunk (MainAVIHeader,
+    56 bytes LE) and returns its fields plus derived fps / duration. This is
+    the honest video leg: real container parsing without frame DECODE (no
+    stdlib codec exists; ``decode_avi_frames`` stays NotImplementedError).
+    Raises CodecError on anything malformed."""
+    if len(payload) < 12 or not payload.startswith(b"RIFF"):
+        raise CodecError("not a RIFF container")
+    if payload[8:12] != b"AVI ":
+        raise CodecError("RIFF but not AVI")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    end = min(len(payload), 8 + riff_size)
+
+    def find_avih(pos: int, limit: int) -> int | None:
+        # scan sibling chunks: [fourcc][size][data]; LIST chunks nest
+        while pos + 8 <= limit:
+            fourcc = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            data, nxt = pos + 8, pos + 8 + size + (size & 1)
+            if fourcc == b"avih":
+                return data
+            if fourcc == b"LIST" and data + 4 <= limit:
+                hit = find_avih(data + 4, min(limit, data + size))
+                if hit is not None:
+                    return hit
+            pos = nxt
+        return None
+
+    at = find_avih(12, end)
+    if at is None or at + 40 > len(payload):
+        raise CodecError("no avih (MainAVIHeader) chunk")
+    (us_per_frame, max_bytes_per_sec, _pad, flags, total_frames,
+     _initial, n_streams, _bufsize, width, height) = struct.unpack_from(
+        "<10I", payload, at)
+    if us_per_frame == 0:
+        raise CodecError("avih: dwMicroSecPerFrame is zero")
+    fps = 1_000_000.0 / us_per_frame
+    return {
+        "us_per_frame": us_per_frame,
+        "max_bytes_per_sec": max_bytes_per_sec,
+        "flags": flags,
+        "total_frames": total_frames,
+        "n_streams": n_streams,
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "duration_s": total_frames * us_per_frame / 1_000_000.0,
+    }
+
+
+def encode_avi_header(
+    width: int, height: int, fps: float, total_frames: int, n_streams: int = 1,
+) -> bytes:
+    """Minimal-but-valid RIFF/AVI skeleton (hdrl LIST with avih + empty movi
+    LIST) so tests can synthesize headers without ffmpeg. Round-trips through
+    ``parse_avi_header``."""
+    us_per_frame = round(1_000_000 / fps)
+    avih = struct.pack(
+        "<10I", us_per_frame, 0, 0, 0x10, total_frames, 0, n_streams, 0,
+        width, height) + b"\x00" * 16  # dwReserved[4]
+    avih_chunk = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"hdrl" + avih_chunk
+    hdrl_list = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    movi_list = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + hdrl_list + movi_list
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(payload: bytes):
+    """Frame decode needs a real video codec (ffmpeg) — not in this
+    container. The header/metadata path is ``parse_avi_header``."""
+    raise NotImplementedError(
+        "no stdlib video frame decoder; parse_avi_header covers metadata")
+
+
 # -------------------------------------------------------------- features ---
 
 def _fit(vec: list[float]) -> list[float]:
@@ -352,3 +434,22 @@ def audio_feature(payload: bytes) -> list[float]:
         [n_channels / 8.0, framerate / 48000.0, min(duration, 3600.0) / 3600.0,
          rms, peak, zc] + [c / n for c in hist]
     )
+
+
+def video_feature(payload: bytes) -> list[float]:
+    """AVI header -> deterministic FEATURE_DIM floats from REAL container
+    metadata (no frame decode): dims, aspect, fps, duration, frame count,
+    stream count, flags bit, byte-rate."""
+    h = parse_avi_header(payload)
+    width, height = h["width"], h["height"]
+    return _fit([
+        min(width, 65535) / 4096.0,
+        min(height, 65535) / 4096.0,
+        (width / height) if height else 0.0,
+        min(h["fps"], 240.0) / 240.0,
+        min(h["duration_s"], 3600.0) / 3600.0,
+        min(h["total_frames"], 1 << 32) / 1e6,
+        h["n_streams"] / 8.0,
+        float(h["flags"] & 0x10 != 0),     # AVIF_HASINDEX
+        min(h["max_bytes_per_sec"], 1 << 32) / 1e8,
+    ])

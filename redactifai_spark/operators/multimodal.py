@@ -11,9 +11,10 @@ signatures — is real and tested. Two codec modes:
 - ``decode_stub=False``: REAL decoding via the pure-stdlib codecs in
   ``kernels.codecs`` (mirrors the reference's bytes->PIL decode,
   tiff_processor.py:43-91): BMP/PPM/PNG pixels for images, WAV PCM samples
-  for audio — features are computed from actual pixels/samples. Video has no
-  stdlib parser and stays honestly stubbed (NotImplementedError -> the row
-  fails in isolation, never the task).
+  for audio, RIFF/AVI header metadata for video — features come from actual
+  pixels/samples/container headers. Video FRAME decode needs ffmpeg and
+  stays honestly stubbed (codecs.decode_avi_frames -> the row fails in
+  isolation, never the task).
 """
 
 from __future__ import annotations
@@ -69,7 +70,7 @@ def extract_media_features(
     call on a cluster with the codecs installed."""
 
     def _features(batches):
-        from ..kernels.codecs import audio_feature, image_feature
+        from ..kernels.codecs import audio_feature, image_feature, video_feature
 
         for pdf in batches:
             rows = []
@@ -82,10 +83,14 @@ def extract_media_features(
                         feature = image_feature(payload)
                     elif kind == "audio":
                         feature = audio_feature(payload)
+                    elif kind == "video":
+                        # REAL RIFF/AVI container-header parse (metadata
+                        # features); frame decode itself stays honestly
+                        # stubbed (codecs.decode_avi_frames)
+                        feature = video_feature(payload)
                     else:
                         raise NotImplementedError(
-                            f"no stdlib decoder for kind={kind!r} (video needs "
-                            "ffmpeg, not in container)"
+                            f"no stdlib decoder for kind={kind!r}"
                         )
                     rows.append({
                         "media_id": mid, "kind": kind,
@@ -111,7 +116,9 @@ def generate_real_media(spark, n_rows: int, n_partitions: int | None = None) -> 
     images, WAV audio — rotating by id; every 7th image is deliberately
     corrupt to exercise failure isolation). Executor-side encode via
     mapInPandas: test plumbing, not a hot-path operator."""
-    from ..kernels.codecs import encode_bmp, encode_png, encode_ppm, encode_wav
+    from ..kernels.codecs import (
+        encode_avi_header, encode_bmp, encode_png, encode_ppm, encode_wav,
+    )
 
     def _gen(batches):
         for pdf in batches:
@@ -123,6 +130,12 @@ def generate_real_media(spark, n_rows: int, n_partitions: int | None = None) -> 
                     samples = [((i + 1) * 37 * t) % 20001 - 10000
                                for t in range(800 + i % 160)]
                     payload = encode_wav(samples, framerate=8000 + (i % 3) * 4000)
+                elif i % 11 == 5:
+                    kind, ct = "video", "video/x-msvideo"
+                    payload = encode_avi_header(
+                        width=320 + (i % 4) * 160, height=240 + (i % 3) * 120,
+                        fps=(24, 25, 30)[i % 3], total_frames=100 + i % 500,
+                        n_streams=1 + i % 2)
                 else:
                     kind = "image"
                     w, h = 4 + i % 13, 3 + i % 7

@@ -40,14 +40,14 @@ def test_deterministic(media):
 
 def test_real_codec_path_on_garbage_isolates(media):
     # synthetic generate_media payloads are NOT valid media: the real codec
-    # path must fail each row in isolation (CodecError for image/audio,
-    # NotImplementedError for video — no stdlib video parser), never the task
+    # path must fail each row in isolation (CodecError for every kind —
+    # video's AVI header parser rejects non-RIFF bytes), never the task
     rows = extract_media_features(media, decode_stub=False).collect()
     assert all(r["status"] == "failed" for r in rows)
     by_kind = {r["kind"]: r["error"] for r in rows}
     assert "CodecError" in by_kind["image"]
     assert "CodecError" in by_kind["audio"]
-    assert "NotImplementedError" in by_kind["video"]
+    assert "CodecError" in by_kind["video"]
 
 
 def test_codec_round_trips():
@@ -66,10 +66,39 @@ def test_codec_round_trips():
     assert decode_wav(encode_wav(samples, 16000, 1)) == (1, 16000, 2, samples)
 
 
+def test_avi_header_round_trip():
+    from redactifai_spark.kernels.codecs import (
+        CodecError, decode_avi_frames, encode_avi_header, parse_avi_header,
+        sniff_media_format, video_feature,
+    )
+
+    payload = encode_avi_header(width=640, height=480, fps=25,
+                                total_frames=250, n_streams=2)
+    assert sniff_media_format(payload) == "avi"
+    h = parse_avi_header(payload)
+    assert (h["width"], h["height"], h["total_frames"], h["n_streams"]) == \
+        (640, 480, 250, 2)
+    assert h["us_per_frame"] == 40000 and abs(h["fps"] - 25.0) < 1e-9
+    assert abs(h["duration_s"] - 10.0) < 1e-9
+    feat = video_feature(payload)
+    assert len(feat) == 16 and feat[2] == 640 / 480
+
+    # malformed inputs raise CodecError, truncation included
+    import pytest as _pytest
+    for bad in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE",
+                payload[:30], b"RIFF\xff\xff\xff\xffAVI " + b"\x00" * 8):
+        with _pytest.raises(CodecError):
+            parse_avi_header(bad)
+    with _pytest.raises(NotImplementedError):
+        decode_avi_frames(payload)
+
+
 def test_real_decode_end_to_end(spark):
     # real payloads through the Spark path: features equal the pure-Python
     # kernel's on the same bytes; the planted-corrupt rows fail in isolation
-    from redactifai_spark.kernels.codecs import audio_feature, image_feature
+    from redactifai_spark.kernels.codecs import (
+        audio_feature, image_feature, video_feature,
+    )
     from redactifai_spark.operators.multimodal import generate_real_media
 
     media = generate_real_media(spark, 48, n_partitions=4)
@@ -79,14 +108,17 @@ def test_real_decode_end_to_end(spark):
            for r in extract_media_features(media, decode_stub=False).collect()}
     assert got.keys() == local.keys()
     n_ok = n_fail = 0
+    kernel_of = {"audio": audio_feature, "image": image_feature,
+                 "video": video_feature}
+    assert {k for k, _ in local.values()} == {"audio", "image", "video"}
     for mid, (kind, payload) in local.items():
         r = got[mid]
-        if mid % 4 != 3 and mid % 7 == 0:  # planted corrupt image
+        if kind == "image" and mid % 7 == 0:  # planted corrupt image
             assert r["status"] == "failed" and "CodecError" in r["error"], mid
             n_fail += 1
             continue
         assert r["status"] == "complete", (mid, r["error"])
-        expect = audio_feature(payload) if kind == "audio" else image_feature(payload)
+        expect = kernel_of[kind](payload)
         assert [round(x, 6) for x in r["feature"]] == \
                [round(x, 6) for x in expect], mid
         n_ok += 1
