@@ -71,10 +71,23 @@ def run_and_commit(
     metrics_path: str,
     run_id: str,
     mode: str = "append",
+    metrics_source: str = "committed",
 ) -> None:
-    """Write pipeline output partitioned by run_id, then compute+append lineage
-    metrics from THIS run's committed partition (so metrics reflect exactly
-    what this run landed — append/resume runs never re-count earlier runs).
+    """Write pipeline output partitioned by run_id, then append lineage
+    metrics for THIS run (append/resume runs never re-count earlier runs).
+
+    ``metrics_source`` is the 100 TB cost knob:
+
+    - ``"committed"`` (default): re-read this run's committed partition and
+      compute per-partition metrics rows from it — metrics reflect exactly
+      what LANDED, at the cost of a second (run_id-pruned, column-pruned)
+      read+Python pass over the run's output.
+    - ``"inflight"``: accumulate the aggregates JVM-side DURING the single
+      write pass via the Observation API (zero extra passes over the data),
+      then do a read-back COUNT check only — if the committed row count
+      disagrees with the observed count the commit is corrupt and this
+      raises. One metrics row (partition_id = -1) instead of per-partition
+      granularity.
 
     ``out_path``/``metrics_path``: parquet directory paths, or dotted catalog
     table identifiers (routed through sinks.write_output — with an Iceberg
@@ -82,14 +95,53 @@ def run_and_commit(
     upload-then-delete, src/tasks.py:133-144)."""
     from ..sources.sinks import write_output
 
+    if metrics_source not in ("committed", "inflight"):
+        raise ValueError(f"metrics_source: {metrics_source!r}")
+
     spark = output_df.sparkSession
     stamped = output_df.withColumn("run_id", F.lit(run_id))
+
+    obs = None
+    if metrics_source == "inflight":
+        from pyspark.sql import Observation
+
+        obs = Observation(f"rfai-commit-{run_id}")
+        stamped = stamped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("status") == "failed").alias("n_failed"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_masked_chars").alias("n_masked_chars"),
+        )
+
+    t0 = time.monotonic()
     if _is_table(out_path):
         write_output(stamped, out_path, mode=mode)
     else:
         stamped.write.mode(mode).partitionBy("run_id").parquet(out_path)
-    committed = _read_target(spark, out_path).filter(F.col("run_id") == run_id)
-    metrics = partition_metrics(committed, run_id)
+
+    if obs is not None:
+        got = obs.get
+        # read-back integrity check only: parquet/Iceberg row-count reads
+        # resolve from footer/manifest metadata — no data pass
+        n_committed = (
+            _read_target(spark, out_path)
+            .filter(F.col("run_id") == run_id).count()
+        )
+        if n_committed != got["n_docs"]:
+            raise RuntimeError(
+                f"commit integrity: observed {got['n_docs']} rows in-flight "
+                f"but {n_committed} committed for run_id={run_id}")
+        metrics = spark.createDataFrame(
+            [(run_id, -1, got["n_docs"], got["n_failed"],
+              int(got["n_spans"] or 0), int(got["n_masked_chars"] or 0),
+              (time.monotonic() - t0) * 1000.0,
+              "complete" if got["n_failed"] == 0 else "partial")],
+            METRICS_SCHEMA,
+        )
+    else:
+        committed = _read_target(spark, out_path).filter(F.col("run_id") == run_id)
+        metrics = partition_metrics(committed, run_id)
     if _is_table(metrics_path):
         write_output(metrics, metrics_path, mode="append")
     else:

@@ -56,6 +56,7 @@ def incremental_redact_with_lineage(
     config: PipelineConfig = PipelineConfig(),
     fused: bool = True,
     max_files_per_trigger: int | None = None,
+    metrics_source: str = "committed",
 ) -> None:
     """X1+X4+X6 composed: incremental redaction where every micro-batch lands
     with per-partition lineage metrics, EXACTLY ONCE under replay.
@@ -65,8 +66,13 @@ def incremental_redact_with_lineage(
     marks it incomplete), the rewrite overwrites exactly that batch's
     run_id partition in both the output and the metrics table — idempotent,
     no duplicates. This is the parquet-dir analog of an Iceberg
-    replace-partition commit; metrics reflect what actually landed (computed
-    from the committed read-back, same as metrics.run_and_commit)."""
+    replace-partition commit.
+
+    ``metrics_source`` is the same cost knob as ``metrics.run_and_commit``:
+    ``"committed"`` re-reads each batch's landed partition for per-partition
+    metrics rows (a second run_id-pruned read+Python pass per batch);
+    ``"inflight"`` observes the aggregates during the batch's single write
+    pass and only count-checks the read-back."""
     from pyspark.sql import functions as F
 
     from ..operators.metrics import partition_metrics
@@ -78,13 +84,49 @@ def incremental_redact_with_lineage(
     out = run_pipeline(pages, config, fused=fused)
 
     def _commit(batch_df, batch_id: int) -> None:
+        import time as _time
+
         run_id = f"batch-{batch_id:08d}"
         stamped = batch_df.withColumn("run_id", F.lit(run_id))
+        obs_cols = None
+        if metrics_source == "inflight":
+            # foreachBatch frames are plain batch DataFrames: observe works
+            from pyspark.sql import Observation
+
+            obs_cols = Observation(f"rfai-batch-{batch_id}")
+            stamped = stamped.observe(
+                obs_cols,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count_if(F.col("status") == "failed").alias("n_failed"),
+                F.sum("n_spans").alias("n_spans"),
+                F.sum("n_masked_chars").alias("n_masked_chars"),
+            )
+        t0 = _time.monotonic()
         (stamped.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("run_id").parquet(out_dir))
-        committed = spark.read.parquet(out_dir).filter(F.col("run_id") == run_id)
-        (partition_metrics(committed, run_id).write.mode("overwrite")
+        if obs_cols is not None:
+            from ..operators.schemas import METRICS_SCHEMA
+
+            got = obs_cols.get
+            n_committed = (spark.read.parquet(out_dir)
+                           .filter(F.col("run_id") == run_id).count())
+            if n_committed != got["n_docs"]:
+                raise RuntimeError(
+                    f"batch {batch_id}: observed {got['n_docs']} rows but "
+                    f"{n_committed} committed")
+            metrics = spark.createDataFrame(
+                [(run_id, -1, got["n_docs"], got["n_failed"],
+                  int(got["n_spans"] or 0), int(got["n_masked_chars"] or 0),
+                  (_time.monotonic() - t0) * 1000.0,
+                  "complete" if got["n_failed"] == 0 else "partial")],
+                METRICS_SCHEMA,
+            )
+        else:
+            committed = spark.read.parquet(out_dir).filter(
+                F.col("run_id") == run_id)
+            metrics = partition_metrics(committed, run_id)
+        (metrics.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("run_id").parquet(metrics_dir))
 

@@ -37,6 +37,30 @@ def test_run_and_commit_lineage(spark, tmp_path):
     assert "run_id" in spark.read.parquet(out).columns
 
 
+def test_run_and_commit_inflight_metrics(spark, tmp_path):
+    # metrics_source="inflight": aggregates observed DURING the write pass
+    # (zero extra passes over the output) must equal what a full re-read
+    # computes; read-back is a count-only integrity check
+    out = str(tmp_path / "clean")
+    metrics = str(tmp_path / "metrics")
+
+    pages = generate_pages(spark, 40, n_partitions=4)
+    run_and_commit(run_pipeline(pages, fused=True), out, metrics,
+                   run_id="rin", metrics_source="inflight")
+
+    committed = spark.read.parquet(out)
+    truth = committed.selectExpr(
+        "count(*) AS n", "sum(n_spans) AS s", "sum(n_masked_chars) AS m",
+        "count_if(status = 'failed') AS f").collect()[0]
+    row = spark.read.parquet(metrics).collect()[0]
+    assert row["partition_id"] == -1 and row["run_id"] == "rin"
+    assert row["n_docs"] == truth["n"] == 40
+    assert row["n_spans"] == truth["s"] > 0
+    assert row["n_masked_chars"] == truth["m"] > 0
+    assert row["n_failed"] == truth["f"] == 0
+    assert row["status"] == "complete"
+
+
 def test_spans_table_side_output(spark):
     from redactifai_spark.operators.metrics import spans_table
 

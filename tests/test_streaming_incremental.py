@@ -91,3 +91,31 @@ def test_incremental_lineage_exactly_once_under_replay(spark, tmp_path):
     assert replay.count() == n_rows
     assert replay.select("url").distinct().count() == n_urls
     assert spark.read.parquet(met).agg({"n_docs": "sum"}).collect()[0][0] == n_rows
+
+
+def test_incremental_lineage_inflight_metrics(spark, tmp_path):
+    # metrics_source="inflight": per-batch aggregates observed during the
+    # write pass (no committed re-read except the count check); totals match
+    # the landed output, one partition_id=-1 row per batch
+    from redactifai_spark.sources.pages import generate_pages
+    from redactifai_spark.streaming.incremental import (
+        incremental_redact_with_lineage,
+    )
+
+    src = str(tmp_path / "src")
+    out, met, ckpt = (str(tmp_path / d) for d in ("out", "met", "ckpt"))
+    generate_pages(spark, 10, n_partitions=1).write.mode("append").parquet(src)
+    generate_pages(spark, 8, n_partitions=1).filter("xxhash64(url) % 2 = 0") \
+        .write.mode("append").parquet(src)
+
+    incremental_redact_with_lineage(
+        spark, src, out, met, ckpt, max_files_per_trigger=1,
+        metrics_source="inflight")
+    landed = spark.read.parquet(out)
+    m = spark.read.parquet(met)
+    assert m.agg({"n_docs": "sum"}).collect()[0][0] == landed.count()
+    rows = m.collect()
+    assert all(r["partition_id"] == -1 for r in rows)
+    assert len(rows) == landed.select("run_id").distinct().count()
+    truth = landed.agg({"n_spans": "sum"}).collect()[0][0]
+    assert sum(r["n_spans"] for r in rows) == truth > 0
