@@ -222,15 +222,35 @@ def main() -> None:
     if "--funnel" in sys.argv:
         # Funnel-at-scale evidence: the composed training-corpus pipeline
         # (redact -> quality/lang gate -> exact dedup -> MinHash-LSH near-dup)
-        # over generated pages at the bench scale, single stats action, plus a
-        # plan audit asserting the post-checkpoint phases stay Python-free.
+        # over the sf documents table re-cast as pages, single stats action,
+        # plus a plan audit asserting the post-checkpoint phases stay
+        # Python-free. Deliberately NOT over generate_pages: that corpus is
+        # one HTML template, so every doc shares most shingles, LSH buckets
+        # collapse to a handful of giant ones, and the candidate verify goes
+        # quadratic — the classic near-dup degeneracy on boilerplate-only
+        # corpora (empirically: 150k templated pages ran >13 min before being
+        # killed; the heterogeneous documents corpus completes in seconds).
+        # At 100 TB the same guard applies: near-dup AFTER boilerplate
+        # stripping, never on raw templated HTML.
         import tempfile
 
         from redactifai_spark.operators.corpus import prepare_training_corpus
+        from redactifai_spark.sources.pages import wrap_documents_as_pages
 
         spark = get_spark(app_name="bench-funnel", master=f"local[{CPUS}]",
                           shuffle_partitions=CPUS)
-        pages = generate_pages(spark, n_docs, n_partitions=CPUS * 4)
+        from redactifai_spark.operators.partitioning import repartition_by_url
+
+        # north-rule shape: explicit url-hash re-balance — the documents
+        # parquet is one file, and without this the whole funnel runs on a
+        # single core
+        pages = repartition_by_url(
+            wrap_documents_as_pages(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet")),
+            CPUS * 2)
+        n_docs = pages.count()
+        # one-time fused-path worker-pool spin-up stays out of the wall
+        _run_redaction(spark, 2000, CPUS, fused=True)
         ckpt = os.path.join(tempfile.gettempdir(), f"rfai_funnel_bench_{os.getpid()}")
         t0 = time.monotonic()
         corpus, stats = prepare_training_corpus(

@@ -77,6 +77,19 @@ def prepare_training_corpus(
     )
     exact_unique = gated.filter(F.col("_rn") == 1).drop("_rn")
 
+    # Materialize the gated survivors before the near-dup join: the LSH band
+    # frame is SELF-joined (two legs) and the Jaccard verify joins text back
+    # in, so without this the whole redact->score->langid->window chain
+    # recomputes once per leg (~4x). With it, each leg re-reads a narrow
+    # (url, text, ...) table — at 100 TB this is the difference between four
+    # full pipeline passes and one pass plus cheap columnar scans.
+    if checkpoint_path is not None:
+        gated_path = checkpoint_path.rstrip("/") + "_gated"
+        exact_unique.write.mode("overwrite").parquet(gated_path)
+        exact_unique = pages.sparkSession.read.parquet(gated_path)
+    else:
+        exact_unique = exact_unique.cache()
+
     pairs = near_duplicate_pairs(
         exact_unique, "url", "redacted_text", threshold=near_dup_threshold,
         n_hashes=n_hashes, n_bands=n_bands,

@@ -92,16 +92,31 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
     """MinHash signature: min over shingles of affine transforms of a base
-    xxhash64 (masked to 31 bits so a*h+b stays in signed-64 under ANSI mode)."""
+    xxhash64 (masked to 31 bits so a*h+b stays in signed-64 under ANSI mode).
+
+    Single-pass shape: ONE ``aggregate`` over the base-hash array folds all
+    ``n_hashes`` running minima at once (``zip_with`` against the constant
+    (a, b) parameter array). The obvious alternative — n_hashes separate
+    ``array_min(transform(base, ...))`` columns — embeds the whole
+    shingle-build expression once PER HASH, and Catalyst re-evaluates it
+    n_hashes times per row (the same re-inlining trap the winnowing operator
+    hit in round 1: 64 hashes made the funnel's near-dup leg ~60x slower).
+    Values are bit-identical either way; the SQL oracle twin is unchanged."""
     base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
-    mins = [
-        F.array_min(
-            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b),
-                                               F.lit(_MERSENNE)))
-        )
+    params = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
         for a, b in _affine_params(n_hashes)
-    ]
-    return F.array(*mins)
+    ])
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), n_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, params,
+            lambda m, p: F.least(m, F.pmod(p["a"] * h + p["b"],
+                                           F.lit(_MERSENNE))),
+        ),
+    )
 
 
 def with_minhash(
@@ -112,15 +127,31 @@ def with_minhash(
     )
 
 
-def _band_frame(
-    df: DataFrame, id_col: str, text_col: str,
-    n_hashes: int, n_bands: int, shingle_n: int,
+def _featurized(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int, shingle_n: int,
 ) -> DataFrame:
-    """(doc, band_id, band_hash) — one row per document per LSH band."""
-    rows_per_band = n_hashes // n_bands
-    sig = with_minhash(df.select(id_col, text_col), text_col, n_hashes, shingle_n)
-    return sig.select(
+    """(doc, sh, minhash) persisted + eagerly materialized: the expensive
+    shingle + signature pass runs ONCE, and every consumer (both legs of the
+    band self-join, the Jaccard verify) reads the in-memory relation. The
+    eager count exists for the same reason as the chunked pipeline's:
+    concurrent stages in one action otherwise race to populate the cache and
+    re-run the whole pass per leg (measured 3-4x on the corpus funnel)."""
+    from pyspark import StorageLevel
+
+    feat = df.select(
         F.col(id_col).alias("doc"),
+        word_shingles(text_col, shingle_n).alias("sh"),
+    ).withColumn("minhash", minhash_signature(F.col("sh"), n_hashes))
+    feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
+    feat.count()
+    return feat
+
+
+def _bands_of(feat: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    """(doc, band_id, band_hash) from a featurized frame — narrow explode."""
+    rows_per_band = n_hashes // n_bands
+    return feat.select(
+        F.col("doc"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -142,6 +173,30 @@ def _band_frame(
     ).select("doc", "band.band_id", "band.band_hash")
 
 
+def _band_frame(
+    df: DataFrame, id_col: str, text_col: str,
+    n_hashes: int, n_bands: int, shingle_n: int,
+) -> DataFrame:
+    """(doc, band_id, band_hash) — one row per document per LSH band.
+    Un-persisted convenience form; the self-join operators go through
+    ``_featurized`` so the signature pass is shared, not recomputed."""
+    sig = with_minhash(df.select(id_col, text_col), text_col, n_hashes, shingle_n)
+    return _bands_of(sig.withColumnRenamed(id_col, "doc"), n_hashes, n_bands)
+
+
+def _self_join_pairs(bands: DataFrame) -> DataFrame:
+    return (
+        bands.alias("a").join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -151,20 +206,10 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs
-    (id_a < id_b, distinct). Shuffles on uniformly-distributed band hashes."""
-    bands = _band_frame(df, id_col, text_col, n_hashes, n_bands, shingle_n)
-    left = bands.alias("a")
-    right = bands.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
-    )
+    (id_a < id_b, distinct). Shuffles on uniformly-distributed band hashes;
+    both self-join legs read ONE persisted signature pass."""
+    feat = _featurized(df, id_col, text_col, n_hashes, shingle_n)
+    return _self_join_pairs(_bands_of(feat, n_hashes, n_bands))
 
 
 def jaccard_similarity(a: Column, b: Column) -> Column:
@@ -186,12 +231,14 @@ def near_duplicate_pairs(
     """MinHash-LSH candidates verified by exact shingle Jaccard >= threshold.
 
     Returns (id_a, id_b, jaccard). Shingle sets are joined back only for
-    candidate pairs, so the verify cost is proportional to candidates, not docs.
+    candidate pairs, so the verify cost is proportional to candidates, not
+    docs — and the shingle+signature pass itself runs ONCE (persisted
+    ``_featurized`` frame feeds both band-join legs AND the verify joins;
+    before this the chain recomputed ~4x and dominated the corpus funnel).
     """
-    cands = lsh_candidate_pairs(df, id_col, text_col, n_hashes, n_bands, shingle_n)
-    sh = df.select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("sh")
-    )
+    feat = _featurized(df, id_col, text_col, n_hashes, shingle_n)
+    cands = _self_join_pairs(_bands_of(feat, n_hashes, n_bands))
+    sh = feat.select("doc", "sh")
     return (
         cands.join(sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
