@@ -1,0 +1,61 @@
+"""North-rule deployment shape: the job really runs via
+``spark-submit --py-files redactifai_spark.zip run_redaction_job.py`` with
+the package resolved FROM THE ZIP (cwd outside the repo, no PYTHONPATH) —
+the exact multi-executor cluster submission recipe, exercised for real."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _zip_package(dest_dir: str) -> str:
+    zip_path = os.path.join(dest_dir, "redactifai_spark.zip")
+    pkg = os.path.join(REPO, "redactifai_spark")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return zip_path
+
+
+def test_spark_submit_py_files_end_to_end(spark, tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    from redactifai_spark.sources.pages import generate_pages
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "clean")
+    met = str(tmp_path / "metrics")
+    generate_pages(spark, 60, n_partitions=2).write.parquet(src)
+
+    zip_path = _zip_package(str(tmp_path))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[2]", "--py-files", zip_path,
+         os.path.join(REPO, "run_redaction_job.py"),
+         "--input", src, "--output", out, "--metrics", met,
+         "--run-id", "submit-smoke", "--master", "local[2]"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    committed = spark.read.parquet(out)
+    rows = committed.collect()
+    assert len(rows) == 60
+    assert all(r["status"] == "complete" for r in rows)
+    assert sum(r["n_spans"] for r in rows) > 0
+    m = spark.read.parquet(met).collect()
+    assert sum(r["n_docs"] for r in m) == 60
+    assert {r["run_id"] for r in m} == {"submit-smoke"}
