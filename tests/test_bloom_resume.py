@@ -88,3 +88,28 @@ def test_bloom_empty_committed_passthrough(spark, frames):
     empty = source.sparkSession.createDataFrame([], "url string")
     out = resume_filter_bloom(source, empty, expected_items=1)
     assert out.count() == source.count()
+
+
+@pytest.mark.parametrize("seed", [7, 101, 9001])
+def test_randomized_equivalence(spark, seed):
+    # deterministic pseudo-random corpora: unicode urls, duplicates in the
+    # source, partial overlap, committed side both bigger and smaller
+    import random
+
+    rng = random.Random(seed)
+    pool = [f"https://h{rng.randrange(40)}.example.com/{chr(0x263A)}/p{i}"
+            for i in range(rng.randrange(50, 400))]
+    committed_urls = rng.sample(pool, k=len(pool) // 2)
+    source_urls = [rng.choice(pool) for _ in range(rng.randrange(30, 300))]
+
+    committed = spark.createDataFrame([(u,) for u in committed_urls], "url string")
+    source = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(source_urls)], "url string, payload long")
+
+    plain = sorted((r["url"], r["payload"])
+                   for r in resume_filter(source, committed).collect())
+    bloom = sorted((r["url"], r["payload"])
+                   for r in resume_filter_bloom(
+                       source, committed,
+                       expected_items=len(committed_urls)).collect())
+    assert plain == bloom
