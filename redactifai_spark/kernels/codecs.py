@@ -323,8 +323,12 @@ def parse_avi_header(payload: bytes) -> dict:
     riff_size = struct.unpack_from("<I", payload, 4)[0]
     end = min(len(payload), 8 + riff_size)
 
-    def find_avih(pos: int, limit: int) -> int | None:
-        # scan sibling chunks: [fourcc][size][data]; LIST chunks nest
+    def find_avih(pos: int, limit: int, depth: int = 0) -> int | None:
+        # scan sibling chunks: [fourcc][size][data]; LIST chunks nest.
+        # depth cap: adversarially nested LIST headers must raise CodecError,
+        # not RecursionError (real AVI files nest 2-3 levels)
+        if depth > 32:
+            raise CodecError("RIFF LIST nesting too deep")
         while pos + 8 <= limit:
             fourcc = payload[pos : pos + 4]
             size = struct.unpack_from("<I", payload, pos + 4)[0]
@@ -332,7 +336,7 @@ def parse_avi_header(payload: bytes) -> dict:
             if fourcc == b"avih":
                 return data
             if fourcc == b"LIST" and data + 4 <= limit:
-                hit = find_avih(data + 4, min(limit, data + size))
+                hit = find_avih(data + 4, min(limit, data + size), depth + 1)
                 if hit is not None:
                     return hit
             pos = nxt

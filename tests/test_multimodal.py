@@ -133,3 +133,18 @@ def test_null_payload_isolated(spark):
     )
     r = extract_media_features(df).collect()[0]
     assert r["status"] == "complete" and r["n_bytes"] == 0
+
+
+def test_avi_deep_nesting_raises_codec_error():
+    import struct
+
+    from redactifai_spark.kernels.codecs import CodecError, parse_avi_header
+
+    # 10k nested LIST headers: must be CodecError, never RecursionError
+    inner = b""
+    for _ in range(10_000):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"hdrl" + inner
+    payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    import pytest as _pytest
+    with _pytest.raises(CodecError):
+        parse_avi_header(payload)
