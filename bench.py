@@ -334,14 +334,31 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
+
+    # The north-rule job READS a table; generating 150k HTML strings inside
+    # the timed window charges JVM string/GC churn to the engine that the
+    # real job never pays. Materialize the input ONCE (untimed, reused across
+    # invocations — identical files every run) and time scan+redact, exactly
+    # like --scaling has since round 2. Rounds 1-3 generated in-window; their
+    # fused headlines (3.0-5.1 s) are therefore not directly comparable to
+    # this artifact — the control-normalized ratio is.
+    import tempfile
+
+    input_dir = os.path.join(tempfile.gettempdir(), f"rfai_bench_input_{n_docs}")
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        generate_pages(spark, n_docs, n_partitions=CPUS * 4).write.mode(
+            "overwrite").parquet(input_dir)
+
     # Warm up BOTH physical paths: each distinct UDF chain spins its own Python
     # worker pool on first use (~0.5 s/worker across the pool) — a one-time
     # cluster cost that must not pollute steady-state numbers.
     _run_redaction(spark, 2000, CPUS, fused=True)
     _run_redaction(spark, 2000, CPUS, fused=False)
 
-    walls_fused, n = _run_redaction_walls(spark, n_docs, CPUS, fused=True, repeats=3)
-    walls_staged, _ = _run_redaction_walls(spark, n_docs, CPUS, fused=False, repeats=3)
+    walls_fused, n = _run_redaction_walls(spark, n_docs, CPUS, fused=True,
+                                          repeats=3, input_path=input_dir)
+    walls_staged, _ = _run_redaction_walls(spark, n_docs, CPUS, fused=False,
+                                           repeats=3, input_path=input_dir)
     queries, queries_median = _bench_queries(spark, SF_DIR)
     queries["redact_pipeline_fused"] = round(walls_fused[0], 3)
     queries["redact_pipeline_staged"] = round(walls_staged[0], 3)
@@ -361,6 +378,7 @@ def main() -> None:
         "queries_median": queries_median,
         "sf": sf,
         "n_docs": n_docs,
+        "input": "parquet",
         "docs_per_sec": round(best_rate, 1),
         "median_wall_sec": round(walls_fused[1], 3),
         "control_docs_per_sec": round(control, 1),
