@@ -49,8 +49,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 8192 measured ~2-3% faster than 2048 on the fused path (interleaved
+        # best-of-6 A/B, round 4); pages are ~2 KB so a batch is ~16 MB —
+        # still bounded per the micro-batching note above
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "8192"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # throughput GC: the redaction hot path churns short-lived strings/Arrow
