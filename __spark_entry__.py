@@ -510,11 +510,11 @@ def _docs_simhash_neardups(spark, sf_dir):
 def _docs_lang_detect(spark, sf_dir):
     # langid confusion counts + per-group size estimation (A4/A5 — absorbs
     # the former docs_lang_stats query's count + exact-integer char sum)
-    from redactifai_spark.operators.textstats import detect_language
+    from redactifai_spark.operators.textstats import with_language
 
     return (
-        _t(spark, sf_dir, "documents")
-        .select("lang", detect_language("text").alias("lang_detected"), "n_chars")
+        with_language(_t(spark, sf_dir, "documents"), "text", "lang_detected")
+        .select("lang", "lang_detected", "n_chars")
         .groupBy("lang", "lang_detected")
         .agg(F.count("*").alias("n"),
              F.sum("n_chars").alias("sum_chars"))

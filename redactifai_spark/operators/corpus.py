@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from ..kernels.oracle import PipelineConfig
 from .dedup import near_duplicate_pairs
 from .pipeline import run_pipeline
-from .textstats import detect_language, quality_score
+from .textstats import quality_score, with_language
 
 
 def prepare_training_corpus(
@@ -53,8 +53,9 @@ def prepare_training_corpus(
     else:
         base = redacted.cache()
 
-    scored = quality_score(base, text_col="redacted_text").withColumn(
-        "lang_detected", detect_language("redacted_text")
+    scored = with_language(
+        quality_score(base, text_col="redacted_text"),
+        text_col="redacted_text", out_col="lang_detected",
     )
     flagged = scored.withColumns(
         {
