@@ -643,9 +643,13 @@ def _docs_top_bigrams(spark, sf_dir):
     # corpus-level n-gram frequency: explode word bigrams -> count ->
     # deterministic top-20. The shuffle key (bigram) is Zipf-ish but the
     # partial (map-side) aggregation absorbs the skew before the exchange.
-    docs = _t(spark, sf_dir, "documents")
     # regexp_extract_all (not split): [] for blank docs, matching the oracle.
-    toks = F.regexp_extract_all(F.trim("text"), F.lit(r"\S+"), 0)
+    # The token array is BOUND to a column before the per-element lambda —
+    # an inline expression would re-run the regex per bigram (the winnowing
+    # re-eval trap; measured 1.5x at sf0.1, worse the longer the doc).
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_toks", F.regexp_extract_all(F.trim("text"), F.lit(r"\S+"), 0))
+    toks = F.col("_toks")
     # sequence(1, 0) would default to step -1 and yield [1, 0] (then
     # element_at(toks, 0) throws under ANSI), so docs with <= 1 token must
     # produce an explicitly empty index array.

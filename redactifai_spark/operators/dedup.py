@@ -138,10 +138,24 @@ def _featurized(
     re-run the whole pass per leg (measured 3-4x on the corpus funnel)."""
     from pyspark import StorageLevel
 
-    feat = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(text_col, shingle_n).alias("sh"),
-    ).withColumn("minhash", minhash_signature(F.col("sh"), n_hashes))
+    # Bind the token array before the per-shingle slice lambda — an inline
+    # split/regex expression would re-run once per shingle (the same re-eval
+    # trap as the signature). Semantics mirror word_shingles exactly; keep
+    # the two in lockstep (equivalence is oracle-checked at the gate).
+    tokens_expr = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
+    d = df.select(F.col(id_col).alias("doc"),
+                  tokens_expr.alias("_wtoks"))
+    tokens = F.col("_wtoks")
+    k = F.greatest(F.size(tokens) - F.lit(shingle_n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, shingle_n)),
+    )
+    sh = F.array_distinct(
+        F.when(k > 0, grams).otherwise(F.array(F.concat_ws(" ", tokens))))
+    feat = d.withColumn("sh", sh).drop("_wtoks").withColumn(
+        "minhash", minhash_signature(F.col("sh"), n_hashes))
     feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
     feat.count()
     return feat
