@@ -1,0 +1,58 @@
+"""Session-lifetime bookkeeping for operator-internal persisted frames.
+
+Several operators persist an intermediate and eagerly materialize it so that
+multi-branch plans read ONE computed relation instead of racing to populate a
+lazy cache (``chunked.run_pipeline_chunked``'s staged frame,
+``dedup._featurized``'s shingle+signature pass, ``corpus``'s no-checkpoint
+fallback caches). Those frames must stay persisted until the CALLER's terminal
+action — the operator cannot unpersist them itself without recomputing — so
+each one is registered here and freed in bulk by ``unpersist_tracked()``.
+
+Call ``unpersist_tracked()`` after the consuming action whenever the process
+invokes these operators repeatedly (a streaming ``foreachBatch``, a bench
+loop, repeated funnel runs): without it each invocation leaks executor
+storage for the session lifetime. One-shot jobs (``run_redaction_job``) call
+it right after commit; tests assert the registry drains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_TRACKED: list[DataFrame] = []
+
+
+def persist_tracked(
+    df: DataFrame,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    eager: bool = True,
+) -> DataFrame:
+    """Persist ``df``, optionally materialize it eagerly (one count action —
+    required when concurrent downstream branches would otherwise race to
+    compute the same cached partitions), and register it for later bulk
+    unpersist."""
+    df = df.persist(level)
+    if eager:
+        df.count()
+    _TRACKED.append(df)
+    return df
+
+
+def unpersist_tracked(blocking: bool = False) -> int:
+    """Unpersist every operator-internal frame registered since the last
+    call; returns how many were freed. Safe to call at any time — frames
+    whose session died are skipped."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking)
+        except Exception:
+            pass
+        n += 1
+    return n
+
+
+def tracked_count() -> int:
+    return len(_TRACKED)

@@ -189,17 +189,19 @@ def run_pipeline_chunked(
     # branches read the in-memory relation, so the 100 TB html:binary scan
     # and the extract UDF each run exactly once (plan- and accumulator-
     # asserted); without the persist each branch's filter would re-run the
-    # underlying scan.
-    from pyspark import StorageLevel
+    # underlying scan. Eager (the count IS the single extract pass): the two
+    # branch stages otherwise launch concurrently in the first action and
+    # RACE to compute the same cached partitions (extract would run ~twice
+    # per row; the block store dedups storage, not computation). The frame
+    # stays persisted until the caller's terminal action — repeated callers
+    # (foreachBatch, bench loops) free it via caching.unpersist_tracked().
+    from .caching import persist_tracked
 
-    staged_all = stage(df.withColumn("_is_large", is_large)).select(
-        "_is_large", *payload, "extracted_text"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # Eagerly populate the cache: the two branch stages otherwise launch
-    # concurrently in the first action and RACE to compute the same cached
-    # partitions (extract would run ~twice per row; the block store dedups
-    # storage, not computation). The count IS the single extract pass.
-    staged_all.count()
+    staged_all = persist_tracked(
+        stage(df.withColumn("_is_large", is_large)).select(
+            "_is_large", *payload, "extracted_text"
+        )
+    )
 
     small = staged_all.filter(~F.col("_is_large")).withColumn(
         "_spans_all", make_detect_udf(config)(F.col("extracted_text"))

@@ -17,10 +17,11 @@ standard tradeoff).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..kernels.oracle import PipelineConfig
-from .dedup import near_duplicate_pairs
+from .caching import persist_tracked
+from .dedup import drop_exact_duplicates, near_duplicate_pairs
 from .pipeline import run_pipeline
 from .textstats import quality_score, with_language
 
@@ -51,7 +52,9 @@ def prepare_training_corpus(
         redacted.write.mode("overwrite").parquet(checkpoint_path)
         base = pages.sparkSession.read.parquet(checkpoint_path)
     else:
-        base = redacted.cache()
+        # interactive fallback; freed by caching.unpersist_tracked() once the
+        # caller's terminal action has run
+        base = persist_tracked(redacted, eager=False)
 
     scored = with_language(
         quality_score(base, text_col="redacted_text"),
@@ -69,14 +72,17 @@ def prepare_training_corpus(
         "is_complete", "is_gated",
     )
 
-    # Exact dedup as one window (single shuffle on the content hash): the
-    # keeper of each duplicate group is the minimum url — same semantics as
-    # groupBy(min) + semi-join, one shuffle cheaper.
-    w = W.partitionBy(F.md5("redacted_text")).orderBy("url")
-    gated = flagged.filter("is_gated").withColumn(
-        "_rn", F.row_number().over(w)
+    # Exact dedup via the map-side-combining keeper shape: groupBy(md5) with
+    # partial aggregation absorbs hot duplicate texts (empty pages,
+    # parked-domain templates — common at Common-Crawl scale) BEFORE the
+    # exchange, then a semi-join on the uniform url key keeps min(url) per
+    # group. The earlier row_number() window over md5(redacted_text) saved
+    # one shuffle but funneled every copy of a hot text through ONE window
+    # partition with no map-side reduction — a straggler at 10^12 docs
+    # (plan- and skew-tested in tests/test_corpus.py).
+    exact_unique = drop_exact_duplicates(
+        flagged.filter("is_gated"), "url", "redacted_text"
     )
-    exact_unique = gated.filter(F.col("_rn") == 1).drop("_rn")
 
     # Materialize the gated survivors before the near-dup join: the LSH band
     # frame is SELF-joined (two legs) and the Jaccard verify joins text back
@@ -89,7 +95,7 @@ def prepare_training_corpus(
         exact_unique.write.mode("overwrite").parquet(gated_path)
         exact_unique = pages.sparkSession.read.parquet(gated_path)
     else:
-        exact_unique = exact_unique.cache()
+        exact_unique = persist_tracked(exact_unique, eager=False)
 
     pairs = near_duplicate_pairs(
         exact_unique, "url", "redacted_text", threshold=near_dup_threshold,

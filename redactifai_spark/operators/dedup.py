@@ -101,14 +101,21 @@ def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
     shingle-build expression once PER HASH, and Catalyst re-evaluates it
     n_hashes times per row (the same re-inlining trap the winnowing operator
     hit in round 1: 64 hashes made the funnel's near-dup leg ~60x slower).
-    Values are bit-identical either way; the SQL oracle twin is unchanged."""
+    Values are bit-identical either way; the SQL oracle twin is unchanged.
+
+    An EMPTY shingles array yields an array of nulls — the same value the
+    pre-fold ``array_min`` form produced — not the fold's _MERSENNE init
+    sentinels, so empty documents can never band-collide with each other as
+    spurious near-duplicates. (No in-repo shingler emits an empty array —
+    ``word_shingles`` always yields at least one element — but this is a
+    public function and the null semantics are the contract.)"""
     base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
     params = F.array(*[
         F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
         for a, b in _affine_params(n_hashes)
     ])
     init = F.array_repeat(F.lit(_MERSENNE).cast("long"), n_hashes)
-    return F.aggregate(
+    folded = F.aggregate(
         base,
         init,
         lambda acc, h: F.zip_with(
@@ -117,13 +124,21 @@ def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
                                            F.lit(_MERSENNE))),
         ),
     )
+    return F.when(F.size(shingles) > 0, folded).otherwise(
+        F.array_repeat(F.lit(None).cast("long"), n_hashes)
+    )
 
 
 def with_minhash(
     df: DataFrame, text_col: str, n_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    return df.withColumn(
-        "minhash", minhash_signature(word_shingles(text_col, shingle_n), n_hashes)
+    # bind the shingle array to a column first: minhash_signature references
+    # its input twice (empty-guard + fold), and an inline shingle expression
+    # would be rebuilt per reference (the re-eval trap)
+    return (
+        df.withColumn("_mh_sh", word_shingles(text_col, shingle_n))
+        .withColumn("minhash", minhash_signature(F.col("_mh_sh"), n_hashes))
+        .drop("_mh_sh")
     )
 
 
@@ -135,8 +150,10 @@ def _featurized(
     band self-join, the Jaccard verify) reads the in-memory relation. The
     eager count exists for the same reason as the chunked pipeline's:
     concurrent stages in one action otherwise race to populate the cache and
-    re-run the whole pass per leg (measured 3-4x on the corpus funnel)."""
-    from pyspark import StorageLevel
+    re-run the whole pass per leg (measured 3-4x on the corpus funnel).
+    The frame stays persisted until the caller's terminal action; repeated
+    callers free it via caching.unpersist_tracked()."""
+    from .caching import persist_tracked
 
     # Bind the token array before the per-shingle slice lambda — an inline
     # split/regex expression would re-run once per shingle (the same re-eval
@@ -156,9 +173,7 @@ def _featurized(
         F.when(k > 0, grams).otherwise(F.array(F.concat_ws(" ", tokens))))
     feat = d.withColumn("sh", sh).drop("_wtoks").withColumn(
         "minhash", minhash_signature(F.col("sh"), n_hashes))
-    feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
-    feat.count()
-    return feat
+    return persist_tracked(feat)
 
 
 def _bands_of(feat: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:

@@ -65,6 +65,25 @@ def _read_target(spark, target: str) -> DataFrame:
     return spark.read.table(target) if _is_table(target) else spark.read.parquet(target)
 
 
+def target_missing(exc: Exception) -> bool:
+    """True iff ``exc`` means the read target simply does not exist yet
+    (first run — nothing committed), as opposed to a real read failure
+    (permissions, corrupt footer, partial listing) that resume logic must
+    surface rather than silently treating as 'no prior runs'."""
+    from pyspark.errors import AnalysisException
+
+    if not isinstance(exc, AnalysisException):
+        return False
+    try:
+        cond = exc.getCondition() or ""
+    except Exception:
+        cond = ""
+    text = f"{cond} {exc}"
+    return any(tok in text for tok in (
+        "PATH_NOT_FOUND", "TABLE_OR_VIEW_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA",
+    ))
+
+
 def run_and_commit(
     output_df: DataFrame,
     out_path: str,
@@ -104,6 +123,30 @@ def run_and_commit(
     obs = None
     if metrics_source == "inflight":
         from pyspark.sql import Observation
+
+        # The integrity check below compares the observed in-flight count to
+        # the committed count for run_id; pre-existing rows for a REUSED
+        # run_id would make that comparison fail AFTER the data write but
+        # BEFORE the metrics append (rows land with no metrics row) — and
+        # misread reuse as corruption. Detect reuse up front, before writing
+        # anything (a run_id-pruned count: footer/manifest metadata only).
+        if mode == "append":
+            try:
+                pre = (
+                    _read_target(spark, out_path)
+                    .filter(F.col("run_id") == run_id).count()
+                )
+            except Exception as e:
+                if not target_missing(e):
+                    raise
+                pre = 0
+            if pre:
+                raise ValueError(
+                    f"run_id {run_id!r} already has {pre} committed rows in "
+                    f"{out_path!r}; appending with metrics_source='inflight' "
+                    "would break the commit-integrity count. Use a fresh "
+                    "run_id (or mode='overwrite')."
+                )
 
         obs = Observation(f"rfai-commit-{run_id}")
         stamped = stamped.observe(
@@ -227,7 +270,12 @@ def build_url_bloom(
     bit-packed per 64-bit word with a map-side-combining ``bit_or``
     aggregate. At 10 bits/key + 4 hashes the false-positive rate is ~1.2%.
     Returns (bitmap_df, m). The bitmap is broadcastable (~190 KB per million
-    committed urls), which is what makes the pre-filter shuffle-free."""
+    committed urls), which is what makes the pre-filter shuffle-free.
+
+    When ``expected_items`` is None it is derived with one extra
+    ``committed_df.count()`` action (cheap for parquet/Iceberg — footer and
+    manifest metadata — but an extra job); callers that know the committed
+    cardinality should pass it to keep the build at exactly one scan."""
     if expected_items is None:
         expected_items = committed_df.count()
     m = max(64, ((bits_per_key * max(1, expected_items) + 63) // 64) * 64)
@@ -275,9 +323,19 @@ def resume_filter_bloom(
        committed scan is semi-joined against the broadcast candidate urls,
        and the (small) hit set is broadcast back as the anti-join side.
 
-    Cost: two committed scans + three broadcasts, ZERO exchanges of either
-    full table, versus one scan + full two-sided shuffle for the plain
-    anti-join."""
+    Cost: two committed scans (plus a metadata-only count() when
+    ``expected_items`` is unset — pass it to stay at two) + three
+    broadcasts, ZERO exchanges of either full table, versus one scan + full
+    two-sided shuffle for the plain anti-join.
+
+    Sizing contract: the candidate-url and hit-set broadcasts are O(bloom
+    positives) = O(overlap + ~1.2% of the NEW BATCH) — bounded by the batch,
+    never by the committed table. This operator therefore assumes batch-sized
+    sets fit the driver/broadcast limit (the intended regime: committed >>
+    batch). If a single batch is itself beyond broadcast range (~10^8+
+    overlapping urls), use the plain ``resume_filter`` shuffle anti-join for
+    that batch instead — at that ratio the shuffle is no longer the
+    bottleneck the bloom path exists to avoid."""
     if committed_df is None:
         return source_df
     bitmap, m = build_url_bloom(

@@ -110,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
         retry_backoff_s=args.retry_backoff,
     )
 
-    from redactifai_spark.operators.metrics import _read_target
+    from redactifai_spark.operators.metrics import _read_target, target_missing
 
     pages = _read_target(spark, args.input)
     if args.resume_from_runs:
@@ -119,14 +119,20 @@ def main(argv: list[str] | None = None) -> int:
         try:
             pages = resume_filter_from_runs(
                 pages, args.output, args.resume_from_runs.split(","))
-        except Exception:
-            # mirror --resume: an unreadable/absent output target means the
-            # named runs committed zero rows — proceed with the full input
-            pass
+        except Exception as e:
+            # ONLY a missing output target means the named runs committed
+            # zero rows (first run: proceed with the full input). Any other
+            # read failure — permissions, corrupt footer, partial listing —
+            # must fail loudly: silently disabling resume here would re-write
+            # already-committed rows as duplicates under append mode.
+            if not target_missing(e):
+                raise
     elif args.resume or args.resume_bloom:
         try:
             committed = _read_target(spark, args.output)
-        except Exception:
+        except Exception as e:
+            if not target_missing(e):
+                raise
             committed = None
         if args.resume_bloom:
             from redactifai_spark.operators.metrics import resume_filter_bloom
@@ -158,6 +164,12 @@ def main(argv: list[str] | None = None) -> int:
         })
     run_and_commit(out, args.output, args.metrics, run_id=run_id)
 
+    # free operator-internal persisted frames (chunked staging etc.) — a
+    # no-op for the plain path, required hygiene when this main() is driven
+    # repeatedly in one process (tests, orchestration loops)
+    from redactifai_spark.operators.caching import unpersist_tracked
+
+    unpersist_tracked()
     n = _read_target(spark, args.output).count()
     print(f"committed run_id={run_id}; output rows now {n}")
     spark.stop()

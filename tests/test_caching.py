@@ -1,0 +1,34 @@
+"""Operator-internal persisted frames are registered with operators.caching
+and freed in bulk — repeated invocations (foreachBatch, bench loops) must not
+leak executor storage for the session lifetime."""
+
+from redactifai_spark.operators import caching
+from redactifai_spark.operators.dedup import near_duplicate_pairs
+
+
+def test_unpersist_tracked_drains_registry(spark):
+    caching.unpersist_tracked()  # start clean (other tests may have tracked)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text") \
+        .limit(50)
+    pairs = near_duplicate_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs.collect()
+    assert caching.tracked_count() >= 1  # _featurized registered
+    freed = caching.unpersist_tracked()
+    assert freed >= 1
+    assert caching.tracked_count() == 0
+    # idempotent
+    assert caching.unpersist_tracked() == 0
+
+
+def test_chunked_pipeline_registers_staged_frame(spark):
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.chunked import run_pipeline_chunked
+    from redactifai_spark.sources.pages import generate_pages
+
+    caching.unpersist_tracked()
+    pages = generate_pages(spark, 12, n_partitions=2)
+    out = run_pipeline_chunked(pages, PipelineConfig(), chunk_size=500)
+    out.count()
+    assert caching.tracked_count() >= 1  # staged frame registered
+    assert caching.unpersist_tracked() >= 1

@@ -57,3 +57,41 @@ def test_checkpointed_corpus_matches_cached_and_has_no_python_downstream(
     assert sorted(corpus_c.collect(), key=key) == sorted(
         corpus_k.collect(), key=key
     )
+
+
+def test_funnel_exact_dedup_is_skew_safe(spark):
+    # Common-Crawl-shaped skew: ~70% of gated docs share ONE hot text (empty
+    # pages / parked-domain templates). The exact-dedup stage must be the
+    # map-side-combining groupBy(md5)+semi-join keeper shape — partial
+    # aggregation absorbs the hot key before the exchange — NOT a
+    # row_number() window that funnels every copy through one partition.
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.plans.inspect import formatted_plan
+
+    base = generate_pages(spark, 30, n_partitions=4)
+    hot = (
+        base.orderBy("url").limit(1)
+        .crossJoin(spark.range(70).withColumnRenamed("id", "_i"))
+        .withColumn("url", F.concat("url", F.lit("-dup"), F.col("_i")))
+        .drop("_i")
+    )
+    pages = base.unionByName(hot)
+
+    corpus, stats = prepare_training_corpus(
+        pages, quality_min=0.0, langs=("en", "und"))
+    plan = formatted_plan(corpus)
+    assert "Window" not in plan  # no single-partition hot-key window anywhere
+    assert "md5" in plan  # keeper agg keyed on the content hash
+
+    rows = corpus.collect()
+    texts = [r["redacted_text"] for r in rows]
+    assert len(set(texts)) == len(texts)  # hot text survives exactly once
+    # keeper is the minimum url of the duplicate group: the un-suffixed
+    # original sorts before every "-dupN" copy
+    urls = {r["url"] for r in rows}
+    assert not any("-dup" in u for u in urls)
+
+    s = stats.collect()[0]
+    assert s["n_input"] == 100
+    assert s["n_exact_unique"] <= s["n_gated"] - 70

@@ -165,3 +165,18 @@ def test_incremental_dedup_band_table_join_shape(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_minhash_signature_empty_shingles_yields_nulls(spark):
+    # public-contract guard: an EMPTY shingles array must produce an array of
+    # nulls (the pre-fold array_min semantics), never the fold's sentinel
+    # init — otherwise empty docs would band-collide as spurious near-dups
+    from redactifai_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame(
+        [(1, ["a b c"]), (2, [])], "doc_id long, sh array<string>"
+    ).withColumn("mh", minhash_signature(F.col("sh"), 8))
+    rows = {r["doc_id"]: r["mh"] for r in df.collect()}
+    assert rows[2] == [None] * 8
+    assert all(v is not None for v in rows[1])
+    assert len(rows[1]) == 8

@@ -136,3 +136,54 @@ def test_resume_from_specific_run_ids_prunes_partitions(spark, tmp_path):
     import re
     pf = re.search(r"PartitionFilters: \[[^\]]*run_id[^\]]*\]", plan)
     assert pf is not None, plan[:2000]
+
+
+def test_inflight_append_rejects_run_id_reuse(spark, tmp_path):
+    # append + inflight + reused run_id previously failed AFTER the data
+    # write but BEFORE the metrics append (rows landed with no metrics row,
+    # and the error misread reuse as corruption); now it refuses UP FRONT
+    import pytest
+
+    from redactifai_spark.sources.pages import generate_pages
+
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    pages = generate_pages(spark, 10, n_partitions=2)
+    run_and_commit(run_pipeline(pages, fused=True), out, metrics,
+                   run_id="ri1", metrics_source="inflight")
+    n_before = spark.read.parquet(out).count()
+    with pytest.raises(ValueError, match="already has"):
+        run_and_commit(run_pipeline(pages, fused=True), out, metrics,
+                       run_id="ri1", metrics_source="inflight")
+    # nothing landed from the refused attempt
+    assert spark.read.parquet(out).count() == n_before
+    # fresh run_id proceeds normally
+    run_and_commit(run_pipeline(pages, fused=True), out, metrics,
+                   run_id="ri2", metrics_source="inflight")
+    assert spark.read.parquet(out).count() == 2 * n_before
+
+
+def test_resume_read_error_classification(spark, tmp_path):
+    # a MISSING committed target means "first run" (classified missing);
+    # a CORRUPT one must NOT be classified missing — the CLI re-raises it
+    # rather than silently disabling resume and re-writing duplicates
+    from redactifai_spark.operators.metrics import (
+        resume_filter_from_runs, target_missing,
+    )
+
+    src = spark.range(3).selectExpr("cast(id as string) as url")
+    try:
+        resume_filter_from_runs(src, str(tmp_path / "nope"), ["r1"]).collect()
+        missing_exc = None
+    except Exception as e:
+        missing_exc = e
+    assert missing_exc is not None and target_missing(missing_exc)
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-00000.snappy.parquet").write_bytes(b"PAR1 this is garbage")
+    try:
+        resume_filter_from_runs(src, str(bad), ["r1"]).collect()
+        corrupt_exc = None
+    except Exception as e:
+        corrupt_exc = e
+    assert corrupt_exc is not None and not target_missing(corrupt_exc)
