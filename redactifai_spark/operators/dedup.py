@@ -142,19 +142,19 @@ def with_minhash(
     )
 
 
-def _featurized(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int, shingle_n: int,
+def featurize(
+    df: DataFrame, id_col: str, text_col: str,
+    n_hashes: int = 32, shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc, sh, minhash) persisted + eagerly materialized: the expensive
-    shingle + signature pass runs ONCE, and every consumer (both legs of the
-    band self-join, the Jaccard verify) reads the in-memory relation. The
-    eager count exists for the same reason as the chunked pipeline's:
-    concurrent stages in one action otherwise race to populate the cache and
-    re-run the whole pass per leg (measured 3-4x on the corpus funnel).
-    The frame stays persisted until the caller's terminal action; repeated
-    callers free it via caching.unpersist_tracked()."""
-    from .caching import persist_tracked
+    """The reusable near-dup artifact: (doc, sh, minhash) — distinct word
+    shingles plus the MinHash signature, one narrow pass over the text.
 
+    This is the frame to PERSIST (or write to a table, alongside the
+    ``_bands_of`` expansion) when a corpus is matched against repeatedly:
+    ``near_duplicates_against(corpus_features=...)`` derives both its band
+    join and its Jaccard-verify shingles from it, so the corpus text is
+    never re-scanned per ingest batch. Built with the same (n_hashes,
+    shingle_n) the consumer will use — signatures are parameter-specific."""
     # Bind the token array before the per-shingle slice lambda — an inline
     # split/regex expression would re-run once per shingle (the same re-eval
     # trap as the signature). Semantics mirror word_shingles exactly; keep
@@ -171,9 +171,24 @@ def _featurized(
     )
     sh = F.array_distinct(
         F.when(k > 0, grams).otherwise(F.array(F.concat_ws(" ", tokens))))
-    feat = d.withColumn("sh", sh).drop("_wtoks").withColumn(
+    return d.withColumn("sh", sh).drop("_wtoks").withColumn(
         "minhash", minhash_signature(F.col("sh"), n_hashes))
-    return persist_tracked(feat)
+
+
+def _featurized(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int, shingle_n: int,
+) -> DataFrame:
+    """``featurize`` persisted + eagerly materialized: the expensive
+    shingle + signature pass runs ONCE, and every consumer (both legs of the
+    band self-join, the Jaccard verify) reads the in-memory relation. The
+    eager count exists for the same reason as the chunked pipeline's:
+    concurrent stages in one action otherwise race to populate the cache and
+    re-run the whole pass per leg (measured 3-4x on the corpus funnel).
+    The frame stays persisted until the caller's terminal action; repeated
+    callers free it via caching.unpersist_tracked()."""
+    from .caching import persist_tracked
+
+    return persist_tracked(featurize(df, id_col, text_col, n_hashes, shingle_n))
 
 
 def _bands_of(feat: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
@@ -278,7 +293,7 @@ def near_duplicate_pairs(
 
 
 def near_duplicates_against(
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None,
     new_df: DataFrame,
     id_col: str,
     text_col: str,
@@ -286,19 +301,38 @@ def near_duplicates_against(
     n_hashes: int = 32,
     n_bands: int = 8,
     shingle_n: int = 3,
+    corpus_features: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (asymmetric) near-dup: NEW documents vs an EXISTING corpus
     — the ingest-time shape at 100 TB, where re-running the O(corpus²)
     self-join per batch is not an option. Bands for the new batch join
-    against the corpus's bands (at scale: a persisted band table bucketed by
-    band_hash, so each ingest shuffles only the new batch), candidates are
-    verified by exact shingle Jaccard.
+    against the corpus's bands, candidates are verified by exact shingle
+    Jaccard.
+
+    ``corpus_features``: a precomputed ``featurize`` frame (doc, sh,
+    minhash) — pass the persisted/table-backed featurization of the corpus
+    and BOTH the corpus band frame and the verify shingles derive from it,
+    so each ingest batch re-scans the corpus text ZERO times (with a
+    persisted features table the corpus isn't even featurized once — it's a
+    columnar read; plan-asserted in tests). It must have been built with
+    the same (n_hashes, shingle_n) as this call — signatures are
+    parameter-specific. When omitted, ``corpus_df`` is featurized once per
+    call (a single corpus scan feeding bands AND verify — never the
+    round-4 shape that shingled the corpus twice per batch).
 
     Returns (new_id, corpus_id, jaccard); pairs where the same id appears on
     both sides are excluded. Equivalence-tested against the self-join
     operator restricted to cross pairs."""
-    nb = _band_frame(new_df, id_col, text_col, n_hashes, n_bands, shingle_n)
-    cb = _band_frame(corpus_df, id_col, text_col, n_hashes, n_bands, shingle_n)
+    if corpus_features is None:
+        if corpus_df is None:
+            raise ValueError("need corpus_df or corpus_features")
+        corpus_features = _featurized(
+            corpus_df, id_col, text_col, n_hashes, shingle_n)
+    # the batch side is featurized once too: its bands and verify shingles
+    # read one in-memory pass over the (small) batch
+    nf = _featurized(new_df, id_col, text_col, n_hashes, shingle_n)
+    nb = _bands_of(nf, n_hashes, n_bands)
+    cb = _bands_of(corpus_features, n_hashes, n_bands)
     cands = (
         nb.alias("n").join(
             cb.alias("c"),
@@ -309,10 +343,10 @@ def near_duplicates_against(
         .select(F.col("n.doc").alias("new_id"), F.col("c.doc").alias("corpus_id"))
         .distinct()
     )
-    sh_new = new_df.select(
-        F.col(id_col).alias("new_id"), word_shingles(text_col, shingle_n).alias("sh_n"))
-    sh_cor = corpus_df.select(
-        F.col(id_col).alias("corpus_id"), word_shingles(text_col, shingle_n).alias("sh_c"))
+    sh_new = nf.select(
+        F.col("doc").alias("new_id"), F.col("sh").alias("sh_n"))
+    sh_cor = corpus_features.select(
+        F.col("doc").alias("corpus_id"), F.col("sh").alias("sh_c"))
     return (
         cands.join(sh_new, "new_id").join(sh_cor, "corpus_id")
         .withColumn("jaccard", jaccard_similarity(F.col("sh_n"), F.col("sh_c")))

@@ -180,3 +180,54 @@ def test_minhash_signature_empty_shingles_yields_nulls(spark):
     assert rows[2] == [None] * 8
     assert all(v is not None for v in rows[1])
     assert len(rows[1]) == 8
+
+
+def test_near_duplicates_against_with_precomputed_features(spark, tmp_path):
+    # corpus_features path: identical output to the default path, and with a
+    # parquet-backed features table the corpus TEXT is never scanned at all —
+    # the at-scale steady state (zero corpus featurization per ingest batch)
+    from redactifai_spark.operators.dedup import (
+        featurize, near_duplicates_against,
+    )
+    from redactifai_spark.plans.inspect import formatted_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+
+    default = near_duplicates_against(old, new, "doc_id", "text", threshold=0.5)
+    feat_path = str(tmp_path / "corpus_features")
+    featurize(old, "doc_id", "text").write.parquet(feat_path)
+    feats = spark.read.parquet(feat_path)
+    reused = near_duplicates_against(
+        None, new, "doc_id", "text", threshold=0.5, corpus_features=feats)
+
+    key = lambda r: (r["new_id"], r["corpus_id"])
+    assert sorted(default.collect(), key=key) == sorted(
+        reused.collect(), key=key)
+
+    # the reused plan reads the features parquet, never documents.parquet on
+    # the corpus side (the only documents scan feeds the NEW batch)
+    plan = formatted_plan(reused)
+    assert "corpus_features" in plan
+    assert plan.count("documents.parquet") <= 1
+
+
+def test_featurize_matches_internal_featurization(spark):
+    # public featurize == the internal persisted pass (same shingles +
+    # signature), so a table written from it is a valid corpus_features input
+    from redactifai_spark.operators.dedup import featurize, with_minhash, word_shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(40)
+    feat = {r["doc"]: (r["sh"], r["minhash"])
+            for r in featurize(docs, "doc_id", "text").collect()}
+    ref = {r["doc_id"]: (r["sh"], r["minhash"])
+           for r in with_minhash(docs, "text")
+           .withColumn("sh", word_shingles("text"))
+           .select("doc_id", "sh", "minhash").collect()}
+    assert set(feat) == set(ref)
+    for k in feat:
+        assert sorted(feat[k][0]) == sorted(ref[k][0])
+        assert feat[k][1] == ref[k][1]
