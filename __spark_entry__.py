@@ -158,10 +158,15 @@ def _events_top_users(spark, sf_dir):
 def _docs_token_counts(spark, sf_dir):
     # T1 analog: per-doc whitespace token count via JVM-side regexp, plus
     # per-doc vocabulary size (absorbs the former docs_distinct_tokens query)
+    # and the BPE-ish sub-word budget count (absorbs the former
+    # docs_bpe_token_counts query — one doc scan, all three counters)
+    from redactifai_spark.operators.textstats import bpe_ish_token_count
+
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_distinct_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
         "n_chars",
     )
 
@@ -177,12 +182,48 @@ def _docs_word_match_counts(spark, sf_dir):
     )
 
 
-def _docs_bpe_token_counts(spark, sf_dir):
-    # sub-word-ish token budgeting (word pieces + digits + punct runs)
-    from redactifai_spark.operators.textstats import bpe_ish_token_count
+def _docs_boilerplate_strip(spark, sf_dir):
+    # per-host template/boilerplate removal (operators/boilerplate.py): each
+    # doc is wrapped with deterministic per-host chrome lines; the hot host
+    # (70% of docs) crosses the DF threshold and strips its chrome, tiny
+    # hosts are protected by the min_docs floor. The oracle replays the
+    # whole line-DF chain (split -> per-host document frequency -> threshold
+    # -> ordered reassembly) in SQL.
+    from redactifai_spark.operators.boilerplate import strip_boilerplate
+    from redactifai_spark.operators.partitioning import url_host
 
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _doc_url().alias("url"), "text")
+        .withColumn("host", url_host("url"))
+        .withColumn(
+            "page_text",
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("Home | About | "), F.col("host")),
+                F.col("text"),
+                F.concat(F.lit("Copyright "), F.col("host"),
+                         F.lit(" all rights reserved")),
+            ),
+        )
+        .select("doc_id", "host", "page_text")
+    )
+    out = strip_boilerplate(d, "doc_id", "page_text", "host")
+    return out.select(
+        "doc_id", F.col("page_text").alias("stripped_text"),
+        "n_lines_kept", "n_lines_dropped",
+    )
+
+
+def _docs_lm_logprob(spark, sf_dir):
+    # bigram LM quality score (operators/lm.py): add-one-smoothed
+    # self-perplexity with log-probs quantized to exact integer micronats —
+    # order-independent sums, bit-replayable by the SQL twin.
+    from redactifai_spark.operators.lm import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_score(docs, "doc_id", "text").select(
+        "doc_id", "n_bigrams", "lp_micro_sum", "lm_score"
     )
 
 
@@ -315,15 +356,6 @@ def _events_props_json(spark, sf_dir):
     return (
         ev.select((k % 10).alias("k_bucket"))
         .groupBy("k_bucket")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-def _events_rollup(spark, sf_dir):
-    # multi-level aggregate: rollup over (event_type) with grand total
-    return (
-        _t(spark, sf_dir, "events")
-        .rollup("event_type")
         .agg(F.count("*").alias("n"))
     )
 
@@ -1183,6 +1215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # docs_lang_stats / docs_distinct_tokens / docs_quality_stats are merged
 # into events_recent_page / docs_lang_detect / docs_token_counts /
 # docs_quality_scores respectively (same semantics, same operator evidence).
+# Round 5 freed two slots for docs_boilerplate_strip + docs_lm_logprob:
+# docs_bpe_token_counts merged into docs_token_counts (one doc scan, three
+# counters), and events_rollup retired — its grouping sets are a strict
+# subset of events_cube's (the rollup operator itself stays pytest-covered
+# in test_plan_shape.py).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "training_corpus_funnel": _training_corpus,
         "events_type_counts": _events_type_counts,
@@ -1195,7 +1232,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "per_host_approx_distinct": _per_host_approx_distinct,
         "docs_token_counts": _docs_token_counts,
         "docs_word_match_counts": _docs_word_match_counts,
-        "docs_bpe_token_counts": _docs_bpe_token_counts,
+        "docs_boilerplate_strip": _docs_boilerplate_strip,
         "docs_prefix_dedup": _docs_prefix_dedup,
         "docs_skip_phrase_filter": _docs_skip_phrase_filter,
         "span_interval_union": _span_interval_union,
@@ -1205,7 +1242,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "redact_pages": _redact_pages,
         "events_asof_purchase": _events_asof_purchase,
         "events_props_json": _events_props_json,
-        "events_rollup": _events_rollup,
+        "docs_lm_logprob": _docs_lm_logprob,
         "customer_region_counts": _customer_region_counts,
         "orders_revenue_by_region": _orders_revenue_by_region,
         "part_brand_stats": _part_brand_stats,
@@ -1680,6 +1717,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_counts": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
             "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]{1,4}|[0-9]|[^\\sA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens, "
             "n_chars FROM documents"
         ),
         "docs_word_match_counts": (
@@ -1688,10 +1727,61 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(len(regexp_extract_all(text, '\\bscan\\b'))) AS BIGINT) AS n_scan "
             "FROM documents GROUP BY lang"
         ),
-        "docs_bpe_token_counts": (
-            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
-            "'[A-Za-z]{1,4}|[0-9]|[^\\sA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens "
-            "FROM documents"
+        "docs_boilerplate_strip": (
+            f"WITH h AS (SELECT doc_id, {_DOC_HOST_SQL} AS host, text "
+            "FROM documents), "
+            "d AS (SELECT doc_id, host, 'Home | About | ' || host || chr(10) "
+            "|| text || chr(10) || 'Copyright ' || host || "
+            "' all rights reserved' AS page_text FROM h), "
+            "l AS (SELECT doc_id, host, "
+            "unnest(string_split(page_text, chr(10))) AS line, "
+            "generate_subscripts(string_split(page_text, chr(10)), 1) "
+            "AS line_no FROM d), "
+            "hd AS (SELECT host, COUNT(*) AS n_docs FROM d GROUP BY host), "
+            "ldf AS (SELECT host, lh, COUNT(*) AS dfc FROM ("
+            "SELECT DISTINCT doc_id, host, md5(line) AS lh FROM l) "
+            "GROUP BY host, lh), "
+            "boiler AS (SELECT ldf.host, lh FROM ldf JOIN hd USING (host) "
+            "WHERE dfc >= 3 AND dfc >= 0.5 * n_docs), "
+            "m AS (SELECT l.doc_id, l.line, l.line_no, "
+            "(b.lh IS NOT NULL) AS isb FROM l LEFT JOIN boiler b "
+            "ON l.host = b.host AND md5(l.line) = b.lh) "
+            "SELECT doc_id, COALESCE(string_agg("
+            "CASE WHEN NOT isb THEN line END, chr(10) ORDER BY line_no), '') "
+            "AS stripped_text, "
+            "CAST(COUNT(*) - SUM(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_lines_kept, "
+            "CAST(SUM(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_lines_dropped "
+            "FROM m GROUP BY doc_id"
+        ),
+        "docs_lm_logprob": (
+            # the micronat quantization (round(ln(p)*1e6) AS BIGINT) makes
+            # every per-doc sum an exact integer — identical regardless of
+            # aggregation order on either engine
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(trim(lower(text)), '\\S+') AS toks "
+            "FROM documents), "
+            "b0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+            "i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u FROM t), "
+            "b AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, COUNT(*) AS m "
+            "FROM b0 GROUP BY 1, 2, 3), "
+            "cb AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c "
+            "FROM b GROUP BY 1, 2), "
+            "cu AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cu "
+            "FROM cb GROUP BY 1), "
+            "v AS (SELECT COUNT(*) AS v FROM ("
+            "SELECT w1 AS tok FROM cb UNION SELECT w2 FROM cb)), "
+            "scored AS (SELECT b.doc_id, CAST(SUM(b.m) AS BIGINT) AS n_bigrams, "
+            "CAST(SUM(b.m * CAST(round(ln((c + 1.0) / (cu + 1.0 * v)) * 1e6, 0) "
+            "AS BIGINT)) AS BIGINT) AS lp_micro_sum "
+            "FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v "
+            "GROUP BY b.doc_id) "
+            "SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, "
+            "COALESCE(s.lp_micro_sum, 0) AS lp_micro_sum, "
+            "CASE WHEN COALESCE(s.n_bigrams, 0) > 0 "
+            "THEN round(s.lp_micro_sum / 1e6 / s.n_bigrams, 6) END AS lm_score "
+            "FROM documents d LEFT JOIN scored s USING (doc_id)"
         ),
         "docs_prefix_dedup": (
             "SELECT md5(substr(text, 1, 40)) AS group_key, MIN(doc_id) AS keeper_id, "
@@ -1765,9 +1855,6 @@ def oracle_sql() -> dict[str, str]:
         "events_props_json": (
             "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, "
             "COUNT(*) AS n FROM events GROUP BY 1"
-        ),
-        "events_rollup": (
-            "SELECT event_type, COUNT(*) AS n FROM events GROUP BY ROLLUP(event_type)"
         ),
         "events_cube": (
             # GROUPING(a, b): lowest bit = last argument in both engines,

@@ -1,0 +1,129 @@
+"""Per-host template/boilerplate stripping — the pre-near-dup gate every
+large-scale training-data pipeline runs first.
+
+The reference's main-content heuristics (mirrored in ``kernels/extract.py``)
+judge boilerplate WITHIN one page (link density, block position); this
+operator judges it ACROSS the pages of a host: a line that appears in a large
+fraction of a host's documents — nav bars, cookie banners, footers,
+parked-domain templates — is boilerplate by definition (the CCNet/C4-style
+document-frequency criterion). It exists because of a measured negative
+result recorded in ``bench.py``: near-dupping a raw single-template corpus
+collapses every MinHash-LSH band bucket onto the template and the verify
+self-join goes quadratic; stripping per-host frequent lines first restores
+uniform buckets.
+
+Scale shape (10^12 docs, all Catalyst, zero Python):
+  1. explode lines (narrow),
+  2. per-(host, line-hash) document frequency — groupBy on a uniform
+     two-part key whose map-side partial aggregation absorbs hot lines,
+  3. the boilerplate set (frequent lines only — tiny) is BROADCAST back
+     against the exploded lines,
+  4. per-doc regroup on the unique id (uniform), then one join back to the
+     input on the same id to restore payload columns.
+Line identity travels as md5(line), so long lines never ride the shuffle and
+a SQL oracle can replay the whole chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def host_frequent_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    host_col: str,
+    df_ratio: float = 0.5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """The per-host boilerplate line set: (host, line_hash, df_count,
+    n_docs) for every line whose document frequency within its host is
+    >= ``df_ratio`` of the host's documents AND >= ``min_docs`` documents
+    (the floor keeps 2-doc hosts from having their shared content declared
+    boilerplate). One row per document per ``id_col`` is assumed."""
+    lines = df.select(
+        F.col(id_col).alias("_bp_id"),
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n", -1)).alias("line"),
+    ).select("_bp_id", "host", F.md5("line").alias("line_hash"))
+    host_docs = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("n_docs"))
+    line_df = (
+        lines.distinct()  # a line repeated inside one doc counts once
+        .groupBy("host", "line_hash")
+        .agg(F.count("*").alias("df_count"))
+    )
+    return (
+        line_df.join(host_docs, "host")
+        .filter(
+            (F.col("df_count") >= min_docs)
+            & (F.col("df_count") >= F.lit(df_ratio) * F.col("n_docs"))
+        )
+        .select("host", "line_hash", "df_count", "n_docs")
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    host_col: str,
+    df_ratio: float = 0.5,
+    min_docs: int = 3,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove per-host frequent lines from every document of that host.
+
+    Returns ``df`` with ``text_col`` replaced by the stripped text (or a new
+    ``out_col`` added), plus ``n_lines_kept`` / ``n_lines_dropped`` counts.
+    Line order is preserved; a document whose every line is boilerplate
+    becomes the empty string (it then exact-dedups away downstream). Blank
+    lines are lines too: if most of a host's docs share them they are
+    stripped with the rest of the template.
+
+    Determinism: output is a pure function of the input rows — line
+    membership via md5(line), regroup ordered by the original line number.
+    """
+    out_name = out_col or text_col
+    boiler = host_frequent_lines(
+        df, id_col, text_col, host_col, df_ratio, min_docs
+    ).select("host", "line_hash", F.lit(True).alias("_is_boiler"))
+
+    lines = df.select(
+        F.col(id_col).alias("_bp_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "line_no", "line"),
+    ).withColumn("line_hash", F.md5("line"))
+    marked = lines.join(
+        F.broadcast(boiler), ["host", "line_hash"], "left"
+    ).withColumn("_is_boiler", F.coalesce("_is_boiler", F.lit(False)))
+
+    # ONE aggregation per doc: collect_list skips nulls, so kept lines are
+    # gathered and dropped lines counted in the same pass
+    kept_struct = F.when(
+        ~F.col("_is_boiler"), F.struct("line_no", "line"))
+    regrouped = marked.groupBy("_bp_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["line"],
+            ),
+        ).alias("_bp_text"),
+        F.sum(F.col("_is_boiler").cast("long")).alias("n_lines_dropped"),
+        (F.count("*") - F.sum(F.col("_is_boiler").cast("long")))
+        .alias("n_lines_kept"),
+    )
+
+    joined = df.join(
+        regrouped, df[id_col] == regrouped["_bp_id"], "left"
+    ).drop("_bp_id")
+    replaced = joined.withColumn(
+        out_name, F.coalesce(F.col("_bp_text"), F.lit(""))
+    ).drop("_bp_text")
+    # stable column order: original columns (text possibly replaced) + stats
+    cols = [c for c in df.columns if c != out_name] + [
+        out_name, "n_lines_kept", "n_lines_dropped"]
+    return replaced.select(*cols)

@@ -35,6 +35,9 @@ def prepare_training_corpus(
     n_hashes: int = 32,
     n_bands: int = 8,
     checkpoint_path: str | None = None,
+    strip_boilerplate: bool = False,
+    boilerplate_df_ratio: float = 0.5,
+    boilerplate_min_docs: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, funnel_stats). corpus: (url, lang_detected, quality_score,
     redacted_text, n_spans); funnel_stats: one row of stage counts
@@ -44,6 +47,13 @@ def prepare_training_corpus(
     derive everything from the re-read — the 100 TB shape (executor-disk cache
     of the whole corpus is not). Without it, falls back to ``.cache()`` for
     small/interactive runs.
+
+    ``strip_boilerplate``: remove per-host frequent lines (nav/footer/
+    template chrome) from the redacted text BEFORE scoring and dedup — the
+    gate that keeps a templated corpus from collapsing the LSH band buckets
+    (measured in bench.py: raw single-template HTML makes the near-dup
+    verify quadratic). Applied first so quality/language scores and both
+    dedup stages see the de-templated text.
     """
     redacted = run_pipeline(pages, config, fused=True).select(
         "url", "status", "redacted_text", "n_spans"
@@ -55,6 +65,16 @@ def prepare_training_corpus(
         # interactive fallback; freed by caching.unpersist_tracked() once the
         # caller's terminal action has run
         base = persist_tracked(redacted, eager=False)
+
+    if strip_boilerplate:
+        from .boilerplate import strip_boilerplate as _strip
+        from .partitioning import url_host
+
+        base = _strip(
+            base.withColumn("_host", url_host("url")),
+            "url", "redacted_text", "_host",
+            df_ratio=boilerplate_df_ratio, min_docs=boilerplate_min_docs,
+        ).drop("_host", "n_lines_kept", "n_lines_dropped")
 
     scored = with_language(
         quality_score(base, text_col="redacted_text"),

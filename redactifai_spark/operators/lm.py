@@ -1,0 +1,128 @@
+"""Bigram language-model quality scoring — the CCNet-style statistical gate
+that complements the heuristic ``textstats.quality_score``: documents whose
+word sequences are improbable under the corpus's own bigram distribution
+(gibberish, keyword-stuffing, boilerplate soup) score low and can be gated.
+
+Model: add-one-smoothed bigram LM estimated from the scored corpus itself
+(or any reference corpus passed explicitly).  score(doc) = mean over the
+doc's bigram occurrences of ln P(w2 | w1), with
+P(w2|w1) = (c(w1,w2) + alpha) / (c(w1,·) + alpha * V).
+
+Integer-exact contract: each bigram's log-prob is quantized to MICRONATS —
+``CAST(round(ln(p) * 1e6, 0) AS BIGINT)`` — so the per-doc sum is an exact
+integer: order-independent under Spark's unordered aggregation, and
+replayable bit-for-bit by a DuckDB SQL oracle (float sums would differ by
+summation order; quantized sums cannot). The reported ``lm_score`` (mean
+nats per bigram) is derived from the two exact integers at the end.
+
+Scale shape (10^12 docs, all Catalyst): per-doc bigram multiplicities first
+(groupBy (doc, w1, w2) — map-side combine collapses repeats), corpus counts
+derived FROM that frame (no second text scan), context totals from the
+corpus counts (one row per w1). The probability joins hit Zipf-hot keys
+("of the"); both count tables are one-row-per-key, so AQE skew-join splits
+the probe side — and a reference-corpus model small enough to broadcast
+skips the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def doc_bigram_multiplicities(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, w1, w2, m): per-document bigram occurrence counts over
+    lowercased whitespace tokens. Blank / single-token docs contribute no
+    rows (``regexp_extract_all`` yields [] for blanks — matching the SQL
+    twin, unlike split which yields [''])."""
+    toks_expr = F.regexp_extract_all(
+        F.trim(F.lower(F.col(text_col))), F.lit(r"\S+"), 0)
+    d = df.select(F.col(id_col).alias("_lm_id"), toks_expr.alias("_toks"))
+    toks = F.col("_toks")
+    # sequence(1, 0) would step -1 (ANSI throws on element_at 0): docs with
+    # <= 1 token need an explicitly empty index array
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i.cast("int")).alias("w1"),
+            F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    return (
+        d.select("_lm_id", F.explode(pairs).alias("p"))
+        .groupBy("_lm_id", "p.w1", "p.w2")
+        .agg(F.count("*").alias("m"))
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+    model_bigrams: DataFrame | None = None,
+) -> DataFrame:
+    """Adds (n_bigrams, lp_micro_sum, lm_score) per document.
+
+    ``model_bigrams``: optional reference-corpus counts (w1, w2, c) — e.g. a
+    persisted table from a trusted corpus; when omitted the model is
+    estimated from ``df`` itself (self-perplexity, the dedup-era CCNet
+    shape). Context totals and vocabulary size always derive from the model
+    counts, never from a second text scan.
+
+    ``lm_score`` is mean nats per bigram occurrence (≈ -log perplexity);
+    NULL for docs with fewer than two tokens. ``lp_micro_sum`` is the exact
+    integer micronat sum the score derives from."""
+    b = doc_bigram_multiplicities(df, id_col, text_col)
+    if model_bigrams is None:
+        cb = b.groupBy("w1", "w2").agg(F.sum("m").alias("c"))
+    else:
+        cb = model_bigrams.select("w1", "w2", F.col("c").cast("long").alias("c"))
+    cu = cb.groupBy("w1").agg(F.sum("c").alias("cu"))
+    vocab = (
+        cb.select(F.col("w1").alias("tok"))
+        .union(cb.select(F.col("w2").alias("tok")))
+        .distinct()
+        .agg(F.count("*").alias("v"))
+    )
+
+    # OOV under a reference model: unseen bigrams/contexts coalesce to
+    # count 0, so they get the smoothed floor alpha/(cu + alpha*V) — the
+    # joins are LEFT for that reason (with the self-model every key hits)
+    lp_micro = F.round(
+        F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+              / (F.coalesce(F.col("cu"), F.lit(0))
+                 + F.lit(alpha) * F.col("v"))) * F.lit(1e6),
+        0,
+    ).cast("long")
+    scored = (
+        b.join(cb, ["w1", "w2"], "left")
+        .join(cu, "w1", "left")
+        .crossJoin(vocab)  # 1-row scalar
+        .groupBy("_lm_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(F.col("m") * lp_micro).alias("lp_micro_sum"),
+        )
+    )
+    out = df.join(
+        scored, df[id_col] == scored["_lm_id"], "left"
+    ).drop("_lm_id")
+    n = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+    return (
+        out.withColumns({
+            "n_bigrams": n,
+            "lp_micro_sum":
+                F.coalesce(F.col("lp_micro_sum"), F.lit(0)).cast("long"),
+            "lm_score": F.when(
+                n > 0,
+                F.round(
+                    F.col("lp_micro_sum") / F.lit(1e6) / F.col("n_bigrams"),
+                    6),
+            ),
+        })
+    )

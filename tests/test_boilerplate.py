@@ -1,0 +1,111 @@
+"""Per-host boilerplate stripping: frequent lines go, rare lines stay, order
+preserved; small hosts are protected by the min_docs floor; the funnel knob
+keeps a templated corpus from collapsing in near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.boilerplate import (
+    host_frequent_lines, strip_boilerplate,
+)
+
+NAV = "Home | About | Contact"
+FOOT = "Copyright example corp all rights reserved"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    # host A: 5 docs sharing nav+footer, unique middles
+    for i in range(5):
+        rows.append((f"a{i}", "a.example.com",
+                     f"{NAV}\nunique body line {i} for host a\n{FOOT}"))
+    # host B: 2 docs sharing a line — below the min_docs=3 floor
+    for i in range(2):
+        rows.append((f"b{i}", "b.example.com",
+                     f"shared b line\nunique b body {i}"))
+    # host A: one doc that is ALL template
+    rows.append(("a5", "a.example.com", f"{NAV}\n{FOOT}"))
+    return spark.createDataFrame(rows, "id string, host string, text string")
+
+
+def test_host_frequent_lines(docs):
+    freq = host_frequent_lines(docs, "id", "text", "host")
+    rows = freq.collect()
+    hosts = {r["host"] for r in rows}
+    assert hosts == {"a.example.com"}  # host B is floor-protected
+    assert len(rows) == 2  # NAV and FOOT
+    assert all(r["df_count"] == 6 and r["n_docs"] == 6 for r in rows)
+
+
+def test_strip_boilerplate_semantics(docs):
+    out = {r["id"]: r for r in
+           strip_boilerplate(docs, "id", "text", "host").collect()}
+    for i in range(5):
+        r = out[f"a{i}"]
+        assert r["text"] == f"unique body line {i} for host a"
+        assert r["n_lines_kept"] == 1 and r["n_lines_dropped"] == 2
+    # the all-template doc becomes empty (then exact-dedups away downstream)
+    assert out["a5"]["text"] == ""
+    assert out["a5"]["n_lines_dropped"] == 2
+    # host B untouched (min_docs floor) — order preserved
+    for i in range(2):
+        assert out[f"b{i}"]["text"] == f"shared b line\nunique b body {i}"
+        assert out[f"b{i}"]["n_lines_dropped"] == 0
+    # schema: original columns preserved, stats appended
+    cols = strip_boilerplate(docs, "id", "text", "host").columns
+    assert cols == ["id", "host", "text", "n_lines_kept", "n_lines_dropped"]
+
+
+def test_strip_boilerplate_out_col_and_ratio(docs):
+    # df_ratio=1.0: only lines on EVERY doc of the host are boilerplate
+    out = strip_boilerplate(
+        docs, "id", "text", "host", df_ratio=1.0, out_col="clean")
+    r = out.filter(F.col("id") == "a0").collect()[0]
+    assert r["text"].startswith(NAV)  # original intact
+    assert r["clean"] == "unique body line 0 for host a"
+
+
+def test_strip_is_pure_catalyst(docs):
+    from redactifai_spark.plans.inspect import count_python_eval_nodes
+
+    assert count_python_eval_nodes(
+        strip_boilerplate(docs, "id", "text", "host")) == 0
+
+
+def test_funnel_strip_knob_rescues_templated_corpus(spark):
+    # bench.py's recorded lesson: a single-template corpus collapses LSH
+    # buckets and near-dup eats everything. With strip_boilerplate=True the
+    # template is removed before scoring/dedup and the unique bodies survive.
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.corpus import prepare_training_corpus
+
+    n = 40
+    template = "\n".join(
+        [NAV, FOOT, "Subscribe to our newsletter today for updates"]
+        + [f"site template navigation section row {k} with many shared words"
+           for k in range(10)]
+    )
+    rows = []
+    for i in range(n):
+        host = f"h{i % 2}.example.com"
+        body = " ".join(f"w{i}x{j}" for j in range(6))
+        text = f"{template}\n{body}"
+        rows.append((f"https://{host}/p{i}", None, None, text, "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+    cfg = PipelineConfig(prefer_text_column=True)
+
+    corpus_raw, _ = prepare_training_corpus(
+        pages, cfg, quality_min=0.0, langs=("en", "und"),
+        near_dup_threshold=0.5)
+    corpus_stripped, _ = prepare_training_corpus(
+        pages, cfg, quality_min=0.0, langs=("en", "und"),
+        near_dup_threshold=0.5, strip_boilerplate=True)
+    n_raw = corpus_raw.count()
+    n_stripped = corpus_stripped.count()
+    assert n_stripped == n  # every unique body survives
+    assert n_raw < n  # template similarity ate docs without the strip
+    # and the surviving texts carry no template chrome
+    texts = [r["redacted_text"] for r in corpus_stripped.collect()]
+    assert all(NAV not in t and FOOT not in t for t in texts)

@@ -1,0 +1,81 @@
+"""Bigram LM quality scoring: integer-exact micronat sums, self- and
+reference-model paths, degenerate docs, pure-Catalyst plan."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.lm import (
+    bigram_lm_score, doc_bigram_multiplicities,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),          # same as 1 -> same score
+        (3, "mat the on sat cat the"),          # same tokens, odd order
+        (4, "zq xv qp zz"),                     # gibberish (all rare bigrams)
+        (5, ""),                                # blank -> no bigrams
+        (6, "single"),                          # one token -> no bigrams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_bigram_multiplicities(docs):
+    rows = doc_bigram_multiplicities(docs, "doc_id", "text").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["_lm_id"], {})[(r["w1"], r["w2"])] = r["m"]
+    assert by_doc[1][("the", "cat")] == 1
+    assert sum(by_doc[1].values()) == 5  # 6 tokens -> 5 bigram occurrences
+    assert 5 not in by_doc and 6 not in by_doc
+
+
+def test_bigram_lm_score_self_model(docs):
+    out = {r["doc_id"]: r for r in
+           bigram_lm_score(docs, "doc_id", "text").collect()}
+    # identical docs -> identical exact sums
+    assert out[1]["lp_micro_sum"] == out[2]["lp_micro_sum"]
+    assert out[1]["lm_score"] == out[2]["lm_score"]
+    # natural word order (bigrams seen twice) beats scrambled and gibberish
+    assert out[1]["lm_score"] > out[3]["lm_score"]
+    assert out[1]["lm_score"] > out[4]["lm_score"]
+    # degenerate docs: zero bigrams, NULL score
+    for d in (5, 6):
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["lp_micro_sum"] == 0
+        assert out[d]["lm_score"] is None
+    # exact-integer contract: score derives from the micronat sum
+    r = out[1]
+    assert r["lm_score"] == pytest.approx(
+        round(r["lp_micro_sum"] / 1e6 / r["n_bigrams"], 6), abs=1e-9)
+    # all scores are log-probs: strictly negative
+    assert all(out[d]["lm_score"] < 0 for d in (1, 2, 3, 4))
+
+
+def test_bigram_lm_score_reference_model(spark, docs):
+    # scoring against an explicit model: unseen bigrams get the smoothed
+    # floor (alpha / (cu + alpha*V)), not a join drop
+    model = spark.createDataFrame(
+        [("the", "cat", 100), ("cat", "sat", 100), ("sat", "on", 100),
+         ("on", "the", 100), ("the", "mat", 100)],
+        "w1 string, w2 string, c long")
+    out = {r["doc_id"]: r for r in
+           bigram_lm_score(docs, "doc_id", "text",
+                           model_bigrams=model).collect()}
+    assert out[1]["n_bigrams"] == 5  # every occurrence scored, none dropped
+    assert out[4]["n_bigrams"] == 3  # all-OOV doc still fully scored
+    assert out[1]["lm_score"] > out[4]["lm_score"]
+    # the OOV floor: every bigram of doc 4 scores ln(1/V), V = 5 model types
+    expected = round(round(math.log(1.0 / 5.0) * 1e6) * 3 / 1e6 / 3, 6)
+    assert out[4]["lm_score"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_lm_score_is_pure_catalyst(docs):
+    from redactifai_spark.plans.inspect import count_python_eval_nodes
+
+    assert count_python_eval_nodes(
+        bigram_lm_score(docs, "doc_id", "text")) == 0

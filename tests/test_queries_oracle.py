@@ -83,3 +83,22 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     assert {"url", "redacted_text", "n_spans"} <= set(df.columns)
     assert all(r["status"] == "complete" for r in rows)
+
+
+def test_rollup_is_cube_marginal_subset(spark):
+    # events_rollup's driver slot was retired in favor of docs_lm_logprob:
+    # ROLLUP(event_type)'s grouping sets {(event_type), ()} are exactly the
+    # cube's user_bucket-aggregated marginals (grouping_id 1 and 3), so the
+    # operator evidence lives here instead of a second gate row
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("user_bucket", F.col("user_id") % 5)
+    )
+    roll = ev.rollup("event_type").agg(F.count("*").alias("n"))
+    cube = ev.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n"), F.grouping_id().alias("gid"))
+    marg = cube.filter(F.col("gid").isin(1, 3)).select("event_type", "n")
+    key = lambda r: (r["event_type"] or "", r["n"])
+    assert sorted(roll.collect(), key=key) == sorted(marg.collect(), key=key)
