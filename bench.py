@@ -73,19 +73,26 @@ def _run_redaction(
 
 def _run_redaction_walls(
     spark, n_docs: int, parallelism: int, fused: bool, repeats: int = 1,
-    input_path: str | None = None,
+    input_path: str | None = None, warmup: int = 0,
 ) -> tuple[list[float], int]:
-    """All wall times (sorted ascending) over ``repeats`` runs + row count."""
+    """All wall times (sorted ascending) over ``repeats`` runs + row count.
+
+    ``warmup``: full-size runs executed and DISCARDED first. The first
+    full-size pass pays one-time costs the steady state never sees again —
+    OS page-cache fill for the parquet input, JIT/codegen compilation for
+    this exact plan shape — and one such sample landing in a 3-run window
+    was enough to more than double the round-4 median."""
     if input_path is not None:
         pages = spark.read.parquet(input_path)
     else:
         pages = generate_pages(spark, n_docs, n_partitions=parallelism * 4)
     walls = []
     n = 0
-    for _ in range(repeats):
+    for i in range(warmup + repeats):
         t0 = time.monotonic()
         n = _consume_pipeline(run_pipeline(pages, PipelineConfig(), fused=fused))
-        walls.append(time.monotonic() - t0)
+        if i >= warmup:
+            walls.append(time.monotonic() - t0)
     walls.sort()
     return walls, n
 
@@ -198,9 +205,23 @@ def main() -> None:
         # the hardware can do in this window.
         ctl_docs = min(docs, cores * 12000)
         control_pre = _control_docs_per_sec(cores, ctl_docs)
+        # Per-core-count read layout: pack the input's files into ~3 splits
+        # per core. The shared input is written once with 128 partitions, so
+        # without this the 8-core leg runs 128 tiny tasks (16 waves of
+        # scheduler/Arrow-batch overhead the 32-core leg pays 4x less of) —
+        # a layout handicap, not a scaling property. A real N-executor job
+        # would size maxPartitionBytes for N the same way.
+        total_bytes = sum(
+            e.stat().st_size for e in os.scandir(input_path)
+            if e.name.endswith(".parquet"))
+        split_bytes = min(max(total_bytes // (cores * 3), 16 << 20), 512 << 20)
         spark = get_spark(
             app_name=f"bench-scaling-{cores}", master=f"local[{cores}]",
             shuffle_partitions=max(cores, 8),
+            extra_conf={
+                "spark.sql.files.maxPartitionBytes": str(split_bytes),
+                "spark.sql.files.openCostInBytes": str(4 << 20),
+            },
         )
         _run_redaction(spark, 2000, cores, fused=True)  # warm JVM + worker pool
         wall, n = _run_redaction(spark, docs, cores, fused=True, repeats=3,
@@ -269,6 +290,78 @@ def main() -> None:
             "sf": sf, "n_docs": n_docs, "stages": stage_rows,
             "docs_per_sec": round(n_docs / wall, 1),
             "python_free_downstream": True, "cores": CPUS,
+        }))
+        spark.stop()
+        return
+
+    if "--funnel-templated" in sys.argv:
+        # The round-4 recorded lesson, now RESCUED by strip_boilerplate: a
+        # corpus whose every page shares big template chrome collapses the
+        # LSH band buckets — every pair collides, the verify join goes
+        # quadratic over candidates that Jaccard then rejects — pure wasted
+        # work that previously made templated corpora intractable (150k raw
+        # generate_pages docs ran >13 min before being killed). This mode
+        # builds the realistic shape: heterogeneous bodies (the documents
+        # table) wrapped in one 16-line global template, then runs the SAME
+        # funnel twice — strip OFF (bounded doc count; expect a wall blowup
+        # from the flooded verify) and strip ON (the chrome is per-host
+        # 100%-DF, so it strips; buckets stay uniform; completes in seconds).
+        # A corpus of genuinely repeated TEXT (generate_pages' repeated
+        # filler sentences) is a different degeneracy: distinct-shingle sets
+        # collapse under repetition and the docs really are mutually
+        # near-identical — that one is near-dup working as intended, not an
+        # index failure, and no line-DF strip can (or should) hide it.
+        import tempfile
+
+        from redactifai_spark.operators.corpus import prepare_training_corpus
+        from redactifai_spark.operators.partitioning import repartition_by_url
+        from redactifai_spark.operators.caching import unpersist_tracked
+
+        spark = get_spark(app_name="bench-funnel-templated",
+                          master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        chrome = "\n".join(
+            ["Home | About | Products | Careers | Contact",
+             "Subscribe to our newsletter for weekly updates"]
+            + [f"site navigation menu section {k} links and related resources"
+               for k in range(12)]
+            + ["Copyright example corp all rights reserved"])
+        pages = docs.select(
+            F.concat(F.lit("https://t"),
+                     F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+                     F.lit(".example.com/p"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.concat(F.lit(chrome + "\n"), F.col("text")).alias("text"),
+            F.col("lang"),
+        )
+        pages = repartition_by_url(pages, CPUS * 2)
+        n_templated = pages.count()
+        cfg = PipelineConfig(prefer_text_column=True)
+        results = {}
+        for label, strip in (("strip_off", False), ("strip_on", True)):
+            ckpt = os.path.join(tempfile.gettempdir(),
+                                f"rfai_funnel_tmpl_{os.getpid()}_{label}")
+            t0 = time.monotonic()
+            corpus, stats = prepare_training_corpus(
+                pages, cfg, quality_min=0.0, langs=("en", "und"),
+                near_dup_threshold=0.85, n_hashes=64, n_bands=32,
+                checkpoint_path=ckpt, strip_boilerplate=strip,
+            )
+            stage_rows = stats.collect()[0].asDict()
+            results[label] = {
+                "wall_sec": round(time.monotonic() - t0, 3),
+                "stages": stage_rows,
+            }
+            unpersist_tracked()
+        speedup = results["strip_off"]["wall_sec"] / max(
+            results["strip_on"]["wall_sec"], 1e-9)
+        print(json.dumps({
+            "metric": "funnel_templated_strip_speedup",
+            "value": round(speedup, 2), "unit": "x",
+            "n_docs": n_templated, "sf": sf, "cores": CPUS,
+            "runs": results,
         }))
         spark.stop()
         return
@@ -355,10 +448,16 @@ def main() -> None:
     _run_redaction(spark, 2000, CPUS, fused=True)
     _run_redaction(spark, 2000, CPUS, fused=False)
 
+    # headline: best-of-5 with one discarded full-size warmup — the round-4
+    # artifact showed a single cold sample doubling a 3-run median (best
+    # 3.191 s vs median 7.224 s); with the warmup discarded the median is
+    # required to sit within ~1.5x of best
     walls_fused, n = _run_redaction_walls(spark, n_docs, CPUS, fused=True,
-                                          repeats=3, input_path=input_dir)
+                                          repeats=5, warmup=1,
+                                          input_path=input_dir)
     walls_staged, _ = _run_redaction_walls(spark, n_docs, CPUS, fused=False,
-                                           repeats=3, input_path=input_dir)
+                                           repeats=5, warmup=1,
+                                           input_path=input_dir)
     queries, queries_median = _bench_queries(spark, SF_DIR)
     queries["redact_pipeline_fused"] = round(walls_fused[0], 3)
     queries["redact_pipeline_staged"] = round(walls_staged[0], 3)

@@ -1,0 +1,41 @@
+"""Driver-gate wall-clock budget: every queries() entry must execute at the
+driver's sf0.01 gate scale within a fixed budget.
+
+Institutionalizes the round-3 incident: a Catalyst expression re-inlining
+regression made minhash_signature rebuild the shingle expression 64x per row,
+the funnel query's runtime exploded (~100 s for 500 docs), and the driver
+SILENTLY DROPPED the 51st registered query from the correctness artifact —
+a green-looking gate with a missing row. A runtime regression of that shape
+must surface HERE as a red test, not as a vanished driver row.
+
+Budget: 270 s on the test harness's local[4] (measured 135 s in round 5 —
+2x headroom for host weather; the r3 regression was >2.5x on the total and
+>20x on the affected query, far outside the envelope). Override with
+SPARK_GRAFT_REHEARSAL_BUDGET_S.
+"""
+
+import os
+import time
+
+SF_GATE = "/root/testdata/sf0.01"
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_REHEARSAL_BUDGET_S", "270"))
+
+
+def test_all_queries_within_rehearsal_budget(spark):
+    import __spark_entry__ as mod
+
+    q = mod.queries()
+    assert len(q) == 50  # the driver cap — see the registry comment
+    walls = {}
+    t0 = time.monotonic()
+    for name, fn in q.items():
+        s = time.monotonic()
+        fn(spark, SF_GATE).collect()
+        walls[name] = time.monotonic() - s
+    total = time.monotonic() - t0
+    worst = sorted(walls.items(), key=lambda kv: -kv[1])[:5]
+    assert total < BUDGET_S, (
+        f"sf0.01 rehearsal took {total:.1f}s (budget {BUDGET_S:.0f}s) — "
+        f"likely an expression re-eval regression (see r3 incident in the "
+        f"module docstring). Slowest: {[(n, round(w, 1)) for n, w in worst]}"
+    )
