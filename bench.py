@@ -214,13 +214,18 @@ def main() -> None:
         total_bytes = sum(
             e.stat().st_size for e in os.scandir(input_path)
             if e.name.endswith(".parquet"))
-        split_bytes = min(max(total_bytes // (cores * 3), 16 << 20), 512 << 20)
+        # ~3 splits per core, 1 MB floor / 512 MB cap; openCost low enough
+        # that packing tracks real bytes (the 4 MB default dwarfs these
+        # ~0.8 MB files and glues them into too-few fat splits at high core
+        # counts: measured 38 partitions on 32 cores = 1.2 waves with a
+        # straggler tail, vs 128 well-balanced at 3-4/core)
+        split_bytes = min(max(total_bytes // (cores * 3), 1 << 20), 512 << 20)
         spark = get_spark(
             app_name=f"bench-scaling-{cores}", master=f"local[{cores}]",
             shuffle_partitions=max(cores, 8),
             extra_conf={
                 "spark.sql.files.maxPartitionBytes": str(split_bytes),
-                "spark.sql.files.openCostInBytes": str(4 << 20),
+                "spark.sql.files.openCostInBytes": str(512 << 10),
             },
         )
         _run_redaction(spark, 2000, cores, fused=True)  # warm JVM + worker pool
