@@ -38,6 +38,7 @@ def prepare_training_corpus(
     strip_boilerplate: bool = False,
     boilerplate_df_ratio: float = 0.5,
     boilerplate_min_docs: int = 3,
+    lm_score_min: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, funnel_stats). corpus: (url, lang_detected, quality_score,
     redacted_text, n_spans); funnel_stats: one row of stage counts
@@ -54,6 +55,14 @@ def prepare_training_corpus(
     (measured in bench.py: raw single-template HTML makes the near-dup
     verify quadratic). Applied first so quality/language scores and both
     dedup stages see the de-templated text.
+
+    ``lm_score_min``: when set, the statistical quality gate joins the
+    heuristic one — docs whose mean bigram log-prob under the corpus's own
+    add-one-smoothed bigram LM (operators/lm.py, CCNet-style
+    self-perplexity) falls below the threshold are dropped at the
+    ``is_gated`` stage. Nats per bigram, so typical values are negative
+    (e.g. -6.5 keeps ordinary prose, drops gibberish). Costs the LM's count
+    shuffles; off by default.
     """
     redacted = run_pipeline(pages, config, fused=True).select(
         "url", "status", "redacted_text", "n_spans"
@@ -80,12 +89,24 @@ def prepare_training_corpus(
         quality_score(base, text_col="redacted_text"),
         text_col="redacted_text", out_col="lang_detected",
     )
+    gate = (
+        (F.col("status") == "complete")
+        & (F.col("quality_score") >= quality_min)
+        & F.col("lang_detected").isin(*langs)
+    )
+    if lm_score_min is not None:
+        from .lm import bigram_lm_score
+
+        scored = bigram_lm_score(scored, "url", "redacted_text")
+        # docs with < 2 tokens have no LM evidence (NULL score): gate them
+        # out (coalesced, so is_gated stays a real boolean) — a corpus stub
+        # carries no training signal anyway
+        gate = gate & F.coalesce(
+            F.col("lm_score") >= lm_score_min, F.lit(False))
     flagged = scored.withColumns(
         {
             "is_complete": F.col("status") == "complete",
-            "is_gated": (F.col("status") == "complete")
-            & (F.col("quality_score") >= quality_min)
-            & F.col("lang_detected").isin(*langs),
+            "is_gated": gate,
         }
     ).select(
         "url", "lang_detected", "quality_score", "redacted_text", "n_spans",

@@ -95,3 +95,25 @@ def test_funnel_exact_dedup_is_skew_safe(spark):
     s = stats.collect()[0]
     assert s["n_input"] == 100
     assert s["n_exact_unique"] <= s["n_gated"] - 70
+
+
+def test_funnel_lm_gate_knob(spark):
+    # lm_score_min: the statistical quality gate joins the heuristic one —
+    # a gibberish page scores far below normal prose under the corpus's own
+    # bigram LM and is dropped; default (None) leaves the funnel unchanged
+    from pyspark.sql import functions as F
+
+    base = generate_pages(spark, 40, n_partitions=4)
+    corpus_off, stats_off = prepare_training_corpus(
+        base, quality_min=0.0, langs=("en", "und"))
+    n_off = corpus_off.count()
+
+    # threshold chosen from the corpus itself: median-ish prose score is
+    # ~ -4.5 here; -20 keeps everything, 0 drops everything (scores < 0)
+    corpus_loose, _ = prepare_training_corpus(
+        base, quality_min=0.0, langs=("en", "und"), lm_score_min=-20.0)
+    corpus_tight, stats_tight = prepare_training_corpus(
+        base, quality_min=0.0, langs=("en", "und"), lm_score_min=0.0)
+    assert corpus_loose.count() == n_off
+    assert corpus_tight.count() == 0
+    assert stats_tight.collect()[0]["n_gated"] == 0
