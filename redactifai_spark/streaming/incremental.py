@@ -129,6 +129,12 @@ def incremental_redact_with_lineage(
         (metrics.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("run_id").parquet(metrics_dir))
+        # per-batch cache hygiene: any operator-internal persisted frame
+        # (chunked staging, dedup featurization) created during this batch
+        # would otherwise accumulate across the stream's lifetime
+        from ..operators.caching import unpersist_tracked
+
+        unpersist_tracked()
 
     query = (
         out.writeStream.foreachBatch(_commit)
