@@ -466,8 +466,10 @@ def main() -> None:
     queries, queries_median = _bench_queries(spark, SF_DIR)
     queries["redact_pipeline_fused"] = round(walls_fused[0], 3)
     queries["redact_pipeline_staged"] = round(walls_staged[0], 3)
-    queries_median["redact_pipeline_fused"] = round(walls_fused[1], 3)
-    queries_median["redact_pipeline_staged"] = round(walls_staged[1], 3)
+    queries_median["redact_pipeline_fused"] = round(
+        walls_fused[len(walls_fused) // 2], 3)
+    queries_median["redact_pipeline_staged"] = round(
+        walls_staged[len(walls_staged) // 2], 3)
     spark.stop()
 
     control_post = _control_docs_per_sec(CPUS, ctl_docs)
@@ -484,7 +486,7 @@ def main() -> None:
         "n_docs": n_docs,
         "input": "parquet",
         "docs_per_sec": round(best_rate, 1),
-        "median_wall_sec": round(walls_fused[1], 3),
+        "median_wall_sec": round(walls_fused[len(walls_fused) // 2], 3),
         "control_docs_per_sec": round(control, 1),
         "control_pre": round(control_pre, 1),
         "control_post": round(control_post, 1),
