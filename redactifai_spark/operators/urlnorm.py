@@ -1,0 +1,85 @@
+"""URL canonicalization — the key-normalization step ahead of url-level
+dedup, resume anti-joins, and per-host aggregation. Two crawls of the same
+page rarely agree byte-for-byte on the url (case, default ports, tracking
+params, fragments, param order); keying dedup/resume on the RAW url silently
+double-processes them at 10^12-row scale.
+
+Pure Catalyst (try_parse_url is JVM-side, NULL on junk; the param filter is a higher-order
+array function) — safe on the hot path, and deterministic: canonicalization
+is idempotent (property-tested).
+
+Rules applied (the conservative, reversibility-preserving subset):
+  - scheme and host lowercased; optional "www." strip
+  - default ports dropped (:80 for http, :443 for https)
+  - fragment dropped
+  - tracking params dropped (prefix list: utm_*, gclid, fbclid, ...)
+  - remaining query params sorted (param ORDER is non-semantic per RFC 3986
+    form encoding in practice; sorting makes equal param sets compare equal)
+  - empty path becomes "/"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+TRACKING_PREFIXES: tuple[str, ...] = (
+    "utm_", "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "igshid",
+    "ref_src", "_ga",
+)
+
+
+def canonicalize_url(
+    url: Column | str,
+    strip_www: bool = True,
+    tracking_prefixes: tuple[str, ...] = TRACKING_PREFIXES,
+) -> Column:
+    """Canonical form of ``url`` as a Column expression. Invalid/unparseable
+    urls (no scheme/host) come back unchanged — canonicalization must never
+    destroy a key it cannot understand."""
+    col = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    # AUTHORITY carries host[:port]; keep only a NON-default explicit port
+    authority = F.lower(F.try_parse_url(col, F.lit("AUTHORITY")))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = F.when(
+        (proto == "http") & (port == "80"), F.lit(True)
+    ).when(
+        (proto == "https") & (port == "443"), F.lit(True)
+    ).otherwise(F.lit(False))
+    port_part = F.when(
+        (port != "") & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+
+    raw_path = F.try_parse_url(col, F.lit("PATH"))
+    path = F.when(
+        raw_path.isNull() | (raw_path == ""), F.lit("/")
+    ).otherwise(raw_path)
+
+    query = F.coalesce(F.try_parse_url(col, F.lit("QUERY")), F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~_is_tracking(p, tracking_prefixes),
+    )
+    qs = F.concat_ws("&", F.array_sort(params))
+    q_part = F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
+
+    canon = F.concat(proto, F.lit("://"), host, port_part, path, q_part)
+    return F.when(
+        proto.isNotNull() & host.isNotNull() & (host != ""), canon
+    ).otherwise(col)
+
+
+def _is_tracking(param: Column, prefixes: tuple[str, ...]) -> Column:
+    hit = F.lit(False)
+    for p in prefixes:
+        hit = hit | param.startswith(p)
+    return hit
+
+
+def with_canonical_url(df, url_col: str = "url", out_col: str = "canonical_url"):
+    """DataFrame form; the canonical column is the key to hand to
+    resume_filter / dropDuplicates / per-host aggregation."""
+    return df.withColumn(out_col, canonicalize_url(url_col))

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Training-corpus job entrypoint: spark-submit --py-files redactifai_spark.zip
+run_corpus_job.py --input ... --output ... --stats ...
+
+Runs the composed funnel (redact -> optional per-host boilerplate strip ->
+quality/language/LM gates -> exact dedup -> MinHash-LSH near-dup) over a
+pages table and commits the curated corpus + a one-row funnel-stats record.
+
+The redacted intermediate is ALWAYS checkpointed (--checkpoint, default a
+sibling of --output): at corpus scale the gates and both dedup stages must
+read a table back, not recompute the per-doc Python (zero Python nodes
+downstream of the checkpoint — same shape bench.py --funnel asserts).
+
+Example:
+  python run_corpus_job.py --input /data/pages --output /data/corpus \
+      --stats /data/corpus_stats --strip-boilerplate --lm-score-min -6.5 \
+      --quality-min 0.4 --langs en,und --repartition 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="pages parquet dir / table")
+    p.add_argument("--output", required=True, help="curated corpus parquet dir")
+    p.add_argument("--stats", required=True, help="funnel-stats parquet dir")
+    p.add_argument("--checkpoint", default=None,
+                   help="redacted-intermediate table dir "
+                        "(default: <output>_redacted)")
+    p.add_argument("--quality-min", type=float, default=0.5)
+    p.add_argument("--langs", default="en",
+                   help="comma list of lang codes to keep")
+    p.add_argument("--near-dup-threshold", type=float, default=0.85)
+    p.add_argument("--n-hashes", type=int, default=64)
+    p.add_argument("--n-bands", type=int, default=8,
+                   help="LSH bands (rows/band = n-hashes / n-bands; fewer "
+                        "rows/band = higher recall but floods on short or "
+                        "templated docs — see bench.py --funnel-templated)")
+    p.add_argument("--strip-boilerplate", action="store_true",
+                   help="remove per-host frequent lines before scoring/dedup")
+    p.add_argument("--boilerplate-df-ratio", type=float, default=0.5)
+    p.add_argument("--boilerplate-min-docs", type=int, default=3)
+    p.add_argument("--lm-score-min", type=float, default=None,
+                   help="bigram-LM gate: drop docs whose mean log-prob (nats/"
+                        "bigram, negative) is below this")
+    p.add_argument("--repartition", type=int, default=None,
+                   help="xxhash64(url) re-balance before the pipeline")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.caching import unpersist_tracked
+    from redactifai_spark.operators.corpus import prepare_training_corpus
+    from redactifai_spark.operators.metrics import _read_target
+    from redactifai_spark.operators.partitioning import repartition_by_url
+    from redactifai_spark.session import get_spark
+
+    spark = get_spark(app_name="redactifai-corpus-job", master=args.master)
+    pages = _read_target(spark, args.input)
+    if args.repartition:
+        pages = repartition_by_url(pages, args.repartition)
+
+    corpus, stats = prepare_training_corpus(
+        pages,
+        PipelineConfig(),
+        quality_min=args.quality_min,
+        langs=tuple(args.langs.split(",")),
+        near_dup_threshold=args.near_dup_threshold,
+        n_hashes=args.n_hashes,
+        n_bands=args.n_bands,
+        checkpoint_path=args.checkpoint or args.output.rstrip("/") + "_redacted",
+        strip_boilerplate=args.strip_boilerplate,
+        boilerplate_df_ratio=args.boilerplate_df_ratio,
+        boilerplate_min_docs=args.boilerplate_min_docs,
+        lm_score_min=args.lm_score_min,
+    )
+    corpus.write.mode("overwrite").parquet(args.output)
+    stats.write.mode("overwrite").parquet(args.stats)
+    unpersist_tracked()
+    row = spark.read.parquet(args.stats).collect()[0].asDict()
+    print(json.dumps({"stats": row,
+                      "corpus_rows": spark.read.parquet(args.output).count()}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,3 +74,35 @@ def test_job_resume_from_runs_flag(spark, tmp_path):
     assert out.filter("run_id = 'r2'").count() == 30 - n_half
     # no url processed twice
     assert out.select("url").distinct().count() == 30
+
+
+def test_corpus_job_cli(spark, tmp_path):
+    # run_corpus_job.py end-to-end in a subprocess: curated corpus + one-row
+    # stats land; boilerplate strip + LM gate flags accepted; redacted
+    # checkpoint written beside the output
+    import json
+
+    from redactifai_spark.sources.pages import generate_pages
+
+    inp = str(tmp_path / "in")
+    outp, statsp = str(tmp_path / "corpus"), str(tmp_path / "stats")
+    generate_pages(spark, 30, n_partitions=2).write.parquet(inp)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_corpus_job.py"),
+         "--input", inp, "--output", outp, "--stats", statsp,
+         "--quality-min", "0.3", "--langs", "en,und",
+         "--strip-boilerplate", "--lm-score-min", "-20",
+         "--master", "local[2]"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["stats"]["n_input"] == 30
+    assert report["corpus_rows"] == report["stats"]["n_corpus"] > 0
+    rows = spark.read.parquet(outp).collect()
+    assert {c for c in spark.read.parquet(outp).columns} >= {
+        "url", "redacted_text", "quality_score", "lang_detected"}
+    assert all("@example" not in row["redacted_text"] for row in rows)
+    # checkpoint landed beside the output (the zero-Python-downstream shape)
+    assert os.path.exists(outp + "_redacted")

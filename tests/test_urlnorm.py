@@ -1,0 +1,62 @@
+"""URL canonicalization: case/port/fragment/tracking-param/param-order
+normalization, invalid-url passthrough, idempotence, pure-Catalyst plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.urlnorm import (
+    canonicalize_url, with_canonical_url,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://WWW.Example.COM:80/Path?b=2&a=1#frag",
+     "http://example.com/Path?a=1&b=2"),
+    ("https://example.com:443/x", "https://example.com/x"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/p?utm_source=tw&utm_medium=social&id=7",
+     "https://example.com/p?id=7"),
+    ("https://example.com/p?gclid=abc&fbclid=def", "https://example.com/p"),
+    ("https://example.com/p?z=1&y=2&z=0", "https://example.com/p?y=2&z=0&z=1"),
+    ("not a url at all", "not a url at all"),  # passthrough, never destroyed
+    ("relative/path/only", "relative/path/only"),
+]
+
+
+def test_canonicalize_cases(spark):
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(CASES)],
+                               "i long, url string")
+    got = {r["i"]: r["canonical_url"]
+           for r in with_canonical_url(df).collect()}
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_canonicalize_idempotent(spark):
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(CASES)],
+                               "i long, url string")
+    once = df.select("i", canonicalize_url("url").alias("u"))
+    twice = once.select("i", canonicalize_url("u").alias("u"))
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_canonical_key_merges_crawl_variants(spark):
+    # the dedup/resume motivation: crawl variants of one page collapse to
+    # one canonical key
+    variants = [
+        "https://example.com/article/42",
+        "https://WWW.example.com/article/42",
+        "https://example.com:443/article/42?utm_source=feed",
+        "HTTPS://example.com/article/42#section-2",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    n = df.select(canonicalize_url("url").alias("k")).distinct().count()
+    assert n == 1
+
+
+def test_canonicalize_is_pure_catalyst(spark):
+    from redactifai_spark.plans.inspect import count_python_eval_nodes
+
+    df = spark.createDataFrame([("https://a.com/x",)], "url string")
+    assert count_python_eval_nodes(with_canonical_url(df)) == 0
