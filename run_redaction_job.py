@@ -76,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
                         "raw PII — extracted_text is dropped and span text is "
                         "suppressed, matching the reference's PHI/clean bucket "
                         "split, src/tasks.py:133-144)")
+    p.add_argument("--canonicalize-urls", action="store_true",
+                   help="normalize urls (case/ports/fragments/tracking "
+                        "params/param order) BEFORE resume and processing, "
+                        "so crawl variants of one page share a key — "
+                        "resume/dedup then see one url where the raw crawl "
+                        "had several")
     p.add_argument("--repartition", type=int, default=None,
                    help="explicit xxhash64(url) re-balance partition count")
     p.add_argument("--chunked-detect", type=int, default=None, metavar="CHARS",
@@ -113,6 +119,14 @@ def main(argv: list[str] | None = None) -> int:
     from redactifai_spark.operators.metrics import _read_target, target_missing
 
     pages = _read_target(spark, args.input)
+    if args.canonicalize_urls:
+        # before resume on purpose: the committed output is keyed on the
+        # canonical form, so resume must compare canonical to canonical
+        from pyspark.sql import functions as F
+
+        from redactifai_spark.operators.urlnorm import canonicalize_url
+
+        pages = pages.withColumn("url", canonicalize_url(F.col("url")))
     if args.resume_from_runs:
         from redactifai_spark.operators.metrics import resume_filter_from_runs
 

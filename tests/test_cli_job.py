@@ -106,3 +106,34 @@ def test_corpus_job_cli(spark, tmp_path):
     assert all("@example" not in row["redacted_text"] for row in rows)
     # checkpoint landed beside the output (the zero-Python-downstream shape)
     assert os.path.exists(outp + "_redacted")
+
+
+def test_job_canonicalize_urls_flag(spark, tmp_path):
+    # --canonicalize-urls: crawl variants of one page collapse to one
+    # canonical key before resume/processing
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.sources.pages import generate_pages
+
+    inp = str(tmp_path / "in")
+    outp, met = str(tmp_path / "out"), str(tmp_path / "met")
+    base = generate_pages(spark, 10, n_partitions=2)
+    # vary scheme case, www, tracking params, fragment — NOT the path
+    # (paths are case-sensitive; the canonicalizer correctly leaves them)
+    variant = base.limit(3).withColumn(
+        "url", F.concat(
+            F.regexp_replace("url", "^https://", "HTTPS://www."),
+            F.lit("?utm_source=feed#top")))
+    base.unionByName(variant).write.parquet(inp)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_redaction_job.py"),
+         "--input", inp, "--output", outp, "--metrics", met,
+         "--run-id", "c1", "--canonicalize-urls", "--master", "local[2]"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = spark.read.parquet(outp)
+    # 13 input rows, 10 canonical keys; all output urls are canonical
+    assert out.select("url").distinct().count() == 10
+    assert out.filter(F.col("url").contains("utm_")).count() == 0

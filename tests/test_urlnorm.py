@@ -60,3 +60,38 @@ def test_canonicalize_is_pure_catalyst(spark):
 
     df = spark.createDataFrame([("https://a.com/x",)], "url string")
     assert count_python_eval_nodes(with_canonical_url(df)) == 0
+
+
+def test_canonicalize_property_idempotent_and_total(spark):
+    # property-based: for arbitrary printable junk and url-ish strings the
+    # canonicalizer is TOTAL (never raises, never null on non-null input)
+    # and IDEMPOTENT
+    from hypothesis import given, settings, strategies as st
+
+    urlish = st.one_of(
+        st.text(min_size=0, max_size=40),
+        st.builds(
+            lambda scheme, host, port, path, q, frag:
+                f"{scheme}://{host}{port}{path}{q}{frag}",
+            st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+            st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True),
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.sampled_from(["", "/", "/a/b", "/a%20b"]),
+            st.sampled_from(["", "?x=1", "?utm_source=t&b=2&a=1"]),
+            st.sampled_from(["", "#f"]),
+        ),
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(urlish, min_size=1, max_size=8))
+    def check(urls):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = [r["c"] for r in
+                df.select(canonicalize_url("url").alias("c")).collect()]
+        assert all(c is not None for c in once)
+        df2 = spark.createDataFrame([(c,) for c in once], "url string")
+        twice = [r["c"] for r in
+                 df2.select(canonicalize_url("url").alias("c")).collect()]
+        assert once == twice
+
+    check()
