@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-score-min", type=float, default=None,
                    help="bigram-LM gate: drop docs whose mean log-prob (nats/"
                         "bigram, negative) is below this")
+    p.add_argument("--canonicalize-urls", action="store_true",
+                   help="normalize urls before the funnel so crawl variants "
+                        "of one page share a dedup/host key")
     p.add_argument("--repartition", type=int, default=None,
                    help="xxhash64(url) re-balance before the pipeline")
     p.add_argument("--master", default=None)
@@ -62,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="redactifai-corpus-job", master=args.master)
     pages = _read_target(spark, args.input)
+    if args.canonicalize_urls:
+        from pyspark.sql import functions as F
+
+        from redactifai_spark.operators.urlnorm import canonicalize_url
+
+        pages = pages.withColumn("url", canonicalize_url(F.col("url")))
     if args.repartition:
         pages = repartition_by_url(pages, args.repartition)
 
