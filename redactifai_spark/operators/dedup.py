@@ -437,3 +437,104 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup + duplicate clustering
+# ---------------------------------------------------------------------------
+
+def drop_duplicate_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, delim: str = "\n",
+) -> DataFrame:
+    """Global paragraph/line-level exact dedup (the "deduplicating training
+    data" shape): every duplicated paragraph keeps exactly ONE occurrence
+    corpus-wide — the lexicographically first (min id, then first position
+    within that doc) — and every other occurrence is removed from its
+    document. Complements document-level dedup: cross-doc quote/boilerplate
+    repetition survives doc-level near-dup but still burns training tokens.
+
+    Returns (id, text, n_paragraphs_kept, n_paragraphs_dropped) with
+    paragraph order preserved; a fully-duplicate doc becomes "".
+
+    Scale shape: paragraphs travel as md5 hashes; the winner-per-hash
+    aggregation is a map-side-combining min over a uniform key, the
+    winner join is hash-keyed (1 row per hash on the build side — a hot
+    paragraph like the empty string skews only the probe side, which AQE
+    skew-join splits), and the regroup keys on the unique doc id."""
+    pid = F.col(id_col)
+    paras = df.select(
+        pid.alias("_pp_id"),
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("pos", "para"),
+    ).withColumn("ph", F.md5("para"))
+    winners = paras.groupBy("ph").agg(
+        F.min(F.struct(F.col("_pp_id").alias("i"),
+                       F.col("pos").alias("p"))).alias("w"))
+    marked = paras.join(winners, "ph").withColumn(
+        "_keep",
+        (F.col("_pp_id") == F.col("w.i")) & (F.col("pos") == F.col("w.p")))
+    kept_struct = F.when(F.col("_keep"), F.struct("pos", "para"))
+    return (
+        marked.groupBy("_pp_id")
+        .agg(
+            F.concat_ws(
+                delim,
+                F.transform(F.array_sort(F.collect_list(kept_struct)),
+                            lambda x: x["para"]),
+            ).alias(text_col),
+            F.sum(F.col("_keep").cast("long")).alias("n_paragraphs_kept"),
+            (F.count("*") - F.sum(F.col("_keep").cast("long")))
+            .alias("n_paragraphs_dropped"),
+        )
+        .withColumnRenamed("_pp_id", id_col)
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 15,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id) where
+    cluster_id is the minimum id reachable through any chain of pairs — the
+    canonical representative. Fixes the "chains over-trim" caveat of
+    pairwise keeper logic: A~B and B~C collapse into ONE cluster keyed at
+    min(A,B,C), so exactly one doc of the whole chain is kept.
+
+    Standard iterative min-label propagation (small-star style): each round
+    every node takes the min label in its neighborhood; converges in
+    O(log n) rounds on real near-dup graphs (components are tiny).
+    ``localCheckpoint`` truncates lineage per round so the plan stays flat.
+    Raises if not converged within ``max_iterations`` — at 10^12 docs an
+    unconverged giant component means upstream near-dup parameters are
+    degenerate (see the templated-corpus note in bench.py)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct() \
+        .withColumn("label", F.col("id"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"],
+                        "left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")))
+                .alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            updated.alias("u").join(labels.alias("l"), "id")
+            .filter(F.col("u.label") != F.col("l.label")).count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"duplicate_clusters: not converged after {max_iterations} rounds — "
+        "likely a degenerate giant component (near-dup parameters too loose)")

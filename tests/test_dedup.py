@@ -231,3 +231,67 @@ def test_featurize_matches_internal_featurization(spark):
     for k in feat:
         assert sorted(feat[k][0]) == sorted(ref[k][0])
         assert feat[k][1] == ref[k][1]
+
+
+def test_drop_duplicate_paragraphs(spark):
+    # corpus-wide paragraph dedup: first occurrence (min id, min pos) wins;
+    # later occurrences vanish from their docs; order preserved
+    from redactifai_spark.operators.dedup import drop_duplicate_paragraphs
+
+    rows = [
+        (1, "unique one\nshared quote\nunique two"),
+        (2, "shared quote\nother text"),          # loses 'shared quote' to 1
+        (3, "shared quote"),                      # becomes empty
+        (4, "other text\nother text"),            # in-doc repeat: 2nd copy of
+                                                  # 'other text' (doc 2 wins it)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in
+           drop_duplicate_paragraphs(df, "id", "text").collect()}
+    assert out[1]["text"] == "unique one\nshared quote\nunique two"
+    assert out[1]["n_paragraphs_dropped"] == 0
+    assert out[2]["text"] == "other text"
+    assert out[2]["n_paragraphs_dropped"] == 1
+    assert out[3]["text"] == ""
+    assert out[3]["n_paragraphs_kept"] == 0
+    assert out[4]["text"] == ""  # both copies lose: doc 2 owns 'other text'
+    assert out[4]["n_paragraphs_dropped"] == 2
+    # token conservation: every distinct paragraph survives exactly once
+    all_paras = [p for r in out.values() for p in r["text"].split("\n") if p]
+    assert sorted(all_paras) == sorted(set(all_paras))
+
+
+def test_drop_duplicate_paragraphs_is_pure_catalyst(spark):
+    from redactifai_spark.operators.dedup import drop_duplicate_paragraphs
+    from redactifai_spark.plans.inspect import count_python_eval_nodes
+
+    df = spark.createDataFrame([(1, "a\nb")], "id long, text string")
+    assert count_python_eval_nodes(
+        drop_duplicate_paragraphs(df, "id", "text")) == 0
+
+
+def test_duplicate_clusters(spark):
+    # chains collapse to one cluster keyed at the minimum id — the fix for
+    # pairwise keeper over-trimming
+    from redactifai_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6), (7, 8), (8, 7)],
+        "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+
+def test_duplicate_clusters_on_real_near_dups(spark, docs):
+    from redactifai_spark.operators.dedup import (
+        duplicate_clusters, near_duplicate_pairs,
+    )
+
+    pairs = near_duplicate_pairs(docs, "doc_id", "text", threshold=0.5)
+    clusters = duplicate_clusters(pairs)
+    rows = clusters.collect()
+    assert rows  # the fixture contains near-dups
+    # every cluster id is a member of its own cluster (canonical rep)
+    ids = {r["id"] for r in rows}
+    assert {r["cluster_id"] for r in rows} <= ids
