@@ -39,6 +39,7 @@ def prepare_training_corpus(
     boilerplate_df_ratio: float = 0.5,
     boilerplate_min_docs: int = 3,
     lm_score_min: float | None = None,
+    cluster_near_dups: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, funnel_stats). corpus: (url, lang_detected, quality_score,
     redacted_text, n_spans); funnel_stats: one row of stage counts
@@ -63,6 +64,13 @@ def prepare_training_corpus(
     ``is_gated`` stage. Nats per bigram, so typical values are negative
     (e.g. -6.5 keeps ordinary prose, drops gibberish). Costs the LM's count
     shuffles; off by default.
+
+    ``cluster_near_dups``: resolve near-dup pairs into transitive clusters
+    (``dedup.duplicate_clusters``) and keep one representative per cluster
+    instead of the pairwise min-keeps rule, which over-trims chains. Costs
+    an iterative label-propagation job (O(log component) rounds, with
+    driver actions); off by default — the pairwise rule is the cheap
+    standard tradeoff.
     """
     redacted = run_pipeline(pages, config, fused=True).select(
         "url", "status", "redacted_text", "n_spans"
@@ -142,7 +150,20 @@ def prepare_training_corpus(
         exact_unique, "url", "redacted_text", threshold=near_dup_threshold,
         n_hashes=n_hashes, n_bands=n_bands,
     )
-    losers = pairs.select(F.col("id_b").alias("url")).distinct()
+    if cluster_near_dups:
+        # resolve transitive chains into clusters and keep exactly ONE doc
+        # per cluster (the min-url representative) — pairwise keeper logic
+        # over-trims chains: in A~B, B~C it drops both B and C even though
+        # C may not resemble A at all
+        from .dedup import duplicate_clusters
+
+        losers = (
+            duplicate_clusters(pairs)
+            .filter(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias("url"))
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias("url")).distinct()
     corpus = exact_unique.join(losers, "url", "left_anti").drop(
         "is_complete", "is_gated"
     )

@@ -510,7 +510,8 @@ def duplicate_clusters(
         .union(pairs.select(F.col("id_b").alias("src"),
                             F.col("id_a").alias("dst")))
         .distinct()
-    )
+    ).localCheckpoint()  # edges re-join every round: never re-run the
+    # upstream near-dup chain per iteration
     labels = edges.select(F.col("src").alias("id")).distinct() \
         .withColumn("label", F.col("id"))
     for _ in range(max_iterations):

@@ -117,3 +117,39 @@ def test_funnel_lm_gate_knob(spark):
     assert corpus_loose.count() == n_off
     assert corpus_tight.count() == 0
     assert stats_tight.collect()[0]["n_gated"] == 0
+
+
+def test_funnel_cluster_near_dups_keeps_one_per_chain(spark):
+    # A~B~C chain: pairwise keeper drops B and C (keeps 1 of 3); cluster
+    # mode keeps exactly one representative per transitive cluster — same
+    # here, but it can never drop a whole cluster, and the kept doc is the
+    # canonical min url
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.kernels.oracle import PipelineConfig
+
+    base_text = " ".join(f"w{j} common body text" for j in range(25))
+    rows = []
+    # three near-identical docs (a chain) + two unrelated docs
+    for i, suffix in enumerate(["alpha", "beta", "gamma"]):
+        rows.append((f"https://h0.example.com/chain{i}", None, None,
+                     base_text + " " + suffix, "en"))
+    rows.append(("https://h0.example.com/solo1", None, None,
+                 " ".join(f"x{j} totally different words" for j in range(25)),
+                 "en"))
+    rows.append(("https://h0.example.com/solo2", None, None,
+                 " ".join(f"y{j} unrelated content here" for j in range(25)),
+                 "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+    cfg = PipelineConfig(prefer_text_column=True)
+
+    corpus, _ = prepare_training_corpus(
+        pages, cfg, quality_min=0.0, langs=("en", "und"),
+        near_dup_threshold=0.6, cluster_near_dups=True)
+    urls = sorted(r["url"] for r in corpus.collect())
+    assert urls == [
+        "https://h0.example.com/chain0",  # min url of the cluster
+        "https://h0.example.com/solo1",
+        "https://h0.example.com/solo2",
+    ]
