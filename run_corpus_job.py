@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-score-min", type=float, default=None,
                    help="bigram-LM gate: drop docs whose mean log-prob (nats/"
                         "bigram, negative) is below this")
+    p.add_argument("--cluster-near-dups", action="store_true",
+                   help="resolve near-dup chains into clusters and keep one "
+                        "representative per cluster (vs the cheaper pairwise "
+                        "keeper, which over-trims chains)")
     p.add_argument("--canonicalize-urls", action="store_true",
                    help="normalize urls before the funnel so crawl variants "
                         "of one page share a dedup/host key")
@@ -87,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         boilerplate_df_ratio=args.boilerplate_df_ratio,
         boilerplate_min_docs=args.boilerplate_min_docs,
         lm_score_min=args.lm_score_min,
+        cluster_near_dups=args.cluster_near_dups,
     )
     corpus.write.mode("overwrite").parquet(args.output)
     stats.write.mode("overwrite").parquet(args.stats)
