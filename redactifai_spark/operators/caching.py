@@ -17,10 +17,13 @@ it right after commit; tests assert the registry drains.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def persist_tracked(
@@ -35,17 +38,24 @@ def persist_tracked(
     df = df.persist(level)
     if eager:
         df.count()
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
 def unpersist_tracked(blocking: bool = False) -> int:
     """Unpersist every operator-internal frame registered since the last
-    call; returns how many were freed. Safe to call at any time — frames
-    whose session died are skipped."""
+    call; returns how many were freed. Thread-safe, but the registry is
+    PROCESS-GLOBAL: this frees frames registered by every caller, so with
+    concurrent pipelines in one driver (two streams, a stream plus an
+    interactive funnel) call it only at points where no tracked frame is
+    still feeding an in-flight computation — freeing one early is not a
+    correctness bug (Spark recomputes), but it silently re-runs the exact
+    pass the cache existed to avoid."""
+    with _LOCK:
+        drained, _TRACKED[:] = _TRACKED[:], []
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df in drained:
         try:
             df.unpersist(blocking)
         except Exception:
@@ -55,4 +65,5 @@ def unpersist_tracked(blocking: bool = False) -> int:
 
 
 def tracked_count() -> int:
-    return len(_TRACKED)
+    with _LOCK:
+        return len(_TRACKED)

@@ -121,6 +121,20 @@ def prepare_training_corpus(
         "is_complete", "is_gated",
     )
 
+    # flagged feeds BOTH the dedup chain and the one-action funnel stats;
+    # when the expensive gate stages are on (per-host line-DF strip, bigram
+    # LM — each a multi-shuffle pass over the whole corpus) materialize it
+    # once so the stats action doesn't re-run them from the checkpoint read.
+    # With only the cheap Catalyst gates, recomputing the projection off the
+    # checkpointed base is cheaper than another table write.
+    if strip_boilerplate or lm_score_min is not None:
+        if checkpoint_path is not None:
+            flagged_path = checkpoint_path.rstrip("/") + "_flagged"
+            flagged.write.mode("overwrite").parquet(flagged_path)
+            flagged = pages.sparkSession.read.parquet(flagged_path)
+        else:
+            flagged = persist_tracked(flagged, eager=False)
+
     # Exact dedup via the map-side-combining keeper shape: groupBy(md5) with
     # partial aggregation absorbs hot duplicate texts (empty pages,
     # parked-domain templates — common at Common-Crawl scale) BEFORE the

@@ -53,11 +53,29 @@ def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 
 def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep only the keeper row of each exact-duplicate group."""
-    keepers = exact_duplicate_groups(df, id_col, text_col).select(
-        F.col("keeper_id").alias(id_col)
+    """Keep exactly ONE row per exact-duplicate text group — the minimum-id
+    row — even when ids themselves are duplicated in the input (recrawls,
+    urls collapsed by canonicalization). Row-identical (id, text) copies
+    collapse first, and the keeper join matches on (group, id), so a keeper
+    id can never resurrect extra copies, and an id that appears with TWO
+    different texts only survives for the group(s) it actually wins.
+
+    All stages are skew-safe: the row-collapse keys on (id, text-hash) —
+    a hot duplicate text spreads across its ids — and the keeper
+    aggregation gets map-side partial combine on the uniform text hash."""
+    keyed = df.withColumn("_xd_key", F.md5(F.col(text_col))).dropDuplicates(
+        [id_col, "_xd_key"])
+    keepers = keyed.groupBy(F.col("_xd_key").alias("_xd_key_k")).agg(
+        F.min(id_col).alias("_xd_keeper"))
+    return (
+        keyed.join(
+            keepers,
+            (keyed["_xd_key"] == keepers["_xd_key_k"])
+            & (keyed[id_col] == keepers["_xd_keeper"]),
+            "left_semi",
+        )
+        .drop("_xd_key")
     )
-    return df.join(keepers, on=id_col, how="left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -105,10 +123,13 @@ def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
 
     An EMPTY shingles array yields an array of nulls — the same value the
     pre-fold ``array_min`` form produced — not the fold's _MERSENNE init
-    sentinels, so empty documents can never band-collide with each other as
-    spurious near-duplicates. (No in-repo shingler emits an empty array —
-    ``word_shingles`` always yields at least one element — but this is a
-    public function and the null semantics are the contract.)"""
+    sentinels. A null signature means "no evidence", and ``_bands_of``
+    EXCLUDES such docs from banding entirely (``concat_ws`` skips nulls, so
+    without that filter every no-shingle doc would hash to the same band
+    buckets — an N² candidate flood with nothing to verify). No in-repo
+    shingler emits an empty array — ``word_shingles`` always yields at
+    least one element — but this is a public function and null-signature
+    semantics are the contract."""
     base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
     params = F.array(*[
         F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -192,8 +213,11 @@ def _featurized(
 
 
 def _bands_of(feat: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
-    """(doc, band_id, band_hash) from a featurized frame — narrow explode."""
+    """(doc, band_id, band_hash) from a featurized frame — narrow explode.
+    Docs with a null signature (no shingles) are excluded: they carry no
+    similarity evidence, and banding them would flood one bucket."""
     rows_per_band = n_hashes // n_bands
+    feat = feat.filter(F.element_at(F.col("minhash"), 1).isNotNull())
     return feat.select(
         F.col("doc"),
         F.explode(
@@ -498,12 +522,15 @@ def duplicate_clusters(
     pairwise keeper logic: A~B and B~C collapse into ONE cluster keyed at
     min(A,B,C), so exactly one doc of the whole chain is kept.
 
-    Standard iterative min-label propagation (small-star style): each round
-    every node takes the min label in its neighborhood; converges in
-    O(log n) rounds on real near-dup graphs (components are tiny).
+    Iterative min-label propagation WITH pointer jumping: each round every
+    node takes the min label in its neighborhood, then labels are resolved
+    one level through themselves (path halving), so the effective
+    propagation distance doubles per round — convergence in O(log diameter)
+    rounds (plain neighbor propagation alone is O(diameter): a 17-hop
+    near-dup chain from incremental page edits would exhaust 15 rounds).
     ``localCheckpoint`` truncates lineage per round so the plan stays flat.
-    Raises if not converged within ``max_iterations`` — at 10^12 docs an
-    unconverged giant component means upstream near-dup parameters are
+    Raises if not converged within ``max_iterations`` (enough for diameters
+    ~2^15) — at 10^12 docs that means upstream near-dup parameters are
     degenerate (see the templated-corpus note in bench.py)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -519,13 +546,25 @@ def duplicate_clusters(
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
+        prop = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"],
                         "left")
             .select(
                 "id",
                 F.least(F.col("label"),
                         F.coalesce(F.col("nbr_label"), F.col("label")))
+                .alias("label"),
+            )
+        )
+        # pointer jumping (path halving): label <- its label's label
+        resolve = prop.select(F.col("id").alias("_r_id"),
+                              F.col("label").alias("_r_label"))
+        updated = (
+            prop.join(resolve, prop["label"] == resolve["_r_id"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("_r_label"), F.col("label")))
                 .alias("label"),
             )
         ).localCheckpoint()

@@ -22,9 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-TRACKING_PREFIXES: tuple[str, ...] = (
-    "utm_", "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "igshid",
-    "ref_src", "_ga",
+# matched against the param NAME (before '='): entries ending in '_' are
+# name prefixes (utm_source, utm_campaign, ...), the rest are exact names —
+# a bare prefix match would eat legitimate params ('_ga' vs '_gains=5')
+TRACKING_PREFIXES: tuple[str, ...] = ("utm_",)
+TRACKING_NAMES: tuple[str, ...] = (
+    "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "igshid",
+    "ref_src", "_ga", "_gl",
 )
 
 
@@ -32,6 +36,7 @@ def canonicalize_url(
     url: Column | str,
     strip_www: bool = True,
     tracking_prefixes: tuple[str, ...] = TRACKING_PREFIXES,
+    tracking_names: tuple[str, ...] = TRACKING_NAMES,
 ) -> Column:
     """Canonical form of ``url`` as a Column expression. Invalid/unparseable
     urls (no scheme/host) come back unchanged — canonicalization must never
@@ -61,7 +66,8 @@ def canonicalize_url(
     query = F.coalesce(F.try_parse_url(col, F.lit("QUERY")), F.lit(""))
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~_is_tracking(p, tracking_prefixes),
+        lambda p: (p != "") & ~_is_tracking(p, tracking_prefixes,
+                                            tracking_names),
     )
     qs = F.concat_ws("&", F.array_sort(params))
     q_part = F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
@@ -72,10 +78,13 @@ def canonicalize_url(
     ).otherwise(col)
 
 
-def _is_tracking(param: Column, prefixes: tuple[str, ...]) -> Column:
-    hit = F.lit(False)
+def _is_tracking(
+    param: Column, prefixes: tuple[str, ...], names: tuple[str, ...],
+) -> Column:
+    name = F.substring_index(param, "=", 1)
+    hit = name.isin(*names) if names else F.lit(False)
     for p in prefixes:
-        hit = hit | param.startswith(p)
+        hit = hit | name.startswith(p)
     return hit
 
 
@@ -83,3 +92,35 @@ def with_canonical_url(df, url_col: str = "url", out_col: str = "canonical_url")
     """DataFrame form; the canonical column is the key to hand to
     resume_filter / dropDuplicates / per-host aggregation."""
     return df.withColumn(out_col, canonicalize_url(url_col))
+
+
+def dedupe_by_canonical_url(df, url_col: str = "url", content_cols=("html", "text")):
+    """Replace ``url_col`` with its canonical form and keep exactly ONE row
+    per canonical url — REQUIRED before any pipeline that treats the url as
+    a unique document id (the funnel's boilerplate strip and LM gate group
+    on it): canonicalization deliberately collapses crawl variants, and two
+    rows under one id would merge into one corrupted document downstream.
+
+    Deterministic keeper: the row whose content hash (md5 over the
+    ``content_cols`` that exist) is minimal — identical-content variants
+    (the common case) collapse to one identical row; differing recrawls
+    keep the same winner on every run. Skew-safe: row-identical copies
+    collapse on (url, hash) with map-side combine before the keeper join."""
+    present = [c for c in content_cols if c in df.columns]
+    tag = F.md5(F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in present]
+    )) if present else F.lit("")
+    canon = df.withColumn(url_col, canonicalize_url(url_col)) \
+        .withColumn("_cu_tag", tag) \
+        .dropDuplicates([url_col, "_cu_tag"])
+    winners = canon.groupBy(F.col(url_col).alias("_cu_url")).agg(
+        F.min("_cu_tag").alias("_cu_win"))
+    return (
+        canon.join(
+            winners,
+            (canon[url_col] == winners["_cu_url"])
+            & (canon["_cu_tag"] == winners["_cu_win"]),
+            "left_semi",
+        )
+        .drop("_cu_tag")
+    )

@@ -70,11 +70,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="redactifai-corpus-job", master=args.master)
     pages = _read_target(spark, args.input)
     if args.canonicalize_urls:
-        from pyspark.sql import functions as F
+        # collapses crawl variants AND keeps one row per canonical url
+        # (deterministic min-content keeper): the funnel's boilerplate strip
+        # and LM gate treat url as a unique doc id, so duplicate ids would
+        # merge two documents into one corrupted row
+        from redactifai_spark.operators.urlnorm import dedupe_by_canonical_url
 
-        from redactifai_spark.operators.urlnorm import canonicalize_url
-
-        pages = pages.withColumn("url", canonicalize_url(F.col("url")))
+        pages = dedupe_by_canonical_url(pages)
     if args.repartition:
         pages = repartition_by_url(pages, args.repartition)
 

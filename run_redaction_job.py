@@ -121,12 +121,13 @@ def main(argv: list[str] | None = None) -> int:
     pages = _read_target(spark, args.input)
     if args.canonicalize_urls:
         # before resume on purpose: the committed output is keyed on the
-        # canonical form, so resume must compare canonical to canonical
-        from pyspark.sql import functions as F
+        # canonical form, so resume must compare canonical to canonical.
+        # Collapsing variants also DEDUPES to one row per canonical url
+        # (deterministic min-content keeper) — downstream treats url as a
+        # unique doc id.
+        from redactifai_spark.operators.urlnorm import dedupe_by_canonical_url
 
-        from redactifai_spark.operators.urlnorm import canonicalize_url
-
-        pages = pages.withColumn("url", canonicalize_url(F.col("url")))
+        pages = dedupe_by_canonical_url(pages)
     if args.resume_from_runs:
         from redactifai_spark.operators.metrics import resume_filter_from_runs
 

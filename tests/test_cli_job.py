@@ -134,6 +134,8 @@ def test_job_canonicalize_urls_flag(spark, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     out = spark.read.parquet(outp)
-    # 13 input rows, 10 canonical keys; all output urls are canonical
+    # 13 input rows, 10 canonical keys — and exactly ONE row per key (the
+    # dedupe half of --canonicalize-urls); all output urls are canonical
+    assert out.count() == 10
     assert out.select("url").distinct().count() == 10
     assert out.filter(F.col("url").contains("utm_")).count() == 0

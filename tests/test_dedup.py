@@ -295,3 +295,47 @@ def test_duplicate_clusters_on_real_near_dups(spark, docs):
     # every cluster id is a member of its own cluster (canonical rep)
     ids = {r["id"] for r in rows}
     assert {r["cluster_id"] for r in rows} <= ids
+
+
+def test_drop_exact_duplicates_with_duplicate_ids(spark):
+    # duplicated ids (recrawls, canonicalization collisions) must not leak
+    # extra copies: exactly one row per text group survives, and an id that
+    # appears with two different texts only survives where it wins
+    df = spark.createDataFrame(
+        [("u1", "T1"), ("u1", "T1"),       # row-identical duplicate
+         ("u2", "T1"),                     # same text, different id
+         ("u1", "T2"),                     # keeper id carries a 2nd text
+         ("u3", "T2"),
+         ("u4", "T3")],
+        "id string, text string")
+    rows = sorted((r["id"], r["text"]) for r in
+                  drop_exact_duplicates(df, "id", "text").collect())
+    assert rows == [("u1", "T1"), ("u1", "T2"), ("u4", "T3")]
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    # a 40-hop near-dup path (incremental page edits): plain neighbor
+    # propagation needs 40 rounds; pointer jumping converges well inside
+    # the 15-round budget
+    from redactifai_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_bands_exclude_null_signatures(spark):
+    # docs with no shingles (null signature) carry no similarity evidence
+    # and must NOT band — concat_ws skips nulls, so without the filter every
+    # such doc would share every bucket (N^2 candidate flood)
+    from redactifai_spark.operators.dedup import _bands_of, _self_join_pairs
+
+    feat = spark.createDataFrame(
+        [(1, [None] * 8), (2, [None] * 8), (3, [7, 7, 7, 7, 7, 7, 7, 7])],
+        "doc long, minhash array<long>")
+    bands = _bands_of(feat.withColumn(
+        "minhash", F.col("minhash").cast("array<long>")), 8, 4)
+    assert {r["doc"] for r in bands.collect()} == {3}
+    assert _self_join_pairs(bands).count() == 0

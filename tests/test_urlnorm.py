@@ -95,3 +95,38 @@ def test_canonicalize_property_idempotent_and_total(spark):
         assert once == twice
 
     check()
+
+
+def test_tracking_matches_param_name_not_prefix(spark):
+    # '_gains=5' must survive ('_ga' is an exact name, not a prefix);
+    # 'utm_*' is a real prefix family
+    df = spark.createDataFrame(
+        [("https://x.com/p?_gains=5&_ga=1&utm_campaign=c&id=2",)],
+        "url string")
+    got = df.select(canonicalize_url("url").alias("c")).collect()[0]["c"]
+    assert got == "https://x.com/p?_gains=5&id=2"
+
+
+def test_dedupe_by_canonical_url(spark):
+    from redactifai_spark.operators.urlnorm import dedupe_by_canonical_url
+
+    rows = [
+        ("https://a.com/p?utm_source=x", "body-one"),
+        ("https://WWW.a.com/p#frag", "body-one"),     # same canon + content
+        ("https://a.com/p", "body-two"),              # same canon, recrawl
+        ("https://a.com/q", "other"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = dedupe_by_canonical_url(df, "url", content_cols=("text",))
+    got = {(r["url"], r["text"]) for r in out.collect()}
+    # one row per canonical url; the kept content is the min-md5 one —
+    # deterministic across runs (md5('body-one') < md5('body-two') is a
+    # fixed fact, asserted indirectly: exactly one of the two survived)
+    assert len(got) == 2
+    assert ("https://a.com/q", "other") in got
+    kept = [t for (u, t) in got if u == "https://a.com/p"]
+    assert len(kept) == 1 and kept[0] in ("body-one", "body-two")
+    # determinism: same result on re-run
+    got2 = {(r["url"], r["text"]) for r in
+            dedupe_by_canonical_url(df, "url", content_cols=("text",)).collect()}
+    assert got == got2
