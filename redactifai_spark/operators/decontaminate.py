@@ -1,0 +1,99 @@
+"""Eval-set decontamination — flag/drop training documents that share long
+n-grams with a held-out evaluation set, the standard pre-training hygiene
+step (a training doc containing an eval question verbatim silently inflates
+benchmark scores).
+
+Design (the asymmetric shape, like ``near_duplicates_against``): the eval
+set is SMALL (thousands of docs) and the training corpus is the 10^12-row
+side. The eval side is reduced to a distinct n-gram hash set and BROADCAST;
+the training side streams through one narrow pass that explodes its n-gram
+hashes and broadcast-joins — the big side is never shuffled, and with
+``flag_only`` the whole check is a semi/anti join that Catalyst pushes
+around freely.
+
+Word n-grams of length 8 (the Brown/GPT-3-style window) over lowercased
+whitespace tokens; hashes travel as xxhash64 so no text rides the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_ngram_hashes(
+    df: DataFrame, text_col: str, n: int = 8, out_col: str = "ngram_hashes",
+) -> DataFrame:
+    """Distinct xxhash64 values of the text's word n-grams (lowercased,
+    whitespace-tokenized), bound to a column (re-eval-trap-safe form).
+    Docs with < n tokens yield an empty array — a short doc cannot contain
+    a full contamination window."""
+    d = df.withColumn("_dc_toks", F.regexp_extract_all(
+        F.trim(F.lower(F.col(text_col))), F.lit(r"\S+"), 0))
+    toks = F.col("_dc_toks")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(toks, i, n)))))
+    return d.withColumn(out_col, hashes).drop("_dc_toks")
+
+
+def eval_ngram_set(eval_df: DataFrame, text_col: str, n: int = 8) -> DataFrame:
+    """One row per distinct eval n-gram hash — the broadcastable
+    contamination fingerprint (8 bytes per n-gram; a 10k-doc eval suite is
+    a few MB). Persist it (or write it as a table) when decontaminating
+    repeatedly."""
+    return (
+        with_ngram_hashes(eval_df, text_col, n, out_col="_dc_h")
+        .select(F.explode("_dc_h").alias("ngram_hash"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    flag_only: bool = False,
+    eval_ngrams: DataFrame | None = None,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Remove (or flag) training docs sharing any word ``n``-gram with the
+    eval set.
+
+    ``eval_text_col``: the eval side's text column when it differs from the
+    training side's (an eval suite usually says ``text`` while the curated
+    corpus says ``redacted_text``); defaults to ``text_col``.
+    ``eval_ngrams``: a precomputed ``eval_ngram_set`` frame/table — pass it
+    to skip re-fingerprinting the eval side per call. With ``flag_only``
+    the result keeps every row and adds ``is_contaminated``; otherwise
+    contaminated rows are dropped (the training-corpus default).
+
+    Scale shape: ONE pass over the training side (explode n-gram hashes →
+    broadcast join against the eval set → distinct contaminated ids →
+    broadcast anti/semi join back). The training corpus is never shuffled;
+    both broadcasts are bounded by the EVAL suite (n-gram set) and by the
+    contaminated-id set (≤ docs that actually overlap)."""
+    if eval_ngrams is None:
+        if eval_df is None:
+            raise ValueError("need eval_df or eval_ngrams")
+        eval_ngrams = eval_ngram_set(eval_df, eval_text_col or text_col, n)
+    hashed = with_ngram_hashes(train_df, text_col, n, out_col="_dc_h")
+    contaminated = (
+        hashed.select(F.col(id_col), F.explode("_dc_h").alias("ngram_hash"))
+        .join(F.broadcast(eval_ngrams), "ngram_hash", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if flag_only:
+        flagged = train_df.join(
+            F.broadcast(contaminated.withColumn("_dc_hit", F.lit(True))),
+            id_col, "left",
+        )
+        return flagged.withColumn(
+            "is_contaminated", F.coalesce(F.col("_dc_hit"), F.lit(False))
+        ).drop("_dc_hit")
+    return train_df.join(F.broadcast(contaminated), id_col, "left_anti")

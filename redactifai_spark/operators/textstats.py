@@ -188,3 +188,71 @@ def with_winnowing_fingerprints(
         .withColumn(out_col, fps)
         .drop("__winnow_hs")
     )
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition features — the Gopher-style repetition
+    filters that catch spammy/looping pages the cross-doc dedup family
+    cannot see (a doc that repeats ITSELF is unique corpus-wide):
+
+      - ``dup_line_frac``: fraction of lines that are duplicates of an
+        earlier line in the same doc (0 when <= 1 line),
+      - ``dup_word_frac``: fraction of word occurrences beyond each word's
+        first (high for keyword-stuffed pages),
+      - ``top_bigram_frac``: fraction of bigram occurrences taken by the
+        single most frequent bigram (near 1.0 for "foo bar foo bar ..."),
+
+    All exact ratios of integer counts, all Catalyst (bound token/line
+    arrays, aggregate over map — no Python, no shuffle: these are per-row
+    expressions). Typical gates: dup_line_frac > 0.3 or
+    top_bigram_frac > 0.2 => drop (tune on the corpus)."""
+    col = F.col(text_col)
+    d = df.withColumns({
+        "_rep_lines": F.split(col, "\n", -1),
+        "_rep_toks": F.regexp_extract_all(
+            F.trim(F.lower(col)), F.lit(r"\S+"), 0),
+    })
+    lines, toks = F.col("_rep_lines"), F.col("_rep_toks")
+    n_lines = F.size(lines)
+    n_toks = F.size(toks)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    dup_words = n_toks - F.size(F.array_distinct(toks))
+
+    idx = F.when(
+        n_toks >= 2, F.sequence(F.lit(1), n_toks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i.cast("int")),
+            F.element_at(toks, (i + 1).cast("int"))),
+    )
+    d = d.withColumn("_rep_bigrams", bigrams)
+    bg = F.col("_rep_bigrams")
+    # occurrence count of the modal bigram WITHOUT explode/shuffle: sort the
+    # array, then one fold tracking the longest equal-run — O(n log n) per
+    # row. (A map-building fold would be O(n x distinct) per row: quadratic
+    # on long docs.)
+    d = d.withColumn("_rep_bg_sorted", F.array_sort(bg))
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best"))
+    run_of = lambda a, b: F.when(b == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+    top_bigram = F.aggregate(
+        F.col("_rep_bg_sorted"),
+        acc0,
+        lambda a, b: F.struct(
+            b.alias("prev"),
+            run_of(a, b).alias("run"),
+            F.greatest(a["best"], run_of(a, b)).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    return d.withColumns({
+        "dup_line_frac": F.when(
+            n_lines > 1, dup_lines / n_lines).otherwise(F.lit(0.0)),
+        "dup_word_frac": F.when(
+            n_toks > 0, dup_words / n_toks).otherwise(F.lit(0.0)),
+        "top_bigram_frac": F.when(
+            F.size(bg) > 0,
+            top_bigram / F.size(bg)).otherwise(F.lit(0.0)),
+    }).drop("_rep_lines", "_rep_toks", "_rep_bigrams", "_rep_bg_sorted")

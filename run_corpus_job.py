@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-score-min", type=float, default=None,
                    help="bigram-LM gate: drop docs whose mean log-prob (nats/"
                         "bigram, negative) is below this")
+    p.add_argument("--decontaminate-eval", default=None, metavar="PATH",
+                   help="eval-set parquet dir / table (text column): drop "
+                        "corpus docs sharing any 8-gram with it (broadcast "
+                        "fingerprint; the corpus side is never shuffled)")
+    p.add_argument("--decontaminate-ngram", type=int, default=8)
     p.add_argument("--cluster-near-dups", action="store_true",
                    help="resolve near-dup chains into clusters and keep one "
                         "representative per cluster (vs the cheaper pairwise "
@@ -95,6 +100,14 @@ def main(argv: list[str] | None = None) -> int:
         lm_score_min=args.lm_score_min,
         cluster_near_dups=args.cluster_near_dups,
     )
+    if args.decontaminate_eval:
+        from redactifai_spark.operators.decontaminate import decontaminate
+
+        corpus = decontaminate(
+            corpus, _read_target(spark, args.decontaminate_eval),
+            "url", "redacted_text", n=args.decontaminate_ngram,
+            eval_text_col="text",
+        )
     corpus.write.mode("overwrite").parquet(args.output)
     stats.write.mode("overwrite").parquet(args.stats)
     unpersist_tracked()

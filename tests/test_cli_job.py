@@ -139,3 +139,52 @@ def test_job_canonicalize_urls_flag(spark, tmp_path):
     assert out.count() == 10
     assert out.select("url").distinct().count() == 10
     assert out.filter(F.col("url").contains("utm_")).count() == 0
+
+
+def test_corpus_job_decontaminate_flag(spark, tmp_path):
+    # --decontaminate-eval: corpus docs sharing an 8-gram with the eval set
+    # are dropped from the written corpus
+    import json
+
+    from pyspark.sql import functions as F
+
+    from redactifai_spark.sources.pages import generate_pages
+
+    inp = str(tmp_path / "in")
+    outp, statsp = str(tmp_path / "corpus"), str(tmp_path / "stats")
+    evalp = str(tmp_path / "eval")
+    pages = generate_pages(spark, 20, n_partitions=2)
+    pages.write.parquet(inp)
+    # eval set = doc-UNIQUE 8-grams of 3 known pages (the per-doc report
+    # header crossing into the next line). Deliberately NOT the full
+    # redacted text: these pages share template lines, and any eval doc
+    # containing template 8-grams would (correctly) contaminate the whole
+    # corpus — the same global-template property bench.py --funnel-templated
+    # measures.
+    bad_nums = [3, 7, 12]
+    eval_rows = [(i, f"Report number {n} from the field Our correspondent")
+                 for i, n in enumerate(bad_nums)]
+    spark.createDataFrame(eval_rows, "eval_id long, text string") \
+        .write.parquet(evalp)
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.pipeline import run_pipeline
+
+    out = run_pipeline(pages, PipelineConfig(), fused=True)
+    bad_urls = {r["url"] for r in out.filter(
+        F.col("redacted_text").rlike(
+            "Report number (" + "|".join(str(n) for n in bad_nums) + ") ")
+    ).collect()}
+    assert len(bad_urls) == 3
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_corpus_job.py"),
+         "--input", inp, "--output", outp, "--stats", statsp,
+         "--quality-min", "0.0", "--langs", "en,und",
+         "--decontaminate-eval", evalp, "--master", "local[2]"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept = {row["url"] for row in spark.read.parquet(outp).collect()}
+    assert kept.isdisjoint(bad_urls)
+    assert len(kept) == 20 - len(bad_urls)

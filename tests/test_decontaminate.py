@@ -1,0 +1,79 @@
+"""Eval-set decontamination: exact 8-gram overlap flags/drops training docs;
+short docs can't match; precomputed eval fingerprints equal the direct path;
+big side never shuffled (broadcast-only plan)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.decontaminate import (
+    decontaminate, eval_ngram_set, with_ngram_hashes,
+)
+
+EVAL_Q = ("what is the capital of france and which river flows through "
+          "the city of paris exactly")
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "intro text " + EVAL_Q + " plus trailing discussion"),
+            (2, "completely unrelated training document about spark "
+                "catalyst optimizer internals and codegen stages here"),
+            (3, "capital of france"),  # 3 tokens < 8: can't contain a window
+            (4, "WHAT IS THE CAPITAL OF FRANCE AND WHICH river flows "
+                "through the city"),  # case-insensitive overlap
+        ],
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame([(100, EVAL_Q)], "doc_id long, text string")
+    return train, eval_df
+
+
+def test_decontaminate_drops_overlapping_docs(spark, frames):
+    train, eval_df = frames
+    clean = decontaminate(train, eval_df, "doc_id", "text")
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+
+
+def test_decontaminate_flag_only(spark, frames):
+    train, eval_df = frames
+    flagged = {r["doc_id"]: r["is_contaminated"]
+               for r in decontaminate(train, eval_df, "doc_id", "text",
+                                      flag_only=True).collect()}
+    assert flagged == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_precomputed_eval_ngrams_equivalent(spark, frames, tmp_path):
+    train, eval_df = frames
+    path = str(tmp_path / "eval_ngrams")
+    eval_ngram_set(eval_df, "text").write.parquet(path)
+    pre = spark.read.parquet(path)
+    a = {r["doc_id"] for r in
+         decontaminate(train, None, "doc_id", "text",
+                       eval_ngrams=pre).collect()}
+    b = {r["doc_id"] for r in
+         decontaminate(train, eval_df, "doc_id", "text").collect()}
+    assert a == b == {2, 3}
+
+
+def test_short_docs_yield_empty_hashes(spark):
+    df = spark.createDataFrame(
+        [(1, "only four tokens here"), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["ngram_hashes"]
+            for r in with_ngram_hashes(df, "text").collect()}
+    assert rows[1] == [] and rows[2] == []
+
+
+def test_decontaminate_training_side_never_shuffled(spark, frames):
+    # the 10^12-row contract: broadcast joins only — zero Exchange on the
+    # training side, zero SortMerge anywhere, zero Python
+    from redactifai_spark.plans.inspect import (
+        count_python_eval_nodes, formatted_plan,
+    )
+
+    train, eval_df = frames
+    plan = formatted_plan(decontaminate(train, eval_df, "doc_id", "text"))
+    assert "SortMergeJoin" not in plan
+    assert count_python_eval_nodes(
+        decontaminate(train, eval_df, "doc_id", "text")) == 0
+    assert "BroadcastHashJoin" in plan

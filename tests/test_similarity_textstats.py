@@ -217,3 +217,34 @@ def test_approx_percentile_tracks_exact(spark):
         F.expr("max(value) - min(value)").alias("range"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= 0.01 * row["range"] + 1e-9
+
+
+def test_with_repetition_stats(spark):
+    from redactifai_spark.operators.textstats import with_repetition_stats
+
+    rows = [
+        (1, "alpha beta gamma delta"),                 # no repetition
+        (2, "spam spam spam spam spam spam"),          # total repetition
+        (3, "line one\nline one\nline two"),           # 1 dup line of 3
+        (4, ""),                                       # degenerate
+        (5, "x"),                                      # single token/line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           with_repetition_stats(df, "text").collect()}
+    assert got[1]["dup_word_frac"] == 0.0
+    assert got[1]["top_bigram_frac"] == pytest.approx(1 / 3)  # all distinct
+    assert got[2]["dup_word_frac"] == pytest.approx(5 / 6)
+    assert got[2]["top_bigram_frac"] == 1.0  # "spam spam" is every bigram
+    assert got[3]["dup_line_frac"] == pytest.approx(1 / 3)
+    assert got[4]["dup_line_frac"] == 0.0
+    assert got[4]["dup_word_frac"] == 0.0
+    assert got[4]["top_bigram_frac"] == 0.0
+    assert got[5]["top_bigram_frac"] == 0.0  # no bigrams
+    # pure Catalyst, per-row only — no Python, no shuffle
+    from redactifai_spark.plans.inspect import (
+        count_exchanges, count_python_eval_nodes,
+    )
+    out = with_repetition_stats(df, "text")
+    assert count_python_eval_nodes(out) == 0
+    assert count_exchanges(out) == 0
