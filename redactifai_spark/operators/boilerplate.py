@@ -16,8 +16,11 @@ Scale shape (10^12 docs, all Catalyst, zero Python):
   1. explode lines (narrow),
   2. per-(host, line-hash) document frequency — groupBy on a uniform
      two-part key whose map-side partial aggregation absorbs hot lines,
-  3. the boilerplate set (frequent lines only — tiny) is BROADCAST back
-     against the exploded lines,
+  3. the boilerplate set joins back against the exploded lines on the same
+     uniform (host, line_hash) key — strategy left to Catalyst/AQE, because
+     the set grows with the number of HOSTS (10^8 hosts x dozens of template
+     lines at Common-Crawl scale): a forced broadcast would OOM there, while
+     AQE still picks broadcast when the set is runtime-small,
   4. per-doc regroup on the unique id (uniform), then one join back to the
      input on the same id to restore payload columns.
 Line identity travels as md5(line), so long lines never ride the shuffle and
@@ -72,8 +75,18 @@ def strip_boilerplate(
     df_ratio: float = 0.5,
     min_docs: int = 3,
     out_col: str | None = None,
+    broadcast_boiler: bool = False,
 ) -> DataFrame:
     """Remove per-host frequent lines from every document of that host.
+
+    ``broadcast_boiler``: force-broadcast the boilerplate set into the
+    mark join. OFF by default — the set is one row per (host, frequent
+    line), so it scales with the HOST count (multi-GB at 10^8 hosts) and a
+    forced broadcast OOMs exactly when the job is big; both join sides are
+    keyed on the uniform (host, line_hash) pair, so the default shuffle
+    hash join is skew-free, and AQE still converts to broadcast at runtime
+    whenever the set is actually small. Set True only for bounded host
+    universes known to fit in memory.
 
     Returns ``df`` with ``text_col`` replaced by the stripped text (or a new
     ``out_col`` added), plus ``n_lines_kept`` / ``n_lines_dropped`` counts.
@@ -96,8 +109,10 @@ def strip_boilerplate(
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
             "line_no", "line"),
     ).withColumn("line_hash", F.md5("line"))
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
     marked = lines.join(
-        F.broadcast(boiler), ["host", "line_hash"], "left"
+        boiler, ["host", "line_hash"], "left"
     ).withColumn("_is_boiler", F.coalesce("_is_boiler", F.lit(False)))
 
     # ONE aggregation per doc: collect_list skips nulls, so kept lines are

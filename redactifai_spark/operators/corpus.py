@@ -40,6 +40,10 @@ def prepare_training_corpus(
     boilerplate_min_docs: int = 3,
     lm_score_min: float | None = None,
     cluster_near_dups: bool = False,
+    max_dup_line_frac: float | None = None,
+    max_dup_word_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
+    assume_unique_ids: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, funnel_stats). corpus: (url, lang_detected, quality_score,
     redacted_text, n_spans); funnel_stats: one row of stage counts
@@ -65,6 +69,24 @@ def prepare_training_corpus(
     (e.g. -6.5 keeps ordinary prose, drops gibberish). Costs the LM's count
     shuffles; off by default.
 
+    ``max_dup_line_frac`` / ``max_dup_word_frac`` / ``max_top_bigram_frac``:
+    Gopher-style WITHIN-document repetition gates
+    (textstats.with_repetition_stats) — docs whose repetition fraction
+    exceeds a set threshold are dropped at the ``is_gated`` stage. They
+    catch spammy self-looping pages that cross-doc dedup cannot see (a doc
+    that repeats ITSELF is unique corpus-wide). Pure per-row Catalyst
+    expressions: no extra shuffle. Typical: max_dup_line_frac=0.3,
+    max_top_bigram_frac=0.2. Off (None) by default.
+
+    ``assume_unique_ids``: the boilerplate strip and LM gate treat ``url``
+    as a unique document id (per-doc regroup / score join) — duplicate urls
+    (recrawls; raw Common-Crawl routinely has them) would silently merge
+    into one corrupted document. When either stage is enabled this function
+    PROBES for duplicate urls and raises (one url-only aggregation with an
+    early-out limit — column-pruned, map-side combining). Pass True to skip
+    the probe when the input is already deduped (e.g. via
+    urlnorm.dedupe_by_canonical_url — the CLI's --canonicalize-urls).
+
     ``cluster_near_dups``: resolve near-dup pairs into transitive clusters
     (``dedup.duplicate_clusters``) and keep one representative per cluster
     instead of the pairwise min-keeps rule, which over-trims chains. Costs
@@ -82,6 +104,26 @@ def prepare_training_corpus(
         # interactive fallback; freed by caching.unpersist_tracked() once the
         # caller's terminal action has run
         base = persist_tracked(redacted, eager=False)
+
+    if (strip_boilerplate or lm_score_min is not None) and not assume_unique_ids:
+        # fail loudly on duplicate doc ids BEFORE the per-url regroup/join
+        # stages corrupt documents (ADVICE r5: raw crawls routinely repeat
+        # urls; gating the precondition on an unrelated optional flag was
+        # not enough). Existence probe only: url-column aggregation with
+        # map-side combine + limit(1) short-circuit.
+        dup = (
+            base.groupBy("url").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "prepare_training_corpus: duplicate urls in the input, but "
+                "strip_boilerplate/lm_score_min treat url as a unique doc id "
+                "— duplicate-url docs would silently merge into corrupted "
+                "rows. Dedupe first (urlnorm.dedupe_by_canonical_url or "
+                "dropDuplicates(['url'])), or pass assume_unique_ids=True "
+                "if the input is already deduped."
+            )
 
     if strip_boilerplate:
         from .boilerplate import strip_boilerplate as _strip
@@ -102,6 +144,18 @@ def prepare_training_corpus(
         & (F.col("quality_score") >= quality_min)
         & F.col("lang_detected").isin(*langs)
     )
+    rep_gates = (
+        ("dup_line_frac", max_dup_line_frac),
+        ("dup_word_frac", max_dup_word_frac),
+        ("top_bigram_frac", max_top_bigram_frac),
+    )
+    if any(v is not None for _, v in rep_gates):
+        from .textstats import with_repetition_stats
+
+        scored = with_repetition_stats(scored, text_col="redacted_text")
+        for col, v in rep_gates:
+            if v is not None:
+                gate = gate & (F.col(col) <= v)
     if lm_score_min is not None:
         from .lm import bigram_lm_score
 

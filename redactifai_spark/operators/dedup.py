@@ -477,8 +477,11 @@ def drop_duplicate_paragraphs(
     document. Complements document-level dedup: cross-doc quote/boilerplate
     repetition survives doc-level near-dup but still burns training tokens.
 
-    Returns (id, text, n_paragraphs_kept, n_paragraphs_dropped) with
-    paragraph order preserved; a fully-duplicate doc becomes "".
+    Returns the input frame with ``text_col`` replaced by the deduped text
+    plus (n_paragraphs_kept, n_paragraphs_dropped), payload columns
+    preserved (same contract as ``boilerplate.strip_boilerplate`` — funnel
+    stages must compose); paragraph order preserved; a fully-duplicate doc
+    becomes "".
 
     Scale shape: paragraphs travel as md5 hashes; the winner-per-hash
     aggregation is a map-side-combining min over a uniform key, the
@@ -497,24 +500,32 @@ def drop_duplicate_paragraphs(
         "_keep",
         (F.col("_pp_id") == F.col("w.i")) & (F.col("pos") == F.col("w.p")))
     kept_struct = F.when(F.col("_keep"), F.struct("pos", "para"))
-    return (
-        marked.groupBy("_pp_id")
-        .agg(
-            F.concat_ws(
-                delim,
-                F.transform(F.array_sort(F.collect_list(kept_struct)),
-                            lambda x: x["para"]),
-            ).alias(text_col),
-            F.sum(F.col("_keep").cast("long")).alias("n_paragraphs_kept"),
-            (F.count("*") - F.sum(F.col("_keep").cast("long")))
-            .alias("n_paragraphs_dropped"),
-        )
-        .withColumnRenamed("_pp_id", id_col)
+    regrouped = marked.groupBy("_pp_id").agg(
+        F.concat_ws(
+            delim,
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["para"]),
+        ).alias("_pp_text"),
+        F.sum(F.col("_keep").cast("long")).alias("n_paragraphs_kept"),
+        (F.count("*") - F.sum(F.col("_keep").cast("long")))
+        .alias("n_paragraphs_dropped"),
     )
+    # restore payload columns with one join back on the unique doc id —
+    # the strip_boilerplate contract, so funnel stages compose
+    joined = df.join(
+        regrouped, df[id_col] == regrouped["_pp_id"], "left"
+    ).drop("_pp_id")
+    replaced = joined.withColumn(
+        text_col, F.coalesce(F.col("_pp_text"), F.lit(""))
+    ).drop("_pp_text")
+    cols = [c for c in df.columns if c != text_col] + [
+        text_col, "n_paragraphs_kept", "n_paragraphs_dropped"]
+    return replaced.select(*cols)
 
 
 def duplicate_clusters(
     pairs: DataFrame, max_iterations: int = 15,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, cluster_id) where
     cluster_id is the minimum id reachable through any chain of pairs — the
@@ -528,16 +539,31 @@ def duplicate_clusters(
     propagation distance doubles per round — convergence in O(log diameter)
     rounds (plain neighbor propagation alone is O(diameter): a 17-hop
     near-dup chain from incremental page edits would exhaust 15 rounds).
-    ``localCheckpoint`` truncates lineage per round so the plan stays flat.
-    Raises if not converged within ``max_iterations`` (enough for diameters
-    ~2^15) — at 10^12 docs that means upstream near-dup parameters are
-    degenerate (see the templated-corpus note in bench.py)."""
-    edges = (
+    Checkpointing truncates lineage per round so the plan stays flat.
+    ``checkpoint_dir``: when set, rounds use RELIABLE ``checkpoint()``
+    against that directory (HDFS/object store on a cluster) — required for
+    10^12-doc runs, where the default ``localCheckpoint`` stores blocks on
+    executor disks only and a single executor loss mid-propagation kills
+    the whole job (truncated lineage = nothing to recompute from). The
+    default stays local for small/interactive runs (no shared FS needed).
+
+    Driver-action cost: each round runs one ``count()`` (the convergence
+    probe) plus the eager checkpoint job — both bounded by the
+    O(log diameter) round count, so ~tens of driver actions worst case,
+    not O(n). Raises if not converged within ``max_iterations`` (enough
+    for diameters ~2^15) — at 10^12 docs that means upstream near-dup
+    parameters are degenerate (see the templated-corpus note in bench.py)."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda d: d.checkpoint(eager=True)
+    else:
+        _ckpt = lambda d: d.localCheckpoint()
+    edges = _ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"),
                             F.col("id_a").alias("dst")))
         .distinct()
-    ).localCheckpoint()  # edges re-join every round: never re-run the
+    )  # edges re-join every round: never re-run the
     # upstream near-dup chain per iteration
     labels = edges.select(F.col("src").alias("id")).distinct() \
         .withColumn("label", F.col("id"))
@@ -567,7 +593,8 @@ def duplicate_clusters(
                         F.coalesce(F.col("_r_label"), F.col("label")))
                 .alias("label"),
             )
-        ).localCheckpoint()
+        )
+        updated = _ckpt(updated)
         changed = (
             updated.alias("u").join(labels.alias("l"), "id")
             .filter(F.col("u.label") != F.col("l.label")).count()

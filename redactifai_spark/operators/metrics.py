@@ -129,23 +129,27 @@ def run_and_commit(
         # run_id would make that comparison fail AFTER the data write but
         # BEFORE the metrics append (rows land with no metrics row) — and
         # misread reuse as corruption. Detect reuse up front, before writing
-        # anything (a run_id-pruned count: footer/manifest metadata only).
+        # anything. Existence probe only — limit(1) short-circuits, and the
+        # parquet path is partitioned by run_id so the filter prunes to that
+        # partition's files; a full count here would scan the run_id column
+        # of the whole committed table on EVERY append (a growing per-commit
+        # cost). The exact count is computed lazily, only on the error path.
         if mode == "append":
             try:
-                pre = (
-                    _read_target(spark, out_path)
-                    .filter(F.col("run_id") == run_id).count()
-                )
+                committed = _read_target(spark, out_path).filter(
+                    F.col("run_id") == run_id)
+                exists = committed.limit(1).count() > 0
             except Exception as e:
                 if not target_missing(e):
                     raise
-                pre = 0
-            if pre:
+                exists = False
+            if exists:
                 raise ValueError(
-                    f"run_id {run_id!r} already has {pre} committed rows in "
-                    f"{out_path!r}; appending with metrics_source='inflight' "
-                    "would break the commit-integrity count. Use a fresh "
-                    "run_id (or mode='overwrite')."
+                    f"run_id {run_id!r} already has {committed.count()} "
+                    f"committed rows in {out_path!r}; appending with "
+                    "metrics_source='inflight' would break the "
+                    "commit-integrity count. Use a fresh run_id "
+                    "(or mode='overwrite')."
                 )
 
         obs = Observation(f"rfai-commit-{run_id}")

@@ -10,7 +10,11 @@ is idempotent (property-tested).
 
 Rules applied (the conservative, reversibility-preserving subset):
   - scheme and host lowercased; optional "www." strip
-  - default ports dropped (:80 for http, :443 for https)
+  - userinfo preserved verbatim (user@host stays user@host — it is
+    case-sensitive and semantic, so it is neither dropped nor lowercased)
+  - ports normalized numerically (":080" == ":80") and default ports
+    dropped (:80 for http, :443 for https); a non-numeric/overflowing port
+    is kept literally (reversibility over cleverness)
   - fragment dropped
   - tracking params dropped (prefix list: utm_*, gclid, fbclid, ...)
   - remaining query params sorted (param ORDER is non-semantic per RFC 3986
@@ -46,16 +50,29 @@ def canonicalize_url(
     host = F.lower(F.try_parse_url(col, F.lit("HOST")))
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
-    # AUTHORITY carries host[:port]; keep only a NON-default explicit port
-    authority = F.lower(F.try_parse_url(col, F.lit("AUTHORITY")))
+    # userinfo is semantic and case-sensitive: carried through verbatim
+    userinfo = F.try_parse_url(col, F.lit("USERINFO"))
+    ui_part = F.when(
+        userinfo.isNotNull() & (userinfo != ""),
+        F.concat(userinfo, F.lit("@")),
+    ).otherwise(F.lit(""))
+    # AUTHORITY carries [userinfo@]host[:port]; keep only a NON-default
+    # explicit port, compared NUMERICALLY (":080" is ":80"); a port that
+    # doesn't parse as a number is kept literally (reversibility)
+    authority = F.try_parse_url(col, F.lit("AUTHORITY"))
     port = F.regexp_extract(authority, r":(\d+)$", 1)
+    port_num = F.nullif(port, F.lit("")).try_cast("long")
     default_port = F.when(
-        (proto == "http") & (port == "80"), F.lit(True)
+        (proto == "http") & (port_num == 80), F.lit(True)
     ).when(
-        (proto == "https") & (port == "443"), F.lit(True)
+        (proto == "https") & (port_num == 443), F.lit(True)
     ).otherwise(F.lit(False))
     port_part = F.when(
-        (port != "") & ~default_port, F.concat(F.lit(":"), port)
+        port == "", F.lit("")
+    ).when(
+        port_num.isNull(), F.concat(F.lit(":"), port)  # unparseable: literal
+    ).when(
+        ~default_port, F.concat(F.lit(":"), port_num.cast("string"))
     ).otherwise(F.lit(""))
 
     raw_path = F.try_parse_url(col, F.lit("PATH"))
@@ -72,7 +89,8 @@ def canonicalize_url(
     qs = F.concat_ws("&", F.array_sort(params))
     q_part = F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
 
-    canon = F.concat(proto, F.lit("://"), host, port_part, path, q_part)
+    canon = F.concat(proto, F.lit("://"), ui_part, host, port_part, path,
+                     q_part)
     return F.when(
         proto.isNotNull() & host.isNotNull() & (host != ""), canon
     ).otherwise(col)
@@ -101,26 +119,37 @@ def dedupe_by_canonical_url(df, url_col: str = "url", content_cols=("html", "tex
     on it): canonicalization deliberately collapses crawl variants, and two
     rows under one id would merge into one corrupted document downstream.
 
-    Deterministic keeper: the row whose content hash (md5 over the
-    ``content_cols`` that exist) is minimal — identical-content variants
-    (the common case) collapse to one identical row; differing recrawls
-    keep the same winner on every run. Skew-safe: row-identical copies
-    collapse on (url, hash) with map-side combine before the keeper join."""
+    FULLY deterministic keeper: the winner minimizes (content hash over the
+    ``content_cols`` that exist, then a tiebreak hash over EVERY remaining
+    column) — so identical-content recrawls that differ only in metadata
+    (warc_ts, status, ...) still pick the same surviving row on every run,
+    keeping downstream resume/dedup keys reproducible (a bare
+    dropDuplicates would pick task-order-dependent rows among them).
+    Skew-safe: row-identical copies collapse on (url, tag, tie) with
+    map-side combine before the keeper join."""
     present = [c for c in content_cols if c in df.columns]
-    tag = F.md5(F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in present]
-    )) if present else F.lit("")
+    others = [c for c in df.columns if c != url_col]
+
+    def _h(cols):
+        return F.md5(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in cols]
+        )) if cols else F.lit("")
+
     canon = df.withColumn(url_col, canonicalize_url(url_col)) \
-        .withColumn("_cu_tag", tag) \
-        .dropDuplicates([url_col, "_cu_tag"])
+        .withColumn("_cu_tag", _h(present)) \
+        .withColumn("_cu_tie", _h(others)) \
+        .dropDuplicates([url_col, "_cu_tag", "_cu_tie"])
     winners = canon.groupBy(F.col(url_col).alias("_cu_url")).agg(
-        F.min("_cu_tag").alias("_cu_win"))
+        F.min(F.struct(F.col("_cu_tag").alias("t"),
+                       F.col("_cu_tie").alias("e"))).alias("_cu_win"))
     return (
         canon.join(
             winners,
             (canon[url_col] == winners["_cu_url"])
-            & (canon["_cu_tag"] == winners["_cu_win"]),
+            & (canon["_cu_tag"] == winners["_cu_win"]["t"])
+            & (canon["_cu_tie"] == winners["_cu_win"]["e"]),
             "left_semi",
         )
-        .drop("_cu_tag")
+        .drop("_cu_tag", "_cu_tie")
     )

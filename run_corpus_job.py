@@ -48,6 +48,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-score-min", type=float, default=None,
                    help="bigram-LM gate: drop docs whose mean log-prob (nats/"
                         "bigram, negative) is below this")
+    p.add_argument("--max-dup-line-frac", type=float, default=None,
+                   help="Gopher repetition gate: drop docs where more than "
+                        "this fraction of lines repeat an earlier line "
+                        "(typical 0.3)")
+    p.add_argument("--max-dup-word-frac", type=float, default=None,
+                   help="Gopher repetition gate on repeated word occurrences "
+                        "(typical 0.6)")
+    p.add_argument("--max-top-bigram-frac", type=float, default=None,
+                   help="Gopher repetition gate: drop docs whose single most "
+                        "frequent bigram exceeds this occurrence fraction "
+                        "(typical 0.2)")
+    p.add_argument("--assume-unique-urls", action="store_true",
+                   help="skip the duplicate-url probe that guards the "
+                        "boilerplate/LM stages (input already deduped)")
     p.add_argument("--decontaminate-eval", default=None, metavar="PATH",
                    help="eval-set parquet dir / table (text column): drop "
                         "corpus docs sharing any 8-gram with it (broadcast "
@@ -99,6 +113,11 @@ def main(argv: list[str] | None = None) -> int:
         boilerplate_min_docs=args.boilerplate_min_docs,
         lm_score_min=args.lm_score_min,
         cluster_near_dups=args.cluster_near_dups,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_dup_word_frac=args.max_dup_word_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        # --canonicalize-urls already deduped on the canonical url
+        assume_unique_ids=args.assume_unique_urls or args.canonicalize_urls,
     )
     if args.decontaminate_eval:
         from redactifai_spark.operators.decontaminate import decontaminate

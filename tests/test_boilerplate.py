@@ -109,3 +109,31 @@ def test_funnel_strip_knob_rescues_templated_corpus(spark):
     # and the surviving texts carry no template chrome
     texts = [r["redacted_text"] for r in corpus_stripped.collect()]
     assert all(NAV not in t and FOOT not in t for t in texts)
+
+
+def test_strip_join_strategy_not_forced_broadcast(docs, spark):
+    # The boilerplate set is one row per (host, frequent line) — it grows
+    # with the HOST count, so the mark join must NOT hard-code a broadcast
+    # (10^8 hosts x dozens of template lines OOMs a forced broadcast at
+    # Common-Crawl scale). Default: no hint — with auto-broadcast disabled
+    # the planner falls back to a shuffle join on the uniform
+    # (host, line_hash) key, proving AQE/Catalyst is free to choose.
+    from redactifai_spark.plans.inspect import formatted_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(strip_boilerplate(docs, "id", "text", "host"))
+        assert "BroadcastHashJoin" not in plan
+        # the opt-in knob still forces it for bounded host universes
+        plan_forced = formatted_plan(strip_boilerplate(
+            docs, "id", "text", "host", broadcast_boiler=True))
+        assert "BroadcastHashJoin" in plan_forced
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # semantics identical either way
+    a = strip_boilerplate(docs, "id", "text", "host").collect()
+    b = strip_boilerplate(
+        docs, "id", "text", "host", broadcast_boiler=True).collect()
+    key = lambda r: r["id"]
+    assert sorted(a, key=key) == sorted(b, key=key)

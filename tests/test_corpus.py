@@ -153,3 +153,67 @@ def test_funnel_cluster_near_dups_keeps_one_per_chain(spark):
         "https://h0.example.com/solo1",
         "https://h0.example.com/solo2",
     ]
+
+
+def test_funnel_repetition_gate_knobs(spark):
+    # Gopher repetition gates: a self-repeating page is unique corpus-wide
+    # (cross-doc dedup can't see it) but its dup_line/top_bigram fractions
+    # betray it; with the knobs off the funnel is unchanged
+    base = generate_pages(spark, 30, n_partitions=4)
+    spam_body = "\n".join(["buy cheap pills now"] * 20 + ["one honest line"])
+    spam = spark.createDataFrame(
+        [("https://spam.example.com/p", None, None, spam_body, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    from redactifai_spark.kernels.oracle import PipelineConfig
+
+    cfg = PipelineConfig(prefer_text_column=True)
+    pages = base.unionByName(spam)
+
+    corpus_off, _ = prepare_training_corpus(
+        pages, cfg, quality_min=0.0, langs=("en", "und"))
+    urls_off = {r["url"] for r in corpus_off.select("url").collect()}
+    assert "https://spam.example.com/p" in urls_off
+
+    corpus_on, stats_on = prepare_training_corpus(
+        pages, cfg, quality_min=0.0, langs=("en", "und"),
+        max_dup_line_frac=0.3, max_top_bigram_frac=0.5)
+    urls_on = {r["url"] for r in corpus_on.select("url").collect()}
+    assert "https://spam.example.com/p" not in urls_on
+    assert urls_on == urls_off - {"https://spam.example.com/p"}
+    assert stats_on.collect()[0]["n_gated"] == len(urls_off) - 1
+
+    # word-level knob alone also catches it (every token repeats 20x)
+    corpus_w, _ = prepare_training_corpus(
+        pages, cfg, quality_min=0.0, langs=("en", "und"),
+        max_dup_word_frac=0.5)
+    assert "https://spam.example.com/p" not in {
+        r["url"] for r in corpus_w.select("url").collect()}
+
+
+def test_funnel_duplicate_url_probe(spark):
+    # strip_boilerplate / lm_score_min treat url as a unique doc id: with
+    # duplicate urls in the input the funnel must FAIL LOUDLY, not merge two
+    # docs into one corrupted row (ADVICE r5). assume_unique_ids skips the
+    # probe; without the id-dependent stages duplicates are tolerated.
+    import pytest
+
+    base = generate_pages(spark, 20, n_partitions=2)
+    dup = base.limit(3)  # same urls again — a recrawl
+    pages = base.unionByName(dup)
+
+    with pytest.raises(ValueError, match="duplicate urls"):
+        prepare_training_corpus(
+            pages, quality_min=0.0, langs=("en", "und"),
+            strip_boilerplate=True)
+    with pytest.raises(ValueError, match="duplicate urls"):
+        prepare_training_corpus(
+            pages, quality_min=0.0, langs=("en", "und"), lm_score_min=-20.0)
+    # no id-dependent stage -> no probe, runs fine
+    corpus, _ = prepare_training_corpus(
+        pages, quality_min=0.0, langs=("en", "und"))
+    assert corpus.count() > 0
+    # unique input + strip on -> probe passes
+    corpus2, _ = prepare_training_corpus(
+        base, quality_min=0.0, langs=("en", "und"), strip_boilerplate=True)
+    assert corpus2.count() > 0

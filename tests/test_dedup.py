@@ -339,3 +339,38 @@ def test_bands_exclude_null_signatures(spark):
         "minhash", F.col("minhash").cast("array<long>")), 8, 4)
     assert {r["doc"] for r in bands.collect()} == {3}
     assert _self_join_pairs(bands).count() == 0
+
+
+def test_drop_duplicate_paragraphs_preserves_payload(spark):
+    # strip_boilerplate's contract: payload columns survive the regroup via
+    # one join back on the unique doc id, text replaced in place
+    from redactifai_spark.operators.dedup import drop_duplicate_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "en", 0.9, "shared\nkeep one"),
+         (2, "de", 0.4, "shared\nkeep two")],
+        "id long, lang string, q double, text string")
+    out = drop_duplicate_paragraphs(df, "id", "text")
+    assert out.columns == [
+        "id", "lang", "q", "text", "n_paragraphs_kept", "n_paragraphs_dropped"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["lang"] == "en" and rows[1]["q"] == 0.9
+    assert rows[1]["text"] == "shared\nkeep one"
+    assert rows[2]["lang"] == "de" and rows[2]["text"] == "keep two"
+    assert rows[2]["n_paragraphs_dropped"] == 1
+
+
+def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
+    # checkpoint_dir switches the per-round lineage truncation to reliable
+    # checkpoint() files (executor-loss-safe at cluster scale); convergence
+    # and labels are identical to the localCheckpoint default
+    from redactifai_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {r["id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs, checkpoint_dir=ckpt).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    import os
+    assert os.listdir(ckpt)  # checkpoint files actually landed there

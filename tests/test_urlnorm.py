@@ -130,3 +130,52 @@ def test_dedupe_by_canonical_url(spark):
     got2 = {(r["url"], r["text"]) for r in
             dedupe_by_canonical_url(df, "url", content_cols=("text",)).collect()}
     assert got == got2
+
+
+def test_canonicalize_preserves_userinfo_and_normalizes_port(spark):
+    from redactifai_spark.operators.urlnorm import canonicalize_url
+
+    rows = [
+        ("http://User@Example.com/x",),        # userinfo kept verbatim
+        ("http://example.com:080/x",),          # numeric-normalized -> :80 -> default, dropped
+        ("https://example.com:0443/x",),        # same for https
+        ("http://example.com:8080/x",),         # non-default kept
+        ("http://example.com:008080/x",),       # numeric-normalized non-default
+        ("http://u:pw@example.com:80/x",),      # userinfo + default port
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r["c"] for r in df.select(
+        canonicalize_url("url").alias("c")).collect()]
+    assert got == [
+        "http://User@example.com/x",
+        "http://example.com/x",
+        "https://example.com/x",
+        "http://example.com:8080/x",
+        "http://example.com:8080/x",
+        "http://u:pw@example.com/x",
+    ]
+
+
+def test_dedupe_keeper_fully_deterministic_on_metadata(spark):
+    # rows with IDENTICAL content but different non-content metadata must
+    # keep the SAME row on every run (tiebreak hash over all remaining
+    # columns) — not an arbitrary dropDuplicates survivor
+    from redactifai_spark.operators.urlnorm import dedupe_by_canonical_url
+
+    rows = [
+        ("http://a.com/x?utm_source=t", "2024-01-01", "same body"),
+        ("http://A.com/x", "2024-06-30", "same body"),
+        ("http://a.com:80/x", "2023-03-03", "same body"),
+        ("http://b.com/", "2024-01-01", "other"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, text string")
+    outs = []
+    for order in (df, df.orderBy(F.desc("warc_ts")), df.repartition(7)):
+        got = sorted(
+            (r["url"], r["warc_ts"], r["text"])
+            for r in dedupe_by_canonical_url(order, "url").collect())
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 2  # one row per canonical url
+    urls = [u for u, _, _ in outs[0]]
+    assert set(urls) == {"http://a.com/x", "http://b.com/"}
