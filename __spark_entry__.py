@@ -227,6 +227,85 @@ def _docs_lm_logprob(spark, sf_dir):
     )
 
 
+def _docs_paragraph_dedup(spark, sf_dir):
+    # corpus-wide paragraph-level exact dedup (operators/dedup.py
+    # drop_duplicate_paragraphs): each doc is wrapped into a 3-line page
+    # (shared header / body / one of five shared tails) so cross-doc
+    # duplicate paragraphs exist by construction; winner = (min doc_id, min
+    # position), later occurrences vanish, order preserved, payload columns
+    # (lang) restored via the id join. The oracle replays the md5-winner
+    # chain in SQL (explode -> global first-occurrence -> ordered
+    # reassembly), like docs_boilerplate_strip's oracle.
+    from redactifai_spark.operators.dedup import drop_duplicate_paragraphs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang",
+            F.concat_ws(
+                "\n",
+                F.lit("Shared header line"),
+                F.col("text"),
+                F.concat(F.lit("tail-"), (F.col("doc_id") % 5).cast("string")),
+            ).alias("page_text"),
+        )
+    )
+    out = drop_duplicate_paragraphs(d, "doc_id", "page_text")
+    return out.select(
+        "doc_id", "lang", F.col("page_text").alias("deduped_text"),
+        "n_paragraphs_kept", "n_paragraphs_dropped",
+    )
+
+
+def _docs_repetition_stats(spark, sf_dir):
+    # Gopher-style within-doc repetition gates (textstats.
+    # with_repetition_stats): docs are wrapped into 3-line pages where every
+    # third doc repeats its own body, so dup_line_frac separates planted
+    # self-repetition from clean docs while dup_word/top_bigram come from
+    # the real text. All three are exact integer-count ratios; rounded to
+    # 6dp on both engines (the established ROUND(x, 6) twin pattern).
+    from redactifai_spark.operators.textstats import with_repetition_stats
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+                    F.concat(F.lit("unique line "),
+                             F.col("doc_id").cast("string"))),
+                F.concat(F.lit("closing "), (F.col("doc_id") % 2).cast("string")),
+            ).alias("page_text"),
+        )
+    )
+    return with_repetition_stats(d, text_col="page_text").select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+def _docs_decontaminate(spark, sf_dir):
+    # eval-set decontamination (operators/decontaminate.py): eval suite =
+    # every 17th doc's text; a training doc is contaminated iff it shares
+    # any word 8-gram with the eval side (eval docs flag themselves, and
+    # duplicate/near-dup texts cross-contaminate). The Spark side joins on
+    # xxhash64(8-gram); the oracle compares the 8-gram STRINGS — equal
+    # results because a false flag needs an xxhash64 collision between two
+    # distinct corpus n-grams (~1e-10 at this scale), same reasoning as the
+    # LSH==bruteforce oracles.
+    from redactifai_spark.operators.decontaminate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 3)
+    return decontaminate(
+        docs, eval_df, "doc_id", "text", n=8, flag_only=True,
+    ).select("doc_id", "is_contaminated")
+
+
 def _docs_prefix_dedup(spark, sf_dir):
     # exact dedup by content-prefix hash: keeper = min doc_id per group
     return (
@@ -360,29 +439,26 @@ def _events_props_json(spark, sf_dir):
     )
 
 
-def _customer_region_counts(spark, sf_dir):
-    # broadcast dim joins: tiny nation/region dims broadcast to the fact side
+def _region_rollup(spark, sf_dir):
+    # r5 siblings customer_region_counts + orders_revenue_by_region merged to
+    # free a registry slot — BOTH join shapes survive in one row: the
+    # customer side is the broadcast snowflake-dim chain (tiny nation/region
+    # dims broadcast to the fact side), the orders side adds the big-big
+    # shuffle join (orders x customer on custkey); money summed as DECIMAL,
+    # emitted bigint cents; the two per-region aggregates meet in one join.
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    return (
+    o = _t(spark, sf_dir, "orders")
+    cust_dim = (
         c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(F.count("*").alias("n_customers"))
     )
-
-
-def _orders_revenue_by_region(spark, sf_dir):
-    # 4-way join: big-big shuffle (orders x customer on custkey) + broadcast
-    # snowflake dims (nation, region) -> regional revenue rollup. Catalyst
-    # picks broadcast-hash for the dims (plan-asserted pattern as
-    # customer_region_counts); money summed as DECIMAL, emitted bigint cents.
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    return (
+    cust_agg = cust_dim.groupBy(F.col("r_name").alias("region")).agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("n_name").alias("n_nations"),
+    )
+    ord_agg = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
@@ -393,6 +469,8 @@ def _orders_revenue_by_region(spark, sf_dir):
             .cast("long").alias("revenue_cents"),
         )
     )
+    return cust_agg.join(ord_agg, "region").select(
+        "region", "n_nations", "n_customers", "n_orders", "revenue_cents")
 
 
 def _orders_top_revenue(spark, sf_dir):
@@ -511,32 +589,36 @@ def _docs_fingerprint_stats(spark, sf_dir):
     )
 
 
-def _docs_minhash_neardups(spark, sf_dir):
-    # MinHash-LSH near-dup pairs (shingle->minhash->band->bucket-join->verify).
-    # 64 hashes / 32 bands (2 rows per band): P(candidate | J>=0.5) =
-    # 1-(1-J^2)^32 > 0.9999, so on this corpus the LSH output EQUALS the
-    # brute-force Jaccard pairs — which is exactly what the SQL oracle computes
-    # (empirically exact at sf0.001 and sf0.01; the near-dups here all have
-    # J >= 0.9 where the miss probability is ~1e-18).
-    from redactifai_spark.operators.dedup import near_duplicate_pairs
-
-    return near_duplicate_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5,
-        n_hashes=64, n_bands=32,
+def _docs_neardup_pairs(spark, sf_dir):
+    # BOTH near-dup families in one gate row (r5 siblings merged to free a
+    # registry slot; same operator evidence).
+    # MinHash-LSH (shingle->minhash->band->bucket-join->verify): 64 hashes /
+    # 32 bands gives P(candidate | J>=0.5) = 1-(1-J^2)^32 > 0.9999, so the
+    # LSH output EQUALS the brute-force Jaccard pairs the oracle computes
+    # (empirically exact at sf0.001/sf0.01; observed near-dups have J >= 0.9
+    # where the miss probability is ~1e-18).
+    # SimHash with the pigeonhole block join: recall is EXACT (not
+    # probabilistic) for max_hamming <= n_blocks-1, so it equals brute-force
+    # Hamming over per-doc SimHashes — the oracle recomputes the full chain
+    # via DuckDB's md5_number_lower (the same token hash).
+    from redactifai_spark.operators.dedup import (
+        near_duplicate_pairs, simhash_near_pairs,
     )
 
-
-def _docs_simhash_neardups(spark, sf_dir):
-    # SimHash near-dup with the pigeonhole block join: recall is EXACT (not
-    # probabilistic) for max_hamming <= n_blocks-1, so the result equals
-    # brute-force Hamming over per-doc SimHashes — the oracle recomputes the
-    # full chain in SQL via DuckDB's md5_number_lower (the same token hash).
-    from redactifai_spark.operators.dedup import simhash_near_pairs
-
-    return simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
-        max_hamming=7, n_blocks=8,
-    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    docs = _t(spark, sf_dir, "documents")
+    mh = near_duplicate_pairs(
+        docs, "doc_id", "text", threshold=0.5, n_hashes=64, n_bands=32,
+    ).select(
+        F.lit("minhash").alias("method"), "id_a", "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    sh = simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=7, n_blocks=8,
+    ).select(
+        F.lit("simhash").alias("method"), "id_a", "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
 
 
 def _docs_lang_detect(spark, sf_dir):
@@ -1083,17 +1165,32 @@ def _training_corpus(spark, sf_dir):
     return stats
 
 
-def _embeddings_lsh_topk(spark, sf_dir):
-    # ANN scale path: deterministic random-hyperplane LSH bucket search with
-    # 1-bit multi-probe; the oracle recomputes bucket assignment + probing +
-    # cosine top-k in SQL from the same hyperplane literals.
-    from redactifai_spark.operators.similarity import lsh_topk, with_lsh_bucket
+def _embeddings_ann_topk(spark, sf_dir):
+    # BOTH ANN scale paths in one gate row (r5 siblings merged to free a
+    # registry slot; same operator evidence).
+    # LSH: deterministic random-hyperplane buckets with 1-bit multi-probe;
+    # the oracle recomputes bucket assignment + probing + cosine top-k from
+    # the same hyperplane literals.
+    # IVF: deterministic k-means coarse quantizer (md5-seeded, 2 Lloyd
+    # iterations) + cluster-pruned cosine top-k; the oracle replays the
+    # whole chain — seeding, both iterations, assignment, probing — as
+    # chained SQL CTEs.
+    from redactifai_spark.operators.similarity import (
+        ivf_topk, kmeans_centroids, lsh_topk, with_ivf_cluster,
+        with_lsh_bucket,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     query = [float(x) for x in
              emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     indexed = with_lsh_bucket(emb, dim=len(query), n_planes=8)
-    return lsh_topk(indexed, query, dim=len(query), k=10, n_planes=8)
+    lsh = lsh_topk(indexed, query, dim=len(query), k=10, n_planes=8) \
+        .select(F.lit("lsh").alias("method"), "vec_id", "cos_sim")
+    cents = kmeans_centroids(emb, dim=len(query), k=8, n_iter=2)
+    ivf = ivf_topk(with_ivf_cluster(emb, cents), cents, query,
+                   k=10, n_probe=4) \
+        .select(F.lit("ivf").alias("method"), "vec_id", "cos_sim")
+    return lsh.unionByName(ivf)
 
 
 def _embeddings_near_pairs(spark, sf_dir):
@@ -1105,22 +1202,6 @@ def _embeddings_near_pairs(spark, sf_dir):
     return cosine_near_pairs(
         _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.0, n_planes=8
     )
-
-
-def _embeddings_ivf_topk(spark, sf_dir):
-    # IVF ANN: deterministic k-means coarse quantizer (md5-seeded, 2 Lloyd
-    # iterations) + cluster-pruned cosine top-k; the oracle replays the whole
-    # chain — seeding, both Lloyd iterations, assignment, probe selection —
-    # as chained SQL CTEs.
-    from redactifai_spark.operators.similarity import (
-        ivf_topk, kmeans_centroids, with_ivf_cluster,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    query = [float(x) for x in
-             emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    cents = kmeans_centroids(emb, dim=len(query), k=8, n_iter=2)
-    return ivf_topk(with_ivf_cluster(emb, cents), cents, query, k=10, n_probe=4)
 
 
 def _wrap(fn):
@@ -1220,6 +1301,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # counters), and events_rollup retired — its grouping sets are a strict
 # subset of events_cube's (the rollup operator itself stays pytest-covered
 # in test_plan_shape.py).
+# Round 6 freed three slots for docs_paragraph_dedup +
+# docs_repetition_stats + docs_decontaminate by merging sibling pairs
+# (every merged query still runs BOTH operators and both oracle chains):
+# docs_minhash_neardups + docs_simhash_neardups -> docs_neardup_pairs,
+# embeddings_lsh_topk + embeddings_ivf_topk -> embeddings_ann_topk,
+# customer_region_counts + orders_revenue_by_region -> region_rollup.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "training_corpus_funnel": _training_corpus,
         "events_type_counts": _events_type_counts,
@@ -1243,8 +1330,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_asof_purchase": _events_asof_purchase,
         "events_props_json": _events_props_json,
         "docs_lm_logprob": _docs_lm_logprob,
-        "customer_region_counts": _customer_region_counts,
-        "orders_revenue_by_region": _orders_revenue_by_region,
+        "region_rollup": _region_rollup,
         "part_brand_stats": _part_brand_stats,
         "orders_top_revenue": _orders_top_revenue,
         "docs_token_packing": _docs_token_packing,
@@ -1257,15 +1343,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "customer_fuzzy_match": _customer_fuzzy_match,
         "docs_quality_scores": _docs_quality_scores,
         "docs_fingerprint_stats": _docs_fingerprint_stats,
-        "docs_minhash_neardups": _docs_minhash_neardups,
-        "docs_simhash_neardups": _docs_simhash_neardups,
+        "docs_neardup_pairs": _docs_neardup_pairs,
+        "docs_paragraph_dedup": _docs_paragraph_dedup,
         "docs_lang_detect": _docs_lang_detect,
         "docs_chunked_detect": _docs_chunked_detect,
         "docs_match_regions": _docs_match_regions,
         "docs_gazetteer_hits": _docs_gazetteer_hits,
         "docs_winnow_fingerprints": _docs_winnow_fingerprints,
-        "embeddings_lsh_topk": _embeddings_lsh_topk,
-        "embeddings_ivf_topk": _embeddings_ivf_topk,
+        "embeddings_ann_topk": _embeddings_ann_topk,
+        "docs_repetition_stats": _docs_repetition_stats,
+        "docs_decontaminate": _docs_decontaminate,
         "embeddings_near_pairs": _embeddings_near_pairs,
         "embeddings_ann_recall": _embeddings_ann_recall,
         "media_feature_stats": _media_feature_stats,
@@ -1360,6 +1447,34 @@ def _simhash_neardups_oracle_sql(max_hamming: int = 7) -> str:
         "FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id "
         "GROUP BY 1, 2 "
         f"HAVING SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= {max_hamming}"
+    )
+
+
+def _neardup_pairs_oracle_sql() -> str:
+    """Union twin of the merged near-dup query: both family oracles aligned
+    on (method, id_a, id_b, score) — minhash score = exact Jaccard, simhash
+    score = Hamming distance as double."""
+    return (
+        "SELECT 'minhash' AS method, id_a, id_b, jaccard AS score FROM ("
+        + _minhash_neardups_oracle_sql()
+        + ") UNION ALL "
+        "SELECT 'simhash' AS method, id_a, id_b, "
+        "CAST(hamming AS DOUBLE) AS score FROM ("
+        + _simhash_neardups_oracle_sql()
+        + ")"
+    )
+
+
+def _ann_topk_oracle_sql() -> str:
+    """Union twin of the merged ANN query: LSH and IVF top-k oracles aligned
+    on (method, vec_id, cos_sim)."""
+    return (
+        "SELECT 'lsh' AS method, vec_id, cos_sim FROM ("
+        + _lsh_topk_oracle_sql()
+        + ") UNION ALL "
+        "SELECT 'ivf' AS method, vec_id, cos_sim FROM ("
+        + _ivf_topk_oracle_sql()
+        + ")"
     )
 
 
@@ -1582,7 +1697,7 @@ def _funnel_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "docs_lang_detect": _langid_oracle_sql(),
-        "docs_minhash_neardups": _minhash_neardups_oracle_sql(),
+        "docs_neardup_pairs": _neardup_pairs_oracle_sql(),
         # winnowing twin: k=8, w=16; same normalization, same hex-substring
         # hash, per-window list_min, dedupe — engine-portable by construction
         "docs_winnow_fingerprints": (
@@ -1655,9 +1770,7 @@ def oracle_sql() -> dict[str, str]:
             "  ('Person', 89, 10, 0.90, 'PersonName')"
             ") v(category, off, len, conf, subcat)"
         ),
-        "docs_simhash_neardups": _simhash_neardups_oracle_sql(),
-        "embeddings_lsh_topk": _lsh_topk_oracle_sql(),
-        "embeddings_ivf_topk": _ivf_topk_oracle_sql(),
+        "embeddings_ann_topk": _ann_topk_oracle_sql(),
         "embeddings_near_pairs": _near_pairs_oracle_sql(),
         "embeddings_ann_recall": _ann_recall_oracle_sql(),
         "media_feature_stats": _media_feature_stats_oracle_sql(),
@@ -1783,6 +1896,79 @@ def oracle_sql() -> dict[str, str]:
             "THEN round(s.lp_micro_sum / 1e6 / s.n_bigrams, 6) END AS lm_score "
             "FROM documents d LEFT JOIN scored s USING (doc_id)"
         ),
+        "docs_paragraph_dedup": (
+            # full replay of the global-first-occurrence paragraph chain:
+            # winner per md5(paragraph) = (min doc_id, min position); the
+            # regroup string_agg skips losers and preserves line order —
+            # same construction as docs_boilerplate_strip's oracle
+            "WITH d AS (SELECT doc_id, lang, "
+            "'Shared header line' || chr(10) || text || chr(10) || "
+            "'tail-' || CAST(doc_id % 5 AS VARCHAR) AS pt FROM documents), "
+            "p AS (SELECT doc_id, "
+            "unnest(string_split(pt, chr(10))) AS para, "
+            "generate_subscripts(string_split(pt, chr(10)), 1) AS pos "
+            "FROM d), "
+            "w AS (SELECT md5(para) AS ph, doc_id, pos, "
+            "ROW_NUMBER() OVER (PARTITION BY md5(para) "
+            "ORDER BY doc_id, pos) AS rn FROM p), "
+            "m AS (SELECT p.doc_id, p.para, p.pos, (w.rn = 1) AS keep "
+            "FROM p JOIN w ON w.ph = md5(p.para) "
+            "AND w.doc_id = p.doc_id AND w.pos = p.pos) "
+            "SELECT m.doc_id, d.lang, "
+            "COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) "
+            "ORDER BY pos), '') AS deduped_text, "
+            "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_paragraphs_kept, "
+            "CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_paragraphs_dropped "
+            "FROM m JOIN d USING (doc_id) GROUP BY m.doc_id, d.lang"
+        ),
+        "docs_repetition_stats": (
+            # exact integer-count ratios: dup lines/words via len -
+            # len(distinct), modal-bigram count via group-count max (the
+            # Spark side's sorted run-length fold computes the same number)
+            "WITH d AS (SELECT doc_id, text || chr(10) || "
+            "CASE WHEN doc_id % 3 = 0 THEN text "
+            "ELSE 'unique line ' || CAST(doc_id AS VARCHAR) END || chr(10) || "
+            "'closing ' || CAST(doc_id % 2 AS VARCHAR) AS pt FROM documents), "
+            "s AS (SELECT doc_id, string_split(pt, chr(10)) AS lines, "
+            "regexp_extract_all(trim(lower(pt)), '\\S+') AS toks FROM d), "
+            "b AS (SELECT doc_id, lines, toks, "
+            "CASE WHEN len(toks) >= 2 THEN list_transform("
+            "range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+            "ELSE CAST([] AS VARCHAR[]) END AS bgs FROM s), "
+            "t AS (SELECT doc_id, MAX(cnt) AS top FROM ("
+            "SELECT doc_id, COUNT(*) AS cnt FROM ("
+            "SELECT doc_id, unnest(bgs) AS bg FROM b) GROUP BY doc_id, bg) "
+            "GROUP BY doc_id) "
+            "SELECT b.doc_id, "
+            "ROUND(CASE WHEN len(lines) > 1 THEN "
+            "CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) "
+            "/ len(lines) ELSE 0.0 END, 6) AS dup_line_frac, "
+            "ROUND(CASE WHEN len(toks) > 0 THEN "
+            "CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) "
+            "/ len(toks) ELSE 0.0 END, 6) AS dup_word_frac, "
+            "ROUND(CASE WHEN len(bgs) > 0 THEN "
+            "CAST(COALESCE(t.top, 0) AS DOUBLE) / len(bgs) "
+            "ELSE 0.0 END, 6) AS top_bigram_frac "
+            "FROM b LEFT JOIN t USING (doc_id)"
+        ),
+        "docs_decontaminate": (
+            # string-level 8-gram containment — the xxhash64 join's twin
+            # (false flags need a 64-bit hash collision between distinct
+            # corpus n-grams: ~1e-10 here; same argument as LSH==bruteforce)
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(trim(lower(text)), '\\S+') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN "
+            "list_transform(range(1, len(toks) - 6), "
+            "i -> array_to_string(toks[i:i+7], ' ')) "
+            "ELSE CAST([] AS VARCHAR[]) END) AS ng FROM t), "
+            "ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 17 = 3), "
+            "c AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (ng)) "
+            "SELECT d.doc_id, (c.doc_id IS NOT NULL) AS is_contaminated "
+            "FROM documents d LEFT JOIN c USING (doc_id)"
+        ),
         "docs_prefix_dedup": (
             "SELECT md5(substr(text, 1, 40)) AS group_key, MIN(doc_id) AS keeper_id, "
             "COUNT(*) AS n_copies FROM documents GROUP BY md5(substr(text, 1, 40))"
@@ -1876,11 +2062,22 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT doc_id % 37) AS exact_distinct, "
             "TRUE AS within_rsd FROM documents GROUP BY 1"
         ),
-        "customer_region_counts": (
-            "SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_customers "
-            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
-            "JOIN region r ON n.n_regionkey = r.r_regionkey "
-            "GROUP BY r.r_name, n.n_name"
+        "region_rollup": (
+            "WITH ca AS ("
+            "  SELECT r.r_name AS region, COUNT(*) AS n_customers, "
+            "         COUNT(DISTINCT n.n_name) AS n_nations "
+            "  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "  JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "  GROUP BY r.r_name), "
+            "oa AS ("
+            "  SELECT r_name AS region, COUNT(*) AS n_orders, "
+            "  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
+            "  AS revenue_cents "
+            "  FROM orders JOIN customer ON o_custkey = c_custkey "
+            "  JOIN nation ON c_nationkey = n_nationkey "
+            "  JOIN region ON n_regionkey = r_regionkey GROUP BY r_name) "
+            "SELECT region, n_nations, n_customers, n_orders, revenue_cents "
+            "FROM ca JOIN oa USING (region)"
         ),
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order, "
@@ -1890,14 +2087,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS max_discount_cents, "
             "strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_shipdate_s "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
-        ),
-        "orders_revenue_by_region": (
-            "SELECT r_name AS region, COUNT(*) AS n_orders, "
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
-            "AS revenue_cents "
-            "FROM orders JOIN customer ON o_custkey = c_custkey "
-            "JOIN nation ON c_nationkey = n_nationkey "
-            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
         "part_brand_stats": (
             "SELECT p_brand, COUNT(*) AS n_parts, MIN(p_size) AS min_size, "
