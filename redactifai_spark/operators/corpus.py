@@ -43,6 +43,7 @@ def prepare_training_corpus(
     max_dup_line_frac: float | None = None,
     max_dup_word_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
+    dedup_paragraphs: bool = False,
     assume_unique_ids: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, funnel_stats). corpus: (url, lang_detected, quality_score,
@@ -78,6 +79,13 @@ def prepare_training_corpus(
     expressions: no extra shuffle. Typical: max_dup_line_frac=0.3,
     max_top_bigram_frac=0.2. Off (None) by default.
 
+    ``dedup_paragraphs``: corpus-wide paragraph-level exact dedup
+    (dedup.drop_duplicate_paragraphs) after the boilerplate strip and
+    before scoring — cross-doc repeated paragraphs (quotes, chrome the
+    per-host strip can't see because it spans hosts) keep exactly one
+    occurrence. Uses url as the doc id, so the duplicate-url probe below
+    applies. Costs one hash-keyed shuffle + the id regroup; off by default.
+
     ``assume_unique_ids``: the boilerplate strip and LM gate treat ``url``
     as a unique document id (per-doc regroup / score join) — duplicate urls
     (recrawls; raw Common-Crawl routinely has them) would silently merge
@@ -105,7 +113,8 @@ def prepare_training_corpus(
         # caller's terminal action has run
         base = persist_tracked(redacted, eager=False)
 
-    if (strip_boilerplate or lm_score_min is not None) and not assume_unique_ids:
+    if (strip_boilerplate or dedup_paragraphs or lm_score_min is not None) \
+            and not assume_unique_ids:
         # fail loudly on duplicate doc ids BEFORE the per-url regroup/join
         # stages corrupt documents (ADVICE r5: raw crawls routinely repeat
         # urls; gating the precondition on an unrelated optional flag was
@@ -118,7 +127,8 @@ def prepare_training_corpus(
         if dup:
             raise ValueError(
                 "prepare_training_corpus: duplicate urls in the input, but "
-                "strip_boilerplate/lm_score_min treat url as a unique doc id "
+                "strip_boilerplate/dedup_paragraphs/lm_score_min treat url "
+                "as a unique doc id "
                 "— duplicate-url docs would silently merge into corrupted "
                 "rows. Dedupe first (urlnorm.dedupe_by_canonical_url or "
                 "dropDuplicates(['url'])), or pass assume_unique_ids=True "
@@ -134,6 +144,13 @@ def prepare_training_corpus(
             "url", "redacted_text", "_host",
             df_ratio=boilerplate_df_ratio, min_docs=boilerplate_min_docs,
         ).drop("_host", "n_lines_kept", "n_lines_dropped")
+
+    if dedup_paragraphs:
+        from .dedup import drop_duplicate_paragraphs
+
+        base = drop_duplicate_paragraphs(
+            base, "url", "redacted_text"
+        ).drop("n_paragraphs_kept", "n_paragraphs_dropped")
 
     scored = with_language(
         quality_score(base, text_col="redacted_text"),
@@ -181,7 +198,7 @@ def prepare_training_corpus(
     # once so the stats action doesn't re-run them from the checkpoint read.
     # With only the cheap Catalyst gates, recomputing the projection off the
     # checkpointed base is cheaper than another table write.
-    if strip_boilerplate or lm_score_min is not None:
+    if strip_boilerplate or dedup_paragraphs or lm_score_min is not None:
         if checkpoint_path is not None:
             flagged_path = checkpoint_path.rstrip("/") + "_flagged"
             flagged.write.mode("overwrite").parquet(flagged_path)

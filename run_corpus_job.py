@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-score-min", type=float, default=None,
                    help="bigram-LM gate: drop docs whose mean log-prob (nats/"
                         "bigram, negative) is below this")
+    p.add_argument("--dedup-paragraphs", action="store_true",
+                   help="corpus-wide paragraph-level exact dedup after the "
+                        "boilerplate strip (cross-doc repeated paragraphs "
+                        "keep one occurrence)")
     p.add_argument("--max-dup-line-frac", type=float, default=None,
                    help="Gopher repetition gate: drop docs where more than "
                         "this fraction of lines repeat an earlier line "
@@ -116,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         max_dup_line_frac=args.max_dup_line_frac,
         max_dup_word_frac=args.max_dup_word_frac,
         max_top_bigram_frac=args.max_top_bigram_frac,
+        dedup_paragraphs=args.dedup_paragraphs,
         # --canonicalize-urls already deduped on the canonical url
         assume_unique_ids=args.assume_unique_urls or args.canonicalize_urls,
     )

@@ -217,3 +217,34 @@ def test_funnel_duplicate_url_probe(spark):
     corpus2, _ = prepare_training_corpus(
         base, quality_min=0.0, langs=("en", "und"), strip_boilerplate=True)
     assert corpus2.count() > 0
+
+
+def test_funnel_dedup_paragraphs_knob(spark):
+    # cross-doc repeated paragraphs keep exactly one occurrence (min url
+    # wins); per-doc unique paragraphs survive; knobs-off funnel unchanged
+    from redactifai_spark.kernels.oracle import PipelineConfig
+
+    cfg = PipelineConfig(prefer_text_column=True)
+    quote = "to be or not to be that is the question"
+    rows = []
+    for i in range(6):
+        body = f"unique body paragraph {i} with its own words"
+        rows.append((f"https://h{i}.example.com/p", None, None,
+                     f"{body}\n{quote}", "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+
+    corpus_on, _ = prepare_training_corpus(
+        pages, cfg, quality_min=0.0, langs=("en", "und"),
+        dedup_paragraphs=True)
+    texts = {r["url"]: r["redacted_text"] for r in corpus_on.collect()}
+    assert len(texts) == 6
+    with_quote = [u for u, t in texts.items() if quote in t]
+    assert with_quote == ["https://h0.example.com/p"]  # min url keeps it
+    assert all(f"unique body paragraph {i}" in texts[f"https://h{i}.example.com/p"]
+               for i in range(6))
+
+    corpus_off, _ = prepare_training_corpus(
+        pages, cfg, quality_min=0.0, langs=("en", "und"))
+    assert sum(quote in t for t in
+               (r["redacted_text"] for r in corpus_off.collect())) == 6
