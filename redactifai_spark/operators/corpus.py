@@ -45,6 +45,7 @@ def prepare_training_corpus(
     max_top_bigram_frac: float | None = None,
     dedup_paragraphs: bool = False,
     assume_unique_ids: bool = False,
+    cluster_checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, funnel_stats). corpus: (url, lang_detected, quality_score,
     redacted_text, n_spans); funnel_stats: one row of stage counts
@@ -100,28 +101,22 @@ def prepare_training_corpus(
     instead of the pairwise min-keeps rule, which over-trims chains. Costs
     an iterative label-propagation job (O(log component) rounds, with
     driver actions); off by default — the pairwise rule is the cheap
-    standard tradeoff.
+    standard tradeoff. ``cluster_checkpoint_dir`` is passed through to
+    ``duplicate_clusters`` so 10^12-doc runs can use reliable checkpoints
+    (executor-loss safety) instead of the local default.
     """
-    redacted = run_pipeline(pages, config, fused=True).select(
-        "url", "status", "redacted_text", "n_spans"
-    )
-    if checkpoint_path is not None:
-        redacted.write.mode("overwrite").parquet(checkpoint_path)
-        base = pages.sparkSession.read.parquet(checkpoint_path)
-    else:
-        # interactive fallback; freed by caching.unpersist_tracked() once the
-        # caller's terminal action has run
-        base = persist_tracked(redacted, eager=False)
-
     if (strip_boilerplate or dedup_paragraphs or lm_score_min is not None) \
             and not assume_unique_ids:
         # fail loudly on duplicate doc ids BEFORE the per-url regroup/join
         # stages corrupt documents (ADVICE r5: raw crawls routinely repeat
         # urls; gating the precondition on an unrelated optional flag was
-        # not enough). Existence probe only: url-column aggregation with
-        # map-side combine + limit(1) short-circuit.
+        # not enough). Probed on the RAW input — url is a passthrough
+        # column, and probing after the redaction pass would burn the
+        # job's dominant cost (the per-doc Python over the whole corpus)
+        # before aborting. Existence probe only: url-column aggregation
+        # with map-side combine + limit(1) short-circuit.
         dup = (
-            base.groupBy("url").agg(F.count("*").alias("_n"))
+            pages.groupBy("url").agg(F.count("*").alias("_n"))
             .filter(F.col("_n") > 1).limit(1).count()
         )
         if dup:
@@ -134,6 +129,17 @@ def prepare_training_corpus(
                 "dropDuplicates(['url'])), or pass assume_unique_ids=True "
                 "if the input is already deduped."
             )
+
+    redacted = run_pipeline(pages, config, fused=True).select(
+        "url", "status", "redacted_text", "n_spans"
+    )
+    if checkpoint_path is not None:
+        redacted.write.mode("overwrite").parquet(checkpoint_path)
+        base = pages.sparkSession.read.parquet(checkpoint_path)
+    else:
+        # interactive fallback; freed by caching.unpersist_tracked() once the
+        # caller's terminal action has run
+        base = persist_tracked(redacted, eager=False)
 
     if strip_boilerplate:
         from .boilerplate import strip_boilerplate as _strip
@@ -148,9 +154,18 @@ def prepare_training_corpus(
     if dedup_paragraphs:
         from .dedup import drop_duplicate_paragraphs
 
+        # paragraph ownership is decided among COMPLETE docs only — a
+        # failed doc (empty/partial redacted_text) must never win a
+        # paragraph away from a doc that will actually reach the corpus.
+        # (A winner can still be quality/lang-gated later; that is by
+        # design — the paragraph is judged by the doc it lives in, the
+        # standard pre-scoring ordering.)
+        complete = base.filter(F.col("status") == "complete")
+        rest = base.filter(F.col("status") != "complete")
         base = drop_duplicate_paragraphs(
-            base, "url", "redacted_text"
-        ).drop("n_paragraphs_kept", "n_paragraphs_dropped")
+            complete, "url", "redacted_text"
+        ).drop("n_paragraphs_kept", "n_paragraphs_dropped") \
+            .unionByName(rest)
 
     scored = with_language(
         quality_score(base, text_col="redacted_text"),
@@ -243,7 +258,7 @@ def prepare_training_corpus(
         from .dedup import duplicate_clusters
 
         losers = (
-            duplicate_clusters(pairs)
+            duplicate_clusters(pairs, checkpoint_dir=cluster_checkpoint_dir)
             .filter(F.col("id") != F.col("cluster_id"))
             .select(F.col("id").alias("url"))
         )

@@ -541,11 +541,19 @@ def duplicate_clusters(
     near-dup chain from incremental page edits would exhaust 15 rounds).
     Checkpointing truncates lineage per round so the plan stays flat.
     ``checkpoint_dir``: when set, rounds use RELIABLE ``checkpoint()``
-    against that directory (HDFS/object store on a cluster) — required for
-    10^12-doc runs, where the default ``localCheckpoint`` stores blocks on
-    executor disks only and a single executor loss mid-propagation kills
-    the whole job (truncated lineage = nothing to recompute from). The
-    default stays local for small/interactive runs (no shared FS needed).
+    against per-round subdirectories of that path (HDFS/object store on a
+    cluster) — required for 10^12-doc runs, where the default
+    ``localCheckpoint`` stores blocks on executor disks only and a single
+    executor loss mid-propagation kills the whole job (truncated lineage =
+    nothing to recompute from). The default stays local for small/
+    interactive runs (no shared FS needed). Superseded rounds are deleted
+    as soon as the next round's checkpoint materializes (GraphX-style),
+    so the store holds at most two label copies plus the edge set — not
+    O(log diameter) copies; only the FINAL round's files outlive the call
+    (the returned frame reads them). The SparkContext checkpoint dir is a
+    process-global setting: it is restored afterwards if it was set, but a
+    concurrent checkpoint() from another thread during this call would
+    land in this job's round dir (Spark offers no scoped alternative).
 
     Driver-action cost: each round runs one ``count()`` (the convergence
     probe) plus the eager checkpoint job — both bounded by the
@@ -553,21 +561,47 @@ def duplicate_clusters(
     not O(n). Raises if not converged within ``max_iterations`` (enough
     for diameters ~2^15) — at 10^12 docs that means upstream near-dup
     parameters are degenerate (see the templated-corpus note in bench.py)."""
-    if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        _ckpt = lambda d: d.checkpoint(eager=True)
-    else:
-        _ckpt = lambda d: d.localCheckpoint()
+    sc = pairs.sparkSession.sparkContext
+    reliable = checkpoint_dir is not None
+
+    def _rm(path: str) -> None:
+        jvm = sc._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+
+    def _ckpt(d: DataFrame, sub: str) -> DataFrame:
+        if not reliable:
+            return d.localCheckpoint()
+        sc.setCheckpointDir(f"{checkpoint_dir}/{sub}")
+        return d.checkpoint(eager=True)
+
+    orig_dir = sc._jsc.sc().getCheckpointDir() if reliable else None
+    try:
+        return _duplicate_clusters_loop(
+            pairs, max_iterations, reliable, checkpoint_dir, _ckpt, _rm)
+    finally:
+        # restore the app's checkpoint dir (it cannot be UNSET once set —
+        # if none was configured before, the last round dir remains active)
+        if reliable and orig_dir is not None and orig_dir.isDefined():
+            sc.setCheckpointDir(orig_dir.get())
+
+
+def _duplicate_clusters_loop(
+    pairs, max_iterations, reliable, checkpoint_dir, _ckpt, _rm,
+) -> DataFrame:
     edges = _ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"),
                             F.col("id_a").alias("dst")))
-        .distinct()
+        .distinct(),
+        "edges",
     )  # edges re-join every round: never re-run the
     # upstream near-dup chain per iteration
     labels = edges.select(F.col("src").alias("id")).distinct() \
         .withColumn("label", F.col("id"))
-    for _ in range(max_iterations):
+    prev_round_dir: str | None = None
+    for _it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
@@ -594,13 +628,23 @@ def duplicate_clusters(
                 .alias("label"),
             )
         )
-        updated = _ckpt(updated)
+        updated = _ckpt(updated, f"round_{_it}")
         changed = (
             updated.alias("u").join(labels.alias("l"), "id")
             .filter(F.col("u.label") != F.col("l.label")).count()
         )
+        # round i-1's files fed the convergence join above; once it has run
+        # they are superseded — delete them so the store never holds more
+        # than two label copies (the count is an action, so nothing lazy
+        # still references the old files)
+        if reliable and prev_round_dir is not None:
+            _rm(prev_round_dir)
+        prev_round_dir = (
+            f"{checkpoint_dir}/round_{_it}" if reliable else None)
         labels = updated
         if changed == 0:
+            if reliable:  # the returned frame reads only the final round
+                _rm(f"{checkpoint_dir}/edges")
             return labels.select("id", F.col("label").alias("cluster_id"))
     raise RuntimeError(
         f"duplicate_clusters: not converged after {max_iterations} rounds — "

@@ -128,7 +128,11 @@ def dedupe_by_canonical_url(df, url_col: str = "url", content_cols=("html", "tex
     Skew-safe: row-identical copies collapse on (url, tag, tie) with
     map-side combine before the keeper join."""
     present = [c for c in content_cols if c in df.columns]
-    others = [c for c in df.columns if c != url_col]
+    # tiebreak over the complement only: the content cols are already in
+    # _cu_tag, and re-hashing a multi-MB html blob twice per row would
+    # double the dominant per-row cost; (tag, tie) still totally orders
+    # every column of the row
+    others = [c for c in df.columns if c != url_col and c not in present]
 
     def _h(cols):
         return F.md5(F.concat_ws(

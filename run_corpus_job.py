@@ -75,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="resolve near-dup chains into clusters and keep one "
                         "representative per cluster (vs the cheaper pairwise "
                         "keeper, which over-trims chains)")
+    p.add_argument("--cluster-checkpoint-dir", default=None, metavar="PATH",
+                   help="reliable checkpoint dir (HDFS/object store) for the "
+                        "cluster label-propagation rounds — required at "
+                        "cluster scale so an executor loss mid-iteration "
+                        "doesn't kill the job; default keeps executor-local "
+                        "checkpoints")
     p.add_argument("--canonicalize-urls", action="store_true",
                    help="normalize urls before the funnel so crawl variants "
                         "of one page share a dedup/host key")
@@ -117,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         boilerplate_min_docs=args.boilerplate_min_docs,
         lm_score_min=args.lm_score_min,
         cluster_near_dups=args.cluster_near_dups,
+        cluster_checkpoint_dir=args.cluster_checkpoint_dir,
         max_dup_line_frac=args.max_dup_line_frac,
         max_dup_word_frac=args.max_dup_word_frac,
         max_top_bigram_frac=args.max_top_bigram_frac,

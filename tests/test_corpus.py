@@ -248,3 +248,30 @@ def test_funnel_dedup_paragraphs_knob(spark):
         pages, cfg, quality_min=0.0, langs=("en", "und"))
     assert sum(quote in t for t in
                (r["redacted_text"] for r in corpus_off.collect())) == 6
+
+
+def test_funnel_paragraph_dedup_ignores_failed_docs(spark, monkeypatch):
+    # paragraph ownership is decided among COMPLETE docs only: a failed row
+    # (even one that somehow carries text, or the empty-string paragraph
+    # every failed row has) must never win a paragraph away from a doc that
+    # reaches the corpus — the winner would then be dropped by the status
+    # gate and the paragraph lost from the output entirely
+    import redactifai_spark.operators.corpus as corpus_mod
+
+    def fake_pipeline(pages, config, fused=True):
+        return spark.createDataFrame(
+            [("a://0", "failed", "shared quote words here", 0),
+             ("b://1", "complete", "shared quote words here\nbody one text", 0),
+             ("c://2", "complete", "another body two text", 0)],
+            "url string, status string, redacted_text string, n_spans long")
+
+    monkeypatch.setattr(corpus_mod, "run_pipeline", fake_pipeline)
+    pages = spark.createDataFrame(
+        [("a://0",), ("b://1",), ("c://2",)], "url string")
+    corpus, _ = corpus_mod.prepare_training_corpus(
+        pages, quality_min=0.0, langs=("en", "und"), dedup_paragraphs=True)
+    texts = {r["url"]: r["redacted_text"] for r in corpus.collect()}
+    assert "a://0" not in texts  # failed: gated out as before
+    # the quote survives in the smallest COMPLETE doc, not stolen by a://0
+    assert texts["b://1"] == "shared quote words here\nbody one text"
+    assert texts["c://2"] == "another body two text"

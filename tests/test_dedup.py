@@ -369,8 +369,14 @@ def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
     ckpt = str(tmp_path / "cc_ckpt")
-    got = {r["id"]: r["cluster_id"]
-           for r in duplicate_clusters(pairs, checkpoint_dir=ckpt).collect()}
+    out = duplicate_clusters(pairs, checkpoint_dir=ckpt)
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
     import os
-    assert os.listdir(ckpt)  # checkpoint files actually landed there
+    remaining = os.listdir(ckpt)
+    # superseded rounds and the edge set are deleted as the loop advances
+    # (GraphX-style): only the FINAL round's files survive the call, and
+    # the returned frame still reads them
+    assert len([d for d in remaining if d.startswith("round_")]) == 1
+    assert "edges" not in remaining
+    assert {r["id"] for r in out.collect()} == {1, 2, 3, 5, 6}
