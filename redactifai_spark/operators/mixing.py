@@ -1,0 +1,104 @@
+"""Corpus mixing — deterministic per-source sampling to a token budget, the
+last step of training-data preparation: given a curated corpus tagged with a
+``source`` column (crawl snapshot, domain bucket, quality tier), produce a
+training mix where each source contributes ~its configured token budget,
+down-sampling over-represented sources and up-sampling (repeating) scarce
+high-quality ones.
+
+Scale shape (10^12 docs):
+  1. per-source token totals — a groupBy on a LOW-cardinality key (tens of
+     sources), map-side combine collapses everything before the exchange;
+  2. sampling rates computed DRIVER-side from that tiny aggregate (a few
+     rows collected — not a data collect);
+  3. one narrow pass over the corpus: rate joins in via broadcast, the
+     keep/repeat decision is a pure hash expression per row. No shuffle of
+     the big side, no RNG — xxhash64(id, source) makes the sample a
+     deterministic function of the input, so reruns and resumed jobs pick
+     the IDENTICAL mix (the reproducibility contract every training run
+     wants).
+
+Up-sampling semantics: rate r = budget / available. Every doc keeps
+floor(r) full copies (an ``epoch`` column distinguishes them, so downstream
+sequence packing shuffles them apart) plus one extra copy with probability
+frac(r), decided by the same hash. Down-sampling is the r < 1 special case
+(0 full copies, probability r).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# hash → uniform [0, 1): take the low 30 bits of the 64-bit hash (always
+# non-negative, full precision well inside a double's 53-bit mantissa)
+_HASH_DENOM = float(1 << 30)
+
+
+def _hash_unit(id_col: str, source_col: str) -> F.Column:
+    h = F.xxhash64(F.col(id_col).cast("string"), F.col(source_col), F.lit(93))
+    return (h.bitwiseAND(F.lit((1 << 30) - 1))).cast("double") / F.lit(_HASH_DENOM)
+
+
+def source_token_counts(
+    df: DataFrame, source_col: str = "source", tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-source (n_docs, total_tokens) — the tiny aggregate the mix rates
+    derive from. Low-cardinality groupBy: partial aggregation does almost
+    all the work map-side."""
+    return df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tokens_col).cast("long").alias("total_tokens"),
+    )
+
+
+def sample_corpus_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "url",
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    max_rate: float = 16.0,
+    drop_unbudgeted: bool = True,
+) -> DataFrame:
+    """Deterministic token-budget mix: returns ``df`` filtered/repeated so
+    each source contributes ~``budgets[source]`` tokens, with an ``epoch``
+    column (0-based copy index) and a ``sample_rate`` column recording the
+    applied rate.
+
+    ``budgets``: tokens per source name. Sources absent from the dict are
+    dropped (``drop_unbudgeted=True``, the explicit-mix contract) or passed
+    through at rate 1.0. ``max_rate`` caps up-sampling — repeating scarce
+    data beyond ~a few epochs degrades training more than it helps, so a
+    budget that implies more is clamped (loudly, in the returned rate).
+
+    Expected tokens delivered = rate * total_tokens per source; the hash
+    sampler's error is O(1/sqrt(n_docs)) — negligible at corpus scale.
+    """
+    rates_rows = source_token_counts(df, source_col, tokens_col).collect()
+    rates = []
+    for r in rates_rows:
+        src = r[source_col]
+        if src in budgets:
+            avail = max(int(r["total_tokens"]), 1)
+            rate = min(budgets[src] / avail, max_rate)
+        elif drop_unbudgeted:
+            rate = 0.0
+        else:
+            rate = 1.0
+        rates.append((src, float(rate)))
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        rates, f"{source_col} string, sample_rate double")
+
+    u = _hash_unit(id_col, source_col)
+    full = F.floor(F.col("sample_rate")).cast("int")
+    frac = F.col("sample_rate") - full
+    n_copies = (full + F.when(u < frac, 1).otherwise(0)).cast("int")
+    out = (
+        df.join(F.broadcast(rate_df), source_col)
+        .withColumn("_mix_n", n_copies)
+        .filter(F.col("_mix_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(
+            F.lit(0), F.col("_mix_n") - 1)))
+        .drop("_mix_n")
+    )
+    return out

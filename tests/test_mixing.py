@@ -1,0 +1,87 @@
+"""Corpus mixing: deterministic hash sampling to per-source token budgets —
+down-sampling rates, up-sampling epochs, reproducibility, and the
+no-big-side-shuffle plan contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.mixing import (
+    sample_corpus_mix, source_token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(2000):
+        rows.append((f"https://web.example.com/{i}", "web", 100))
+    for i in range(100):
+        rows.append((f"https://books.example.com/{i}", "books", 100))
+    for i in range(50):
+        rows.append((f"https://junk.example.com/{i}", "junk", 100))
+    return spark.createDataFrame(
+        rows, "url string, source string, n_tokens long").repartition(8)
+
+
+def test_source_token_counts(corpus):
+    got = {r["source"]: (r["n_docs"], r["total_tokens"])
+           for r in source_token_counts(corpus).collect()}
+    assert got == {"web": (2000, 200000), "books": (100, 10000),
+                   "junk": (50, 5000)}
+
+
+def test_mix_downsamples_to_budget(corpus):
+    # web: 200k tokens available, 50k budget -> rate 0.25
+    out = sample_corpus_mix(
+        corpus, {"web": 50_000, "books": 10_000}, id_col="url")
+    toks = {r["source"]: r["t"] for r in out.groupBy("source")
+            .agg(F.sum("n_tokens").alias("t")).collect()}
+    assert "junk" not in toks  # unbudgeted -> dropped
+    assert toks["books"] == 10_000  # rate exactly 1.0 keeps everything
+    # hash sampling: expect 50k +- ~4 sigma (sigma = sqrt(n p (1-p)) * 100)
+    assert abs(toks["web"] - 50_000) < 4 * (2000 * 0.25 * 0.75) ** 0.5 * 100
+    rates = {r["source"]: r["sample_rate"] for r in
+             out.select("source", "sample_rate").distinct().collect()}
+    assert rates["web"] == 0.25 and rates["books"] == 1.0
+
+
+def test_mix_upsamples_with_epochs(corpus):
+    # books: 10k available, 25k budget -> rate 2.5: every doc twice, ~half
+    # a third time; epoch column distinguishes the copies
+    out = sample_corpus_mix(corpus, {"books": 25_000}, id_col="url")
+    per_doc = {r["url"]: r["n"] for r in out.groupBy("url")
+               .agg(F.count("*").alias("n")).collect()}
+    assert len(per_doc) == 100  # every doc present (full copies >= 2)
+    assert set(per_doc.values()) <= {2, 3}
+    total = sum(per_doc.values()) * 100
+    assert abs(total - 25_000) < 4 * (100 * 0.5 * 0.5) ** 0.5 * 100
+    epochs = {r["epoch"] for r in out.select("epoch").distinct().collect()}
+    assert epochs <= {0, 1, 2} and {0, 1} <= epochs
+
+
+def test_mix_is_deterministic(corpus):
+    a = sample_corpus_mix(corpus, {"web": 30_000}, id_col="url")
+    b = sample_corpus_mix(
+        corpus.repartition(3), {"web": 30_000}, id_col="url")
+    ka = sorted((r["url"], r["epoch"]) for r in a.collect())
+    kb = sorted((r["url"], r["epoch"]) for r in b.collect())
+    assert ka == kb  # partitioning/order-independent: pure hash function
+
+
+def test_mix_max_rate_clamp(corpus):
+    out = sample_corpus_mix(
+        corpus, {"books": 10_000_000}, id_col="url", max_rate=4.0)
+    rates = {r["sample_rate"] for r in
+             out.select("sample_rate").distinct().collect()}
+    assert rates == {4.0}
+    assert out.count() == 400  # exactly floor(4.0) copies each, frac 0
+
+
+def test_mix_plan_no_big_side_shuffle(corpus):
+    # the corpus side must reach the rate join without an Exchange: rates
+    # broadcast, decision is a per-row expression
+    out = sample_corpus_mix(corpus, {"web": 50_000}, id_col="url")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    before_join = plan.split("BroadcastHashJoin")[-1]
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in before_join
