@@ -44,6 +44,7 @@ def prepare_training_corpus(
     max_dup_word_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
     dedup_paragraphs: bool = False,
+    dedup_substrings_min_tokens: int | None = None,
     assume_unique_ids: bool = False,
     cluster_checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -87,6 +88,15 @@ def prepare_training_corpus(
     occurrence. Uses url as the doc id, so the duplicate-url probe below
     applies. Costs one hash-keyed shuffle + the id regroup; off by default.
 
+    ``dedup_substrings_min_tokens``: when set, corpus-wide exact SUBSTRING
+    dedup (substring.drop_duplicate_substrings, the Lee-et-al. shape):
+    every duplicated run of >= this many whitespace tokens keeps one
+    occurrence corpus-wide, catching cross-doc quotes/chrome that cross
+    paragraph boundaries or differ in line splits. Runs after the
+    paragraph stage on complete docs only (same winner-ownership rule).
+    Costs O(n_tokens * k) JVM hash ops plus one uniform-key shuffle;
+    typical value 50. Off (None) by default.
+
     ``assume_unique_ids``: the boilerplate strip and LM gate treat ``url``
     as a unique document id (per-doc regroup / score join) — duplicate urls
     (recrawls; raw Common-Crawl routinely has them) would silently merge
@@ -105,7 +115,8 @@ def prepare_training_corpus(
     ``duplicate_clusters`` so 10^12-doc runs can use reliable checkpoints
     (executor-loss safety) instead of the local default.
     """
-    if (strip_boilerplate or dedup_paragraphs or lm_score_min is not None) \
+    if (strip_boilerplate or dedup_paragraphs or lm_score_min is not None
+            or dedup_substrings_min_tokens is not None) \
             and not assume_unique_ids:
         # fail loudly on duplicate doc ids BEFORE the per-url regroup/join
         # stages corrupt documents (ADVICE r5: raw crawls routinely repeat
@@ -167,6 +178,19 @@ def prepare_training_corpus(
         ).drop("n_paragraphs_kept", "n_paragraphs_dropped") \
             .unionByName(rest)
 
+    if dedup_substrings_min_tokens is not None:
+        from .substring import drop_duplicate_substrings
+
+        # same ownership rule as the paragraph stage: duplicated runs are
+        # adjudicated among COMPLETE docs only, so a failed doc can never
+        # claim a passage away from one that will reach the corpus.
+        complete = base.filter(F.col("status") == "complete")
+        rest = base.filter(F.col("status") != "complete")
+        base = drop_duplicate_substrings(
+            complete, "url", "redacted_text",
+            min_tokens=dedup_substrings_min_tokens,
+        ).drop("n_tokens_kept", "n_tokens_dropped").unionByName(rest)
+
     scored = with_language(
         quality_score(base, text_col="redacted_text"),
         text_col="redacted_text", out_col="lang_detected",
@@ -213,7 +237,8 @@ def prepare_training_corpus(
     # once so the stats action doesn't re-run them from the checkpoint read.
     # With only the cheap Catalyst gates, recomputing the projection off the
     # checkpointed base is cheaper than another table write.
-    if strip_boilerplate or dedup_paragraphs or lm_score_min is not None:
+    if (strip_boilerplate or dedup_paragraphs or lm_score_min is not None
+            or dedup_substrings_min_tokens is not None):
         if checkpoint_path is not None:
             flagged_path = checkpoint_path.rstrip("/") + "_flagged"
             flagged.write.mode("overwrite").parquet(flagged_path)

@@ -1,0 +1,162 @@
+"""Cross-document duplicated-substring removal — exact substring dedup.
+
+The finest-grained member of the dedup family (doc-level exact
+``dedup.drop_exact_duplicates``, paragraph-level
+``dedup.drop_duplicate_paragraphs``, near-dup MinHash/SimHash): every
+token window of ``min_tokens`` whitespace tokens that occurs MORE THAN
+ONCE corpus-wide keeps exactly one occurrence — the lexicographically
+first (min doc id, then first position) — and every other occurrence is
+cut from its document. This is the distributed, hash-windowed analog of
+suffix-array exact substring deduplication (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better"): a suffix
+array is single-machine; fixed-length window fingerprints shard over a
+cluster, and any duplicated run of >= min_tokens tokens is, by
+construction, covered end-to-end by duplicated windows, so the full run
+is removed from non-winner occurrences.
+
+Relation to the reference: RedactifAI has no corpus-level dedup at all —
+this extends the engine's training-data side the way the other dedup
+operators do (see ``dedup.py`` module docstring for the family map).
+
+Scale shape (10^12 docs, pure Catalyst, zero Python):
+  1. per-row token-hash array (xxhash64/token, O(n)); window fingerprints
+     fold xxhash64 chains over length-k slices (O(n*k) long-hash ops,
+     JVM codegen; the token-hash array is BOUND to a column and referenced
+     twice so CollapseProject cannot re-inline the array build into the
+     per-window lambda — the O(n^2) re-eval trap measured on minhash in
+     round 4),
+  2. winner-per-fingerprint: groupBy on a uniform 64-bit key with
+     map-side-combining min(struct(id, pos)) — hot fingerprints (a viral
+     passage) are absorbed by partial aggregation, and only fingerprints
+     with count >= 2 survive to the join,
+  3. non-winner occurrences join back on the same uniform fingerprint key
+     (1 row per fingerprint on the build side; skewed probes split by AQE),
+  4. only AFFECTED documents (semi-join on the unique doc id) explode to
+     token rows for the rebuild: start flags + a per-doc sliding-window
+     coverage sum (RANGE k-1 PRECEDING) mark covered tokens, then one
+     order-preserving regroup on the doc id; untouched documents pass
+     through byte-identical without ever being exploded.
+
+The only shuffles are the fingerprint groupBy/join (uniform keys) and the
+per-doc window+regroup for the affected subset. Memory per row stays
+O(n_tokens) (arrays of longs), never O(n*k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def duplicate_window_occurrences(
+    df: DataFrame, id_col: str, text_col: str, min_tokens: int = 50,
+) -> DataFrame:
+    """All occurrences of duplicated ``min_tokens``-token windows:
+    (id, pos, fingerprint, winner struct w{i,p}, n_occurrences). The
+    diagnostic / building-block half of ``drop_duplicate_substrings`` —
+    winner selection without the text rewrite."""
+    k = min_tokens
+    base = df.select(
+        F.col(id_col).alias("_ss_id"),
+        F.split(F.col(text_col), " ", -1).alias("_toks"),
+    )
+    # Bind the token-hash array; reference it twice (size + slice) so the
+    # per-window lambda folds over a precomputed array instead of
+    # re-hashing every token once per window position.
+    th = base.select(
+        "_ss_id", F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th"))
+    win = th.select(
+        "_ss_id",
+        F.when(
+            F.size("_th") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_th") - k),
+                lambda i: F.aggregate(
+                    F.slice(F.col("_th"), i + 1, k),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: F.xxhash64(acc, x),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")).alias("_wh"),
+    )
+    occ = win.select("_ss_id", F.posexplode("_wh").alias("_pos", "_h"))
+    winners = occ.groupBy("_h").agg(
+        F.min(F.struct(F.col("_ss_id").alias("i"),
+                       F.col("_pos").alias("p"))).alias("w"),
+        F.count("*").alias("n_occurrences"),
+    )
+    return occ.join(winners.filter(F.col("n_occurrences") >= 2), "_h")
+
+
+def drop_duplicate_substrings(
+    df: DataFrame, id_col: str, text_col: str, min_tokens: int = 50,
+) -> DataFrame:
+    """Remove every non-winner occurrence of any duplicated
+    ``min_tokens``-token window; return ``df`` with ``text_col`` replaced
+    plus (n_tokens_kept, n_tokens_dropped), payload columns preserved —
+    the ``strip_boilerplate`` / ``drop_duplicate_paragraphs`` contract, so
+    funnel stages compose. Token order is preserved; tokens are the
+    single-space split of the text (lossless: split(" ") + concat_ws(" ")
+    round-trips runs of spaces as empty tokens).
+
+    Semantics notes: a token is dropped iff it is covered by at least one
+    non-winner duplicated window, so (a) a document that duplicates an
+    earlier document wholesale is cut to "" (the substring-level
+    generalization of exact dedup), (b) a passage repeated WITHIN one doc
+    keeps only its first occurrence, and (c) a winner occurrence can still
+    be eroded by a DIFFERENT overlapping duplicated window whose winner
+    lies elsewhere — the same greedy local rule suffix-array dedup applies
+    (Lee et al. cut every duplicated byte range except one, without global
+    passage reassembly). Documents shorter than ``min_tokens`` tokens are
+    never touched.
+    """
+    k = min_tokens
+    dup = duplicate_window_occurrences(df, id_col, text_col, min_tokens)
+    removals = dup.filter(
+        ~((F.col("_ss_id") == F.col("w.i")) & (F.col("_pos") == F.col("w.p")))
+    ).select("_ss_id", F.col("_pos").alias("_j"), F.lit(1).alias("_st"))
+
+    # Rebuild ONLY affected docs: explode tokens, mark coverage with a
+    # sliding count of removal starts in the trailing k-1 positions, then
+    # regroup in order. Untouched docs never explode.
+    base = df.select(
+        F.col(id_col).alias("_ss_id"),
+        F.split(F.col(text_col), " ", -1).alias("_toks"),
+    )
+    affected = base.join(removals.select("_ss_id").distinct(), "_ss_id")
+    toks = affected.select(
+        "_ss_id", F.posexplode("_toks").alias("_j", "_tok"))
+    marked = toks.join(removals, ["_ss_id", "_j"], "left").withColumn(
+        "_cov",
+        F.sum(F.coalesce(F.col("_st"), F.lit(0))).over(
+            Window.partitionBy("_ss_id").orderBy("_j")
+            .rangeBetween(-(k - 1), 0)
+        ) > 0,
+    )
+    kept_struct = F.when(~F.col("_cov"), F.struct("_j", "_tok"))
+    rebuilt = marked.groupBy("_ss_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["_tok"]),
+        ).alias("_ss_text"),
+        F.sum((~F.col("_cov")).cast("long")).alias("_kept"),
+        F.sum(F.col("_cov").cast("long")).alias("_dropped"),
+    )
+
+    joined = df.join(
+        rebuilt, df[id_col] == rebuilt["_ss_id"], "left").drop("_ss_id")
+    replaced = joined.withColumn(
+        text_col, F.coalesce(F.col("_ss_text"), F.col(text_col))
+    ).drop("_ss_text")
+    # untouched docs: kept = their token count, dropped = 0 (text_col here
+    # already equals the original for those rows)
+    replaced = replaced.withColumn(
+        "n_tokens_kept",
+        F.coalesce(F.col("_kept"),
+                   F.size(F.split(F.col(text_col), " ", -1))),
+    ).withColumn(
+        "n_tokens_dropped", F.coalesce(F.col("_dropped"), F.lit(0).cast("long"))
+    ).drop("_kept", "_dropped")
+    cols = [c for c in df.columns if c != text_col] + [
+        text_col, "n_tokens_kept", "n_tokens_dropped"]
+    return replaced.select(*cols)

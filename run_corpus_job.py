@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="corpus-wide paragraph-level exact dedup after the "
                         "boilerplate strip (cross-doc repeated paragraphs "
                         "keep one occurrence)")
+    p.add_argument("--dedup-substrings-min-tokens", type=int, default=None,
+                   metavar="K",
+                   help="corpus-wide exact substring dedup: every "
+                        "duplicated run of >= K whitespace tokens keeps "
+                        "one occurrence (Lee et al. 2022 shape); typical "
+                        "K=50")
     p.add_argument("--max-dup-line-frac", type=float, default=None,
                    help="Gopher repetition gate: drop docs where more than "
                         "this fraction of lines repeat an earlier line "
@@ -128,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
         max_dup_word_frac=args.max_dup_word_frac,
         max_top_bigram_frac=args.max_top_bigram_frac,
         dedup_paragraphs=args.dedup_paragraphs,
+        dedup_substrings_min_tokens=args.dedup_substrings_min_tokens,
         # --canonicalize-urls already deduped on the canonical url
         assume_unique_ids=args.assume_unique_urls or args.canonicalize_urls,
     )

@@ -275,3 +275,47 @@ def test_funnel_paragraph_dedup_ignores_failed_docs(spark, monkeypatch):
     # the quote survives in the smallest COMPLETE doc, not stolen by a://0
     assert texts["b://1"] == "shared quote words here\nbody one text"
     assert texts["c://2"] == "another body two text"
+
+
+def test_funnel_dedup_substrings_knob(spark):
+    # cross-doc duplicated token runs keep exactly one occurrence (min url
+    # wins); unique prose survives; knobs-off funnel leaves text unchanged
+    from redactifai_spark.kernels.oracle import PipelineConfig
+
+    cfg = PipelineConfig(prefer_text_column=True)
+    quote = "we hold these truths to be self evident that all men"
+    rows = []
+    for i in range(5):
+        # every token carries the doc index so no cross-doc 6-token run
+        # exists outside the planted quote
+        body = " ".join(f"{w}{i}" for w in (
+            "doc", "opens", "with", "distinct", "prose",
+            "alpha", "beta", "gamma", "delta", "epsilon"))
+        rows.append((f"https://h{i}.example.com/p", None, None,
+                     f"{body} {quote}", "en"))
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+
+    corpus_on, _ = prepare_training_corpus(
+        pages, cfg, quality_min=0.0, langs=("en", "und"),
+        dedup_substrings_min_tokens=6)
+    texts = {r["url"]: r["redacted_text"] for r in corpus_on.collect()}
+    assert len(texts) == 5
+    with_quote = [u for u, t in sorted(texts.items()) if quote in t]
+    assert with_quote == ["https://h0.example.com/p"]
+    assert all(f"doc{i} opens{i} with{i}" in texts[f"https://h{i}.example.com/p"]
+               for i in range(5))
+
+    # the knob participates in the duplicate-url probe
+    import pytest as _pytest
+    dup_pages = pages.unionByName(pages.limit(1))
+    with _pytest.raises(ValueError, match="duplicate urls"):
+        prepare_training_corpus(
+            dup_pages, cfg, quality_min=0.0, langs=("en", "und"),
+            dedup_substrings_min_tokens=6)
+
+    corpus_off, _ = prepare_training_corpus(
+        pages, cfg, quality_min=0.0, langs=("en", "und"))
+    assert sum(quote in t for t in
+               (r["redacted_text"] for r in corpus_off.collect())) == 5

@@ -1,0 +1,177 @@
+"""Cross-document duplicated-substring removal — semantic oracle tests.
+
+The oracle reimplements the operator's contract directly on token tuples
+(no hashing at all), so it is independent of the xxhash64 window
+fingerprints: any fingerprint-collision bug, winner-tie bug, or coverage
+bug diverges from it. 64-bit chained-hash collisions at test scale are
+~2^-64 — the tuple-keyed oracle IS the ground truth.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.substring import (
+    drop_duplicate_substrings,
+    duplicate_window_occurrences,
+)
+
+
+def ref_dedup(docs: dict[str, str], k: int) -> dict[str, str]:
+    """Pure-Python reference: winner = min (id, pos) per duplicated
+    k-token window; every non-winner window's token range is cut."""
+    toks = {i: s.split(" ") for i, s in docs.items()}
+    occs: dict[tuple, list[tuple[str, int]]] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            occs.setdefault(tuple(ts[p:p + k]), []).append((i, p))
+    removed: dict[str, set[int]] = {}
+    for key, lst in occs.items():
+        if len(lst) < 2:
+            continue
+        w = min(lst)
+        for (i, p) in lst:
+            if (i, p) != w:
+                removed.setdefault(i, set()).update(range(p, p + k))
+    return {
+        i: " ".join(t for j, t in enumerate(ts)
+                    if j not in removed.get(i, set()))
+        for i, ts in toks.items()
+    }
+
+
+def _run(spark, docs: dict[str, str], k: int):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in docs.items()], ["url", "text"])
+    out = drop_duplicate_substrings(df, "url", "text", min_tokens=k)
+    return {r["url"]: r for r in out.collect()}
+
+
+def words(rng, n):
+    return " ".join(f"w{rng.randrange(500)}" for _ in range(n))
+
+
+def test_shared_passage_removed_from_non_winner(spark):
+    rng = random.Random(7)
+    passage = words(rng, 12)
+    docs = {
+        "a": words(rng, 20) + " " + passage + " " + words(rng, 20),
+        "b": words(rng, 5) + " " + passage + " " + words(rng, 30),
+        "c": words(rng, 40),
+    }
+    exp = ref_dedup(docs, 6)
+    got = _run(spark, docs, 6)
+    for i in docs:
+        assert got[i]["text"] == exp[i], i
+    # winner doc "a" keeps the passage intact, "b" lost >= 12 tokens
+    assert passage in got["a"]["text"]
+    assert passage not in got["b"]["text"]
+    assert got["b"]["n_tokens_dropped"] >= 12
+    assert got["c"]["text"] == docs["c"]
+    assert got["c"]["n_tokens_dropped"] == 0
+    assert got["c"]["n_tokens_kept"] == 40
+
+
+def test_randomized_matches_reference(spark):
+    rng = random.Random(42)
+    shared = [words(rng, rng.randrange(8, 20)) for _ in range(5)]
+    docs = {}
+    for d in range(30):
+        parts = [words(rng, rng.randrange(3, 15))]
+        for _ in range(rng.randrange(0, 3)):
+            parts.append(rng.choice(shared))
+            parts.append(words(rng, rng.randrange(0, 6)))
+        docs[f"d{d:02d}"] = " ".join(p for p in parts if p)
+    for k in (5, 8):
+        exp = ref_dedup(docs, k)
+        got = _run(spark, docs, k)
+        for i in docs:
+            assert got[i]["text"] == exp[i], (k, i)
+            if exp[i]:
+                assert got[i]["n_tokens_kept"] == len(exp[i].split(" "))
+
+
+def test_wholesale_duplicate_doc_cut_to_empty(spark):
+    rng = random.Random(3)
+    body = words(rng, 25)
+    got = _run(spark, {"a": body, "b": body}, 10)
+    assert got["a"]["text"] == body
+    assert got["b"]["text"] == ""
+    assert got["b"]["n_tokens_kept"] == 0
+    assert got["b"]["n_tokens_dropped"] == 25
+
+
+def test_within_doc_repetition_keeps_first(spark):
+    rng = random.Random(11)
+    passage = words(rng, 10)
+    filler = words(rng, 8)
+    docs = {"a": passage + " " + filler + " " + passage}
+    exp = ref_dedup(docs, 5)
+    got = _run(spark, docs, 5)
+    assert got["a"]["text"] == exp["a"]
+    assert got["a"]["text"].startswith(passage)
+
+
+def test_short_docs_and_spacing_untouched(spark):
+    docs = {"a": "x  y   z", "b": "", "c": "one two three four"}
+    got = _run(spark, docs, 5)
+    for i, s in docs.items():
+        assert got[i]["text"] == s
+        assert got[i]["n_tokens_dropped"] == 0
+
+
+def test_payload_columns_and_contract(spark):
+    rng = random.Random(9)
+    body = words(rng, 30)
+    df = spark.createDataFrame(
+        [("a", body, "h1", 1), ("b", body, "h2", 2)],
+        ["url", "text", "host", "status"])
+    out = drop_duplicate_substrings(df, "url", "text", min_tokens=8)
+    assert out.columns == ["url", "host", "status", "text",
+                           "n_tokens_kept", "n_tokens_dropped"]
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["a"]["host"] == "h1" and rows["b"]["status"] == 2
+    assert rows["b"]["text"] == ""
+
+
+def test_occurrence_frame_winner_is_global_min(spark):
+    rng = random.Random(5)
+    passage = words(rng, 6)
+    df = spark.createDataFrame(
+        [("b", "x " + passage), ("a", passage + " y"), ("c", passage)],
+        ["url", "text"])
+    occ = duplicate_window_occurrences(df, "url", "text", min_tokens=6)
+    rows = occ.collect()
+    assert len(rows) == 3  # one duplicated window, three occurrences
+    for r in rows:
+        assert (r["w"]["i"], r["w"]["p"]) == ("a", 0)
+        assert r["n_occurrences"] == 3
+
+
+def test_no_python_udf_and_no_cartesian(spark):
+    rng = random.Random(13)
+    df = spark.createDataFrame(
+        [(f"u{i}", words(rng, 20)) for i in range(10)], ["url", "text"])
+    out = drop_duplicate_substrings(df, "url", "text", min_tokens=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_long_doc_not_quadratic(spark):
+    # the re-inline trap (round-4 minhash lesson): if Catalyst re-embeds
+    # the token-hash array build into the per-window lambda, an n-token doc
+    # costs O(n^2) hashes and this test visibly hangs; bound generously.
+    import time
+    rng = random.Random(21)
+    n = 6000
+    df = spark.createDataFrame(
+        [("big", words(rng, n)), ("other", words(rng, 50))],
+        ["url", "text"])
+    t0 = time.time()
+    out = drop_duplicate_substrings(df, "url", "text", min_tokens=50)
+    rows = {r["url"]: r for r in out.collect()}
+    assert time.time() - t0 < 90
+    assert rows["big"]["n_tokens_kept"] == n
