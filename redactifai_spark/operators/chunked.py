@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from ..kernels.oracle import PipelineConfig
 from .functions import filter_spans, spans_sorted
-from .udfs import make_detect_udf, make_extract_udf, make_redact_udf
+from .udfs import (
+    fallback_text_col, make_detect_udf, make_extract_udf, make_redact_udf,
+)
 
 
 def detect_spans_chunked(
@@ -146,10 +148,14 @@ def run_pipeline_chunked(
 
     threshold = size_threshold if size_threshold is not None else chunk_size
 
-    # cheap pre-UDF routing proxy (never null: coalesce to 0 so null
-    # html/text rows route small and fail/coalesce exactly as run_pipeline)
+    # cheap pre-UDF routing proxy (never null: coalesce to 0). Null-html
+    # rows route by text length — the kernel's null-html fallback makes the
+    # text column the document, so a large text must still hit the chunked
+    # branch. Routing only picks the branch; both produce kernel-parity rows.
     if config.prefer_text_column:
         proxy = F.length(F.coalesce(F.col("text"), F.lit("")))
+    elif "text" in df.columns:
+        proxy = F.coalesce(F.length("html"), F.length("text"))
     else:
         proxy = F.length(F.col("html"))
     is_large = F.coalesce(proxy, F.lit(0)) > F.lit(threshold)
@@ -170,7 +176,8 @@ def run_pipeline_chunked(
             row_counter=extract_row_counter,
         )
         return (
-            frame.withColumn("_ex", extract(F.col("html")))
+            frame.withColumn(
+                "_ex", extract(F.col("html"), fallback_text_col(frame)))
             .withColumns(
                 {
                     "extracted_text": F.col("_ex.extracted_text"),

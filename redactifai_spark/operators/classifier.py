@@ -1,0 +1,106 @@
+"""Hashed-token Naive-Bayes quality classifier — train AND score in pure
+Catalyst.
+
+The third quality signal next to the heuristic gate (textstats.quality_score)
+and the self-perplexity gate (lm.bigram_lm_score): CCNet/GPT-3-style
+pipelines train a linear text classifier on "reference quality" positives
+(e.g. curated wiki/book pages) vs crawl negatives and keep documents the
+classifier likes. fastText is the usual single-node tool; its decision
+function on unigrams is exactly a linear model over hashed token buckets,
+which trains and scores as two DataFrame aggregations — no MLlib, no Python.
+
+Training (``train_quality_classifier``) computes per-bucket add-one-smoothed
+log-odds: w[b] = log P(b|pos) - log P(b|neg) over hashed token buckets —
+the closed-form Naive-Bayes fit, one groupBy per class (map-side combining,
+uniform 64-bit keys) + one outer join on bucket. The weight table is
+BOUNDED by ``n_buckets`` (a config constant, default 2^20 rows ~ a few MB)
+— unlike a per-host boilerplate set it cannot grow with corpus size, so
+broadcasting it is safe; the default still lets AQE decide
+(``broadcast_weights=True`` forces it for clusters where the stats are
+stale).
+
+Scoring (``score_with_classifier``) is mean per-token log-odds via
+explode -> left join on bucket -> groupBy(doc) avg: positive means
+"pos-like". Tokens unseen in training score 0 (no evidence). The join is
+uniform-keyed; the regroup keys on the caller's unique doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _buckets(text_col: str, n_buckets: int):
+    """Hashed lowercase whitespace-token buckets for one row."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+", -1)
+    return F.transform(
+        F.filter(toks, lambda t: t != ""),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets)),
+    )
+
+
+def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
+    return (
+        df.select(F.explode(_buckets(text_col, n_buckets)).alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("c"))
+    )
+
+
+def train_quality_classifier(
+    positives: DataFrame,
+    negatives: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1 << 20,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Closed-form Naive-Bayes fit: (bucket, weight) where weight is the
+    add-``smoothing``-smoothed log-odds log P(bucket|pos) - log P(bucket|neg).
+    Only buckets observed in either class are materialized (absent buckets
+    would get a constant prior offset that cancels in ranking and is ~0 for
+    balanced smoothing); scoring treats missing buckets as weight 0."""
+    pos = _bucket_counts(positives, text_col, n_buckets) \
+        .withColumnRenamed("c", "pc")
+    neg = _bucket_counts(negatives, text_col, n_buckets) \
+        .withColumnRenamed("c", "nc")
+    # class totals: 1-row aggregates; the crossJoin is a broadcast of one row
+    totals = pos.agg(F.sum("pc").alias("pt")).crossJoin(
+        neg.agg(F.sum("nc").alias("nt")))
+    joined = pos.join(neg, "bucket", "full").crossJoin(F.broadcast(totals))
+    s, d = float(smoothing), float(n_buckets)
+    return joined.select(
+        "bucket",
+        (
+            F.log((F.coalesce(F.col("pc"), F.lit(0)) + s)
+                  / (F.col("pt") + s * d))
+            - F.log((F.coalesce(F.col("nc"), F.lit(0)) + s)
+                    / (F.col("nt") + s * d))
+        ).alias("weight"),
+    )
+
+
+def score_with_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1 << 20,
+    out_col: str = "classifier_score",
+    broadcast_weights: bool = False,
+) -> DataFrame:
+    """Mean per-token log-odds under a trained weight table; adds
+    ``out_col`` (double, positive = pos-like; NULL for docs with zero
+    tokens). ``n_buckets`` must match training. The weight table is
+    bounded by ``n_buckets`` so ``broadcast_weights=True`` is safe when
+    runtime stats under-estimate it; default lets AQE pick."""
+    w = F.broadcast(weights) if broadcast_weights else weights
+    toks = df.select(
+        F.col(id_col).alias("_qc_id"),
+        F.explode(_buckets(text_col, n_buckets)).alias("bucket"),
+    )
+    scores = (
+        toks.join(w, "bucket", "left")
+        .groupBy("_qc_id")
+        .agg(F.avg(F.coalesce(F.col("weight"), F.lit(0.0))).alias(out_col))
+    )
+    return df.join(
+        scores, df[id_col] == scores["_qc_id"], "left").drop("_qc_id")

@@ -45,6 +45,9 @@ def prepare_training_corpus(
     max_top_bigram_frac: float | None = None,
     dedup_paragraphs: bool = False,
     dedup_substrings_min_tokens: int | None = None,
+    classifier_weights: DataFrame | None = None,
+    classifier_score_min: float | None = None,
+    classifier_n_buckets: int = 1 << 20,
     assume_unique_ids: bool = False,
     cluster_checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -97,6 +100,14 @@ def prepare_training_corpus(
     Costs O(n_tokens * k) JVM hash ops plus one uniform-key shuffle;
     typical value 50. Off (None) by default.
 
+    ``classifier_weights`` + ``classifier_score_min``: the trained-model
+    quality gate (classifier.score_with_classifier, CCNet/GPT-3-style):
+    docs whose mean hashed-token log-odds under a weight table trained by
+    classifier.train_quality_classifier falls below the threshold are
+    dropped at ``is_gated``. ``classifier_n_buckets`` must match training.
+    Token-less docs have no evidence (NULL score) and are gated out.
+    Costs one uniform-key join + regroup on url; off by default.
+
     ``assume_unique_ids``: the boilerplate strip and LM gate treat ``url``
     as a unique document id (per-doc regroup / score join) — duplicate urls
     (recrawls; raw Common-Crawl routinely has them) would silently merge
@@ -115,8 +126,13 @@ def prepare_training_corpus(
     ``duplicate_clusters`` so 10^12-doc runs can use reliable checkpoints
     (executor-loss safety) instead of the local default.
     """
+    if classifier_weights is None and classifier_score_min is not None:
+        raise ValueError(
+            "prepare_training_corpus: classifier_score_min requires "
+            "classifier_weights (train_quality_classifier output)")
     if (strip_boilerplate or dedup_paragraphs or lm_score_min is not None
-            or dedup_substrings_min_tokens is not None) \
+            or dedup_substrings_min_tokens is not None
+            or classifier_score_min is not None) \
             and not assume_unique_ids:
         # fail loudly on duplicate doc ids BEFORE the per-url regroup/join
         # stages corrupt documents (ADVICE r5: raw crawls routinely repeat
@@ -221,6 +237,14 @@ def prepare_training_corpus(
         # carries no training signal anyway
         gate = gate & F.coalesce(
             F.col("lm_score") >= lm_score_min, F.lit(False))
+    if classifier_score_min is not None:
+        from .classifier import score_with_classifier
+
+        scored = score_with_classifier(
+            scored, classifier_weights, "url", "redacted_text",
+            n_buckets=classifier_n_buckets)
+        gate = gate & F.coalesce(
+            F.col("classifier_score") >= classifier_score_min, F.lit(False))
     flagged = scored.withColumns(
         {
             "is_complete": F.col("status") == "complete",
@@ -238,7 +262,8 @@ def prepare_training_corpus(
     # With only the cheap Catalyst gates, recomputing the projection off the
     # checkpointed base is cheaper than another table write.
     if (strip_boilerplate or dedup_paragraphs or lm_score_min is not None
-            or dedup_substrings_min_tokens is not None):
+            or dedup_substrings_min_tokens is not None
+            or classifier_score_min is not None):
         if checkpoint_path is not None:
             flagged_path = checkpoint_path.rstrip("/") + "_flagged"
             flagged.write.mode("overwrite").parquet(flagged_path)

@@ -24,8 +24,8 @@ from ..kernels.oracle import PipelineConfig
 from .functions import filter_spans
 from .partitioning import repartition_by_url
 from .udfs import (
-    make_detect_udf, make_extract_detect_udf, make_extract_udf,
-    make_process_udf, make_redact_udf,
+    fallback_text_col, make_detect_udf, make_extract_detect_udf,
+    make_extract_udf, make_process_udf, make_redact_udf,
 )
 
 OUTPUT_COLUMNS = [
@@ -59,9 +59,9 @@ def run_pipeline(
         fused = True
     if fused:
         process = make_process_udf(config)
-        args = (F.col("html"), F.col("text")) if config.prefer_text_column \
-            else (F.col("html"),)
-        return df.withColumn("_r", process(*args)).select(
+        text_arg = F.col("text") if config.prefer_text_column \
+            else fallback_text_col(df)
+        return df.withColumn("_r", process(F.col("html"), text_arg)).select(
             "url", "warc_ts", "lang", "_r.*"
         )
 
@@ -81,7 +81,7 @@ def run_pipeline(
     elif fuse_extract_detect:
         ed = make_extract_detect_udf(config)
         staged = (
-            df.withColumn("_ed", ed(F.col("html")))
+            df.withColumn("_ed", ed(F.col("html"), fallback_text_col(df)))
             .withColumns(
                 {
                     "extracted_text": F.col("_ed.extracted_text"),
@@ -99,7 +99,7 @@ def run_pipeline(
             retry_backoff_s=config.retry_backoff_s,
         )
         staged = (
-            df.withColumn("_ex", extract(F.col("html")))
+            df.withColumn("_ex", extract(F.col("html"), fallback_text_col(df)))
             .withColumns(
                 {
                     "extracted_text": F.col("_ex.extracted_text"),

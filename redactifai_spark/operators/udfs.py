@@ -25,6 +25,18 @@ from pyspark.sql import types as T
 SPAN_ARRAY = T.ArrayType(SPAN_TYPE)
 
 
+def fallback_text_col(df) -> F.Column:
+    """Second argument for the extract/process UDFs: the ``text`` column,
+    shipped ONLY where ``html`` is null (the kernel's null-html fallback,
+    oracle.py process_document). Gating on html null-ness keeps the Arrow
+    transfer free on the hot path — rows with html never serialize their
+    (often duplicate) text payload. Frames without a text column get NULL,
+    which the kernel maps to an empty document."""
+    if "text" in df.columns:
+        return F.when(F.col("html").isNull(), F.col("text"))
+    return F.lit(None).cast("string")
+
+
 def make_extract_udf(
     config: ExtractConfig = ExtractConfig(),
     sniff_format: bool = False,
@@ -32,7 +44,10 @@ def make_extract_udf(
     retry_backoff_s: float = 0.0,
     row_counter=None,
 ):
-    """html:binary -> struct(extracted_text, n_blocks, extract_error).
+    """(html:binary, text:string) -> struct(extracted_text, n_blocks,
+    extract_error). Pass ``fallback_text_col(df)`` as the second argument:
+    null-html rows yield ``text or ""`` with 0 blocks (kernel parity,
+    oracle.py process_document) instead of silently extracting nothing.
 
     Spark mapping of S4 (TIFF load) + T2 (segmentation) + T3 (full_text join):
     the DOM parse happens per Arrow batch inside the executor's Python worker.
@@ -63,14 +78,19 @@ def make_extract_udf(
         )
 
     @pandas_udf(EXTRACT_TYPE)
-    def extract(html: pd.Series) -> pd.DataFrame:
+    def extract(html: pd.Series, fallback: pd.Series) -> pd.DataFrame:
         if row_counter is not None:
             row_counter.add(len(html))
         texts: list[str] = []
         n_blocks: list[int] = []
         errors: list[str | None] = []
-        for payload in html:
+        for payload, fb in zip(html, fallback):
             try:
+                if payload is None:  # kernel null-html fallback: text as-is
+                    texts.append(fb or "")
+                    n_blocks.append(0)
+                    errors.append(None)
+                    continue
                 text, nb = _extract_one(payload)
                 texts.append(text)
                 n_blocks.append(nb)
@@ -87,8 +107,11 @@ def make_extract_udf(
 
 
 def make_extract_detect_udf(config: PipelineConfig):
-    """Fused extract+detect: html -> struct(extracted_text, n_blocks,
-    extract_error, spans). Two Arrow hops total for the staged plan instead of
+    """Fused extract+detect: (html, text) -> struct(extracted_text, n_blocks,
+    extract_error, spans). Pass ``fallback_text_col(df)`` as the second
+    argument — null-html rows fall back to the text column and are STILL
+    detector-scanned (a post-hoc fallback would ship their PII unredacted).
+    Two Arrow hops total for the staged plan instead of
     three, while the D3/D4 policy filters stay Catalyst-visible between this
     stage and redact. Measured benefit is modest (~5%): the staged plan's
     dominant overhead is the span-array round-trip into redact."""
@@ -109,12 +132,15 @@ def make_extract_detect_udf(config: PipelineConfig):
     )
 
     @pandas_udf(out_type)
-    def extract_detect(html: pd.Series) -> pd.DataFrame:
+    def extract_detect(html: pd.Series, fallback: pd.Series) -> pd.DataFrame:
         detector = get_detector(config)  # per-worker cache, not per batch
         texts, n_blocks, errors, spans = [], [], [], []
-        for payload in html:
+        for payload, fb in zip(html, fallback):
             try:
-                text, nb = _extract_one(payload)
+                if payload is None:  # kernel null-html fallback: text as-is
+                    text, nb = (fb or ""), 0
+                else:
+                    text, nb = _extract_one(payload)
                 texts.append(text)
                 n_blocks.append(nb)
                 errors.append(None)
@@ -217,27 +243,20 @@ _RESULT_KEYS = [f.name for f in FUSED_RESULT_TYPE.fields]
 
 
 def make_process_udf(config: PipelineConfig):
-    """(html[, text]) -> full result struct; one Arrow round-trip per batch.
-    Detector resolves through the per-worker cache (see make_detect_udf)."""
-
-    if config.prefer_text_column:
-
-        @pandas_udf(FUSED_RESULT_TYPE)
-        def process(html: pd.Series, text: pd.Series) -> pd.DataFrame:
-            detector = get_detector(config)
-            rows = [process_document(h, t, config, detector)
-                    for h, t in zip(html, text)]
-            return pd.DataFrame(
-                {k: [r[k] for r in rows] for k in _RESULT_KEYS}
-            )
-
-        return process
+    """(html, text) -> full result struct; one Arrow round-trip per batch.
+    Detector resolves through the per-worker cache (see make_detect_udf).
+    When ``prefer_text_column`` is off, callers pass ``fallback_text_col(df)``
+    as the text argument so the kernel's null-html fallback sees the text
+    column without shipping it for rows that have html."""
 
     @pandas_udf(FUSED_RESULT_TYPE)
-    def process(html: pd.Series) -> pd.DataFrame:
+    def process(html: pd.Series, text: pd.Series) -> pd.DataFrame:
         detector = get_detector(config)
-        rows = [process_document(h, None, config, detector) for h in html]
-        return pd.DataFrame({k: [r[k] for r in rows] for k in _RESULT_KEYS})
+        rows = [process_document(h, t, config, detector)
+                for h, t in zip(html, text)]
+        return pd.DataFrame(
+            {k: [r[k] for r in rows] for k in _RESULT_KEYS}
+        )
 
     return process
 

@@ -69,6 +69,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="Gopher repetition gate: drop docs whose single most "
                         "frequent bigram exceeds this occurrence fraction "
                         "(typical 0.2)")
+    p.add_argument("--classifier-weights", default=None, metavar="PATH",
+                   help="parquet (bucket, weight) table trained by "
+                        "classifier.train_quality_classifier; enables the "
+                        "trained-model quality gate")
+    p.add_argument("--classifier-score-min", type=float, default=None,
+                   help="min mean hashed-token log-odds to keep a doc "
+                        "(requires --classifier-weights; 0.0 = the "
+                        "classifier's neutral point)")
+    p.add_argument("--classifier-n-buckets", type=int, default=1 << 20,
+                   help="hash bucket count — must match training")
+    p.add_argument("--block-domains", default=None, metavar="PATH",
+                   help="parquet with a 'domain' column (UT1/C4-style "
+                        "registrable domains); input docs whose url host "
+                        "matches a domain or subdomain are dropped before "
+                        "any per-doc compute")
     p.add_argument("--assume-unique-urls", action="store_true",
                    help="skip the duplicate-url probe that guards the "
                         "boilerplate/LM stages (input already deduped)")
@@ -104,6 +119,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="redactifai-corpus-job", master=args.master)
     pages = _read_target(spark, args.input)
+    if args.block_domains:
+        # first gate in the job: blocked-domain rows never reach the
+        # (dominant-cost) per-doc redaction pass
+        from redactifai_spark.operators.blocklist import filter_blocked_domains
+
+        pages = filter_blocked_domains(
+            pages, _read_target(spark, args.block_domains))
     if args.canonicalize_urls:
         # collapses crawl variants AND keeps one row per canonical url
         # (deterministic min-content keeper): the funnel's boilerplate strip
@@ -135,6 +157,11 @@ def main(argv: list[str] | None = None) -> int:
         max_top_bigram_frac=args.max_top_bigram_frac,
         dedup_paragraphs=args.dedup_paragraphs,
         dedup_substrings_min_tokens=args.dedup_substrings_min_tokens,
+        classifier_weights=(
+            _read_target(spark, args.classifier_weights)
+            if args.classifier_weights else None),
+        classifier_score_min=args.classifier_score_min,
+        classifier_n_buckets=args.classifier_n_buckets,
         # --canonicalize-urls already deduped on the canonical url
         assume_unique_ids=args.assume_unique_urls or args.canonicalize_urls,
     )

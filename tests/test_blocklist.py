@@ -1,0 +1,60 @@
+"""Domain-blocklist filtering: suffix semantics, null safety, row fidelity."""
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.blocklist import (
+    filter_blocked_domains,
+    host_suffixes,
+)
+
+
+def test_host_suffixes(spark):
+    df = spark.createDataFrame(
+        [("a.B.Example.com",), ("com",), ("",), (None,)], ["h"])
+    got = [r["s"] for r in
+           df.select(host_suffixes("h").alias("s")).collect()]
+    assert got[0] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    assert got[1] == ["com"]
+    assert got[2] == [] and got[3] == []
+
+
+def _frame(spark):
+    rows = [
+        ("https://ads.tracker.example.com/x", 1),
+        ("https://example.com/ok", 2),        # exact-domain block
+        ("https://example.com.evil.net/y", 3),  # NOT a suffix match
+        ("https://clean.org/z", 4),
+        ("notaurl", 5),                        # host unparseable
+    ]
+    return spark.createDataFrame(rows, ["url", "payload"])
+
+
+def test_filter_blocked_domains(spark):
+    df = _frame(spark)
+    bl = spark.createDataFrame(
+        [("Example.COM",), ("blocked.net",)], ["domain"])
+    kept = filter_blocked_domains(df, bl)
+    rows = {r["url"]: r["payload"] for r in kept.collect()}
+    # subdomain and exact match blocked; lookalike + clean + unparseable kept
+    assert set(rows) == {"https://example.com.evil.net/y",
+                         "https://clean.org/z", "notaurl"}
+    assert rows["https://clean.org/z"] == 4  # payload untouched
+
+    only_blocked = filter_blocked_domains(df, bl, keep_blocked=True)
+    assert {r["url"] for r in only_blocked.collect()} == {
+        "https://ads.tracker.example.com/x", "https://example.com/ok"}
+
+
+def test_empty_blocklist_keeps_everything(spark):
+    df = _frame(spark)
+    bl = spark.createDataFrame([], "domain string")
+    assert filter_blocked_domains(df, bl).count() == df.count()
+
+
+def test_no_python_nodes_or_nested_loop(spark):
+    df = _frame(spark)
+    bl = spark.createDataFrame([("example.com",)], ["domain"])
+    plan = filter_blocked_domains(df, bl)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan

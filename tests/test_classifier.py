@@ -1,0 +1,93 @@
+"""Hashed-token Naive-Bayes quality classifier: train + score."""
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.classifier import (
+    score_with_classifier,
+    train_quality_classifier,
+)
+
+GOOD = ("the quiet library held thousands of carefully catalogued "
+        "volumes about history science and poetry").split()
+SPAM = ("click here free casino bonus winner jackpot claim prize "
+        "deal offer now").split()
+
+
+def _docs(rng, vocab, n_docs, n_tokens):
+    return [" ".join(rng.choice(vocab) for _ in range(n_tokens))
+            for _ in range(n_docs)]
+
+
+def test_train_and_score_separates_classes(spark):
+    rng = random.Random(4)
+    pos = spark.createDataFrame(
+        [(t,) for t in _docs(rng, GOOD, 30, 20)], ["text"])
+    neg = spark.createDataFrame(
+        [(t,) for t in _docs(rng, SPAM, 30, 20)], ["text"])
+    w = train_quality_classifier(pos, neg, "text", n_buckets=1 << 16)
+
+    test = spark.createDataFrame(
+        [("g", " ".join(GOOD[:8])), ("s", " ".join(SPAM[:8])),
+         ("m", " ".join(GOOD[:4] + SPAM[:4]))],
+        ["url", "text"])
+    out = score_with_classifier(test, w, "url", "text", n_buckets=1 << 16)
+    rows = {r["url"]: r["classifier_score"] for r in out.collect()}
+    assert rows["g"] > 0.5
+    assert rows["s"] < -0.5
+    assert rows["s"] < rows["m"] < rows["g"]
+
+
+def test_weights_match_closed_form(spark):
+    # tiny corpus small enough to hand-compute the add-one log-odds
+    pos = spark.createDataFrame([("aa aa bb",)], ["text"])
+    neg = spark.createDataFrame([("bb cc",)], ["text"])
+    D = 1 << 10
+    w = train_quality_classifier(pos, neg, "text", n_buckets=D, smoothing=1.0)
+    got = {r["bucket"]: r["weight"] for r in w.collect()}
+    assert len(got) == 3  # aa, bb, cc buckets (no collision at this size)
+
+    def lodds(pc, nc):
+        return math.log((pc + 1) / (3 + D)) - math.log((nc + 1) / (2 + D))
+
+    vals = sorted(got.values())
+    exp = sorted([lodds(2, 0), lodds(1, 1), lodds(0, 1)])
+    for g, e in zip(vals, exp):
+        assert abs(g - e) < 1e-12
+
+
+def test_unseen_tokens_neutral_and_empty_null(spark):
+    pos = spark.createDataFrame([("alpha beta",)], ["text"])
+    neg = spark.createDataFrame([("gamma delta",)], ["text"])
+    w = train_quality_classifier(pos, neg, "text", n_buckets=1 << 16)
+    test = spark.createDataFrame(
+        [("u", "neverseen tokens entirely"), ("e", ""), ("sp", "   ")],
+        ["url", "text"])
+    out = score_with_classifier(test, w, "url", "text", n_buckets=1 << 16)
+    rows = {r["url"]: r["classifier_score"] for r in out.collect()}
+    assert rows["u"] == 0.0          # unseen -> zero evidence
+    assert rows["e"] is None and rows["sp"] is None  # no tokens at all
+
+
+def test_payload_preserved_and_case_insensitive(spark):
+    pos = spark.createDataFrame([("Alpha BETA",)], ["text"])
+    neg = spark.createDataFrame([("gamma",)], ["text"])
+    w = train_quality_classifier(pos, neg, "text", n_buckets=1 << 16)
+    df = spark.createDataFrame(
+        [("u1", "ALPHA beta", 7)], ["url", "text", "status"])
+    out = score_with_classifier(df, w, "url", "text", n_buckets=1 << 16)
+    r = out.collect()[0]
+    assert r["status"] == 7 and r["url"] == "u1"
+    assert r["classifier_score"] > 0  # casing folded on both sides
+
+
+def test_no_python_nodes(spark):
+    pos = spark.createDataFrame([("a b",)], ["text"])
+    neg = spark.createDataFrame([("c d",)], ["text"])
+    w = train_quality_classifier(pos, neg, "text")
+    df = spark.createDataFrame([("u", "a c")], ["url", "text"])
+    out = score_with_classifier(df, w, "url", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -319,3 +319,35 @@ def test_funnel_dedup_substrings_knob(spark):
         pages, cfg, quality_min=0.0, langs=("en", "und"))
     assert sum(quote in t for t in
                (r["redacted_text"] for r in corpus_off.collect())) == 5
+
+
+def test_funnel_classifier_gate(spark):
+    # trained-model quality gate: spam-vocab doc dropped, prose doc kept;
+    # min without weights fails fast
+    import pytest as _pytest
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.classifier import train_quality_classifier
+
+    cfg = PipelineConfig(prefer_text_column=True)
+    good = "the library held carefully catalogued volumes about history"
+    spam = "click here free casino bonus winner jackpot claim prize now"
+    pos = spark.createDataFrame([(good,)] * 5, ["text"])
+    neg = spark.createDataFrame([(spam,)] * 5, ["text"])
+    w = train_quality_classifier(pos, neg, "text", n_buckets=1 << 16)
+
+    pages = spark.createDataFrame(
+        [("https://a.example.com/p", None, None, good + " " + good, "en"),
+         ("https://b.example.com/p", None, None, spam + " " + spam, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    corpus, stats = prepare_training_corpus(
+        pages, cfg, quality_min=0.0, langs=("en", "und"),
+        classifier_weights=w, classifier_score_min=0.0,
+        classifier_n_buckets=1 << 16)
+    urls = {r["url"] for r in corpus.collect()}
+    assert urls == {"https://a.example.com/p"}
+    assert stats.collect()[0]["n_gated"] == 1
+
+    with _pytest.raises(ValueError, match="classifier_weights"):
+        prepare_training_corpus(
+            pages, cfg, quality_min=0.0, langs=("en", "und"),
+            classifier_score_min=0.0)

@@ -235,3 +235,66 @@ def test_config_validation_fails_fast():
     with pytest.raises(ValueError, match="span_padding"):
         PipelineConfig(span_padding=-1)
     PipelineConfig(mask_char="#", confidence_threshold=0.5)  # valid passes
+
+
+def test_null_html_falls_back_to_text_column(spark):
+    # kernel parity (oracle.py process_document: html None -> text or ""):
+    # null-html rows must use the text column AS THE DOCUMENT on every
+    # DataFrame path — and their PII must still be detected and masked
+    # (a post-extraction fallback would ship it unredacted)
+    txt = ("Contact our editor at editor@example.com or call 555-867-5309 "
+           "about the archive.")
+    df = spark.createDataFrame(
+        [("https://a.example.com/1", None, None, txt, "en"),
+         ("https://a.example.com/2", None, None, None, "en"),
+         ("https://a.example.com/3", None,
+          b"<html><body><p>Plain page, no text col used.</p></body></html>",
+          "IGNORED fallback: html wins when present", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    expect = {
+        "https://a.example.com/1": process_document(None, txt),
+        "https://a.example.com/2": process_document(None, None),
+    }
+    for kwargs in ({"fused": True}, {"fused": False},
+                   {"fused": False, "fuse_extract_detect": True}):
+        out = {r["url"]: r for r in run_pipeline(df, **kwargs).collect()}
+        for url, exp in expect.items():
+            row = out[url]
+            assert row["status"] == "complete", (kwargs, url)
+            assert row["extracted_text"] == exp["extracted_text"], (kwargs, url)
+            assert row["redacted_text"] == exp["redacted_text"], (kwargs, url)
+            assert row["n_spans"] == exp["n_spans"] > 0 or url.endswith("/2"), \
+                (kwargs, url)
+        masked = out["https://a.example.com/1"]["redacted_text"]
+        assert "editor@example.com" not in masked, kwargs
+        assert "555-867-5309" not in masked, kwargs
+        # html still wins when present
+        html_row = out["https://a.example.com/3"]
+        assert "IGNORED fallback" not in html_row["extracted_text"], kwargs
+        assert "Plain page" in html_row["extracted_text"], kwargs
+
+
+def test_null_html_fallback_chunked_and_frames_without_text(spark):
+    from redactifai_spark.operators.chunked import run_pipeline_chunked
+
+    txt = "Para one about jane.doe@mail.net.\n\n" + \
+        "Filler paragraph with plenty of ordinary words in it.\n\n" * 40 + \
+        "Para末 phone 555-867-5309."
+    df = spark.createDataFrame(
+        [("https://c.example.com/big", None, None, txt, "en"),
+         ("https://c.example.com/small", None, None, "tiny doc", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    # chunk threshold far below len(txt): the null-html large doc must route
+    # by TEXT length and still match the unchunked kernel byte-for-byte
+    out = {r["url"]: r for r in
+           run_pipeline_chunked(df, chunk_size=256).collect()}
+    exp = process_document(None, txt)
+    assert out["https://c.example.com/big"]["redacted_text"] == \
+        exp["redacted_text"]
+    assert "jane.doe@mail.net" not in out["https://c.example.com/big"]["redacted_text"]
+    assert out["https://c.example.com/small"]["extracted_text"] == "tiny doc"
+    # frames WITHOUT a text column keep the old semantics (empty doc)
+    no_text = df.select("url", "warc_ts", "html", "lang")
+    rows = {r["url"]: r for r in run_pipeline(no_text).collect()}
+    assert all(r["extracted_text"] == "" and r["status"] == "complete"
+               for r in rows.values())
