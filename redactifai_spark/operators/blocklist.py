@@ -29,11 +29,15 @@ from .partitioning import url_host
 
 def host_suffixes(host) -> F.Column:
     """All dot-suffixes of a hostname, lowercased: the join keys a
-    blocklist entry can match. NULL/empty hosts yield an empty array."""
+    blocklist entry can match. Trailing root dots are stripped first —
+    'ads.example.com.' is the browser-equivalent FQDN form of
+    'ads.example.com' and must not slip past the gate. NULL/empty hosts
+    yield an empty array."""
     col = F.col(host) if isinstance(host, str) else host
-    labels = F.split(F.lower(col), r"\.", -1)
+    norm = F.regexp_replace(F.lower(col), r"\.+$", "")
+    labels = F.split(norm, r"\.", -1)
     return F.when(
-        col.isNull() | (col == ""), F.array().cast("array<string>")
+        norm.isNull() | (norm == ""), F.array().cast("array<string>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(labels) - 1),

@@ -29,12 +29,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .textstats import tokens_of
+
 
 def _buckets(text_col: str, n_buckets: int):
-    """Hashed lowercase whitespace-token buckets for one row."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+", -1)
+    """Hashed lowercase whitespace-token buckets for one row (shares the
+    codebase's canonical tokenizer so train/score bucketing can never
+    diverge from the other token-based stats)."""
     return F.transform(
-        F.filter(toks, lambda t: t != ""),
+        F.filter(tokens_of(text_col), lambda t: t != ""),
         lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets)),
     )
 
@@ -67,9 +70,18 @@ def train_quality_classifier(
         neg.agg(F.sum("nc").alias("nt")))
     joined = pos.join(neg, "bucket", "full").crossJoin(F.broadcast(totals))
     s, d = float(smoothing), float(n_buckets)
+    # an empty (or all-empty-text) class makes pt/nt NULL and every weight
+    # NULL — which score_with_classifier would coalesce to a uniform 0.0,
+    # silently neutralizing the gate. Fail at first materialization instead
+    # (assert_true is a constant-per-row check, no extra scan).
+    ok = F.assert_true(
+        F.col("pt").isNotNull() & F.col("nt").isNotNull(),
+        F.lit("train_quality_classifier: positive or negative class has "
+              "zero tokens — check the training inputs"))
     return joined.select(
         "bucket",
-        (
+        F.when(
+            ok.isNull(),
             F.log((F.coalesce(F.col("pc"), F.lit(0)) + s)
                   / (F.col("pt") + s * d))
             - F.log((F.coalesce(F.col("nc"), F.lit(0)) + s)

@@ -74,10 +74,23 @@ def sample_corpus_mix(
     sampler's error is O(1/sqrt(n_docs)) — negligible at corpus scale.
     """
     rates_rows = source_token_counts(df, source_col, tokens_col).collect()
+    observed = {r[source_col] for r in rates_rows}
+    unknown = set(budgets) - observed
+    if unknown:
+        # a typo'd budget key would otherwise silently underdeliver the mix
+        raise ValueError(
+            "sample_corpus_mix: budget keys match no source in the corpus: "
+            f"{sorted(unknown)} (observed sources: "
+            f"{sorted(s for s in observed if s is not None)})")
     rates = []
     for r in rates_rows:
         src = r[source_col]
         if src in budgets:
+            if r["total_tokens"] is None:
+                raise ValueError(
+                    f"sample_corpus_mix: source {src!r} has no token counts "
+                    f"({tokens_col} is NULL on every row) — compute token "
+                    "counts before mixing")
             avail = max(int(r["total_tokens"]), 1)
             rate = min(budgets[src] / avail, max_rate)
         elif drop_unbudgeted:
@@ -87,18 +100,25 @@ def sample_corpus_mix(
         rates.append((src, float(rate)))
     spark = df.sparkSession
     rate_df = spark.createDataFrame(
-        rates, f"{source_col} string, sample_rate double")
+        rates, f"_mix_source string, _mix_rate double")
 
     u = _hash_unit(id_col, source_col)
-    full = F.floor(F.col("sample_rate")).cast("int")
-    frac = F.col("sample_rate") - full
+    full = F.floor(F.col("_mix_rate")).cast("int")
+    frac = F.col("_mix_rate") - full
     n_copies = (full + F.when(u < frac, 1).otherwise(0)).cast("int")
     out = (
-        df.join(F.broadcast(rate_df), source_col)
+        # eqNullSafe: NULL-source rows must meet their (None, rate) row —
+        # a plain equi-join would silently drop untagged docs. Internal
+        # _mix_* names avoid AMBIGUOUS_REFERENCE when the input already
+        # carries sample_rate/epoch (e.g. re-mixing this function's own
+        # output); withColumn then REPLACES those columns.
+        df.join(F.broadcast(rate_df),
+                df[source_col].eqNullSafe(F.col("_mix_source")))
         .withColumn("_mix_n", n_copies)
         .filter(F.col("_mix_n") > 0)
         .withColumn("epoch", F.explode(F.sequence(
             F.lit(0), F.col("_mix_n") - 1)))
-        .drop("_mix_n")
+        .withColumn("sample_rate", F.col("_mix_rate"))
+        .drop("_mix_n", "_mix_source", "_mix_rate")
     )
     return out

@@ -109,6 +109,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="xxhash64(url) re-balance before the pipeline")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    if args.classifier_weights and args.classifier_score_min is None:
+        # the inverse misconfiguration (min without weights) fails fast in
+        # prepare_training_corpus; this direction must too — otherwise the
+        # weights load but the gate silently never applies
+        p.error("--classifier-weights requires --classifier-score-min "
+                "(0.0 is the classifier's neutral point)")
 
     from redactifai_spark.kernels.oracle import PipelineConfig
     from redactifai_spark.operators.caching import unpersist_tracked

@@ -58,3 +58,16 @@ def test_no_python_nodes_or_nested_loop(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_fqdn_trailing_dot_still_blocked(spark):
+    # 'ads.example.com.' is the browser-equivalent FQDN root-dot form and
+    # must not slip past the gate (review r6)
+    df = spark.createDataFrame(
+        [("https://ads.example.com./x",), ("https://EXAMPLE.COM./y",),
+         ("https://fine.org./z",)], ["url"])
+    bl = spark.createDataFrame([("example.com",)], ["domain"])
+    kept = [r["url"] for r in filter_blocked_domains(df, bl).collect()]
+    assert kept == ["https://fine.org./z"]
+    # multi-dot hosts ('example.com..') are not valid hostnames: the url
+    # parser yields a NULL host and the documented never-blocked rule applies

@@ -91,3 +91,19 @@ def test_no_python_nodes(spark):
     out = score_with_classifier(df, w, "url", "text")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_empty_class_fails_loudly(spark):
+    # an empty (or all-empty-text) class would yield all-NULL weights that
+    # score every doc 0.0 — the fit must raise instead (review r6)
+    import pytest
+    from pyspark.sql.utils import PythonException
+    from py4j.protocol import Py4JJavaError
+
+    pos = spark.createDataFrame([("good words here",)], ["text"])
+    neg_empty = spark.createDataFrame([], "text string")
+    neg_blank = spark.createDataFrame([("",), ("   ",)], ["text"])
+    for neg in (neg_empty, neg_blank):
+        w = train_quality_classifier(pos, neg, "text", n_buckets=1 << 8)
+        with pytest.raises(Exception, match="zero tokens"):
+            w.collect()

@@ -85,3 +85,35 @@ def test_mix_plan_no_big_side_shuffle(corpus):
     before_join = plan.split("BroadcastHashJoin")[-1]
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in before_join
+
+
+def test_mix_null_source_passthrough_and_budget_validation(spark):
+    df = spark.createDataFrame(
+        [("u1", "web", 100), ("u2", None, 100)],
+        "url string, source string, n_tokens long")
+    # NULL-source rows meet their rate row via eqNullSafe: pass through at
+    # 1.0 when drop_unbudgeted=False, dropped when True (review r6)
+    kept = sample_corpus_mix(df, {"web": 100}, id_col="url",
+                             drop_unbudgeted=False)
+    assert {r["url"] for r in kept.collect()} == {"u1", "u2"}
+    dropped = sample_corpus_mix(df, {"web": 100}, id_col="url")
+    assert {r["url"] for r in dropped.collect()} == {"u1"}
+    # typo'd budget key must fail loudly, not silently underdeliver
+    with pytest.raises(ValueError, match="wb"):
+        sample_corpus_mix(df, {"wb": 100}, id_col="url")
+    # budgeted source with NULL token counts: clear error, not TypeError
+    nulls = spark.createDataFrame(
+        [("u3", "web", None)], "url string, source string, n_tokens long")
+    with pytest.raises(ValueError, match="no token counts"):
+        sample_corpus_mix(nulls, {"web": 100}, id_col="url")
+
+
+def test_mix_output_is_remixable(corpus):
+    # output carries sample_rate/epoch; feeding it back in (two-stage mix)
+    # must replace them, not crash with AMBIGUOUS_REFERENCE (review r6)
+    once = sample_corpus_mix(corpus, {"web": 50_000}, id_col="url")
+    twice = sample_corpus_mix(once, {"web": 25_000}, id_col="url")
+    rows = twice.select("sample_rate", "epoch").distinct().collect()
+    assert rows, "re-mix produced no rows"
+    assert {c for c in twice.columns}.issuperset({"sample_rate", "epoch"})
+    assert twice.columns.count("sample_rate") == 1
