@@ -1,0 +1,63 @@
+"""Robots meta-directive gate — drop pages that opt out of indexing.
+
+Responsible Common-Crawl-style pipelines (C4, RefinedWeb) exclude pages
+whose authors opted out via ``<meta name="robots" content="... noindex
+...">`` (crawl-time HTTP ``X-Robots-Tag`` headers are already gone from a
+pages table, so the meta tag is the signal that survives into ``html``).
+
+Scale shape: a pure per-row Catalyst predicate over a BOUNDED head slice —
+``substring(html, 1, head_bytes)`` keeps the regexp cost independent of
+document size (the meta tag lives in ``<head>``, overwhelmingly within the
+first 64 KB; a tag after the bound is treated as absent, the same
+conservative-keep rule C4 uses for malformed markup). No shuffle, no UDF,
+no second scan: the predicate fuses into whatever scan the caller already
+pays, and Parquet never materializes the tail bytes for it.
+
+Matching is attribute-order-insensitive (name before content or after),
+quote-style-insensitive, and case-insensitive; ``none`` implies ``noindex``
+per the robots-meta spec. Null/empty html never matches (a text-only row
+can't carry a meta directive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# one <meta ...> tag that carries BOTH name=robots and a noindex/none token
+# in content, in either attribute order. [^>]* keeps the scan inside the
+# tag, so an unrelated "noindex" in body text can never match. The content
+# value may be quoted OR unquoted (HTML allows both: content=none and
+# content="noindex, nofollow" are equally valid).
+_DIRECTIVE = r"(?:noindex|none)"
+_CONTENT_VAL = (
+    r'(?:["\'][^"\']*\b' + _DIRECTIVE + r'\b[^"\']*["\']'
+    r'|[^\s>"\']*\b' + _DIRECTIVE + r'\b[^\s>"\']*)'
+)
+_NAME_ROBOTS = r'\bname\s*=\s*["\']?robots\b["\']?'
+_NAME_FIRST = (
+    r"(?is)<meta\b[^>]*" + _NAME_ROBOTS + r"[^>]*\bcontent\s*=\s*" + _CONTENT_VAL
+)
+_CONTENT_FIRST = (
+    r"(?is)<meta\b[^>]*\bcontent\s*=\s*" + _CONTENT_VAL + r"[^>]*" + _NAME_ROBOTS
+)
+
+
+def is_noindex(html, head_bytes: int = 65536) -> Column:
+    """True when the page's head slice carries a robots noindex/none meta
+    directive; False otherwise (including null/empty html)."""
+    col = F.col(html) if isinstance(html, str) else html
+    head = F.decode(F.substring(col, 1, head_bytes), "UTF-8")
+    hit = head.rlike(_NAME_FIRST) | head.rlike(_CONTENT_FIRST)
+    return F.coalesce(hit, F.lit(False))
+
+
+def filter_noindex(
+    df: DataFrame,
+    html_col: str = "html",
+    head_bytes: int = 65536,
+    keep_noindex: bool = False,
+) -> DataFrame:
+    """Drop (or with ``keep_noindex=True`` keep ONLY) rows whose html
+    opts out of indexing. Row set only changes — columns pass through."""
+    flag = is_noindex(html_col, head_bytes)
+    return df.filter(flag if keep_noindex else ~flag)

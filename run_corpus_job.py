@@ -84,6 +84,10 @@ def main(argv: list[str] | None = None) -> int:
                         "registrable domains); input docs whose url host "
                         "matches a domain or subdomain are dropped before "
                         "any per-doc compute")
+    p.add_argument("--respect-noindex", action="store_true",
+                   help="drop pages whose html head carries a robots "
+                        "noindex/none meta directive (C4/RefinedWeb-style "
+                        "opt-out; pure Catalyst predicate, no extra scan)")
     p.add_argument("--assume-unique-urls", action="store_true",
                    help="skip the duplicate-url probe that guards the "
                         "boilerplate/LM stages (input already deduped)")
@@ -132,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
 
         pages = filter_blocked_domains(
             pages, _read_target(spark, args.block_domains))
+    if args.respect_noindex:
+        from redactifai_spark.operators.robots import filter_noindex
+
+        pages = filter_noindex(pages)
     if args.canonicalize_urls:
         # collapses crawl variants AND keeps one row per canonical url
         # (deterministic min-content keeper): the funnel's boilerplate strip

@@ -84,26 +84,39 @@ def test_corpus_job_cli(spark, tmp_path):
 
     from redactifai_spark.sources.pages import generate_pages
 
+    from pyspark.sql import functions as F
+
     inp = str(tmp_path / "in")
     outp, statsp = str(tmp_path / "corpus"), str(tmp_path / "stats")
-    generate_pages(spark, 30, n_partitions=2).write.parquet(inp)
+    pages = generate_pages(spark, 30, n_partitions=2)
+    # one page that opts out of indexing (--respect-noindex must drop it
+    # before any per-doc compute)
+    noidx = pages.limit(1).withColumn(
+        "url", F.lit("https://optout.example.com/article/0"),
+    ).withColumn(
+        "html", F.encode(F.regexp_replace(
+            F.decode("html", "UTF-8"), "<head>",
+            '<head><meta name="robots" content="noindex">'), "UTF-8"),
+    )
+    pages.unionByName(noidx).write.parquet(inp)
     env = dict(os.environ, PYTHONPATH=REPO)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "run_corpus_job.py"),
          "--input", inp, "--output", outp, "--stats", statsp,
          "--quality-min", "0.3", "--langs", "en,und",
          "--strip-boilerplate", "--lm-score-min", "-20",
-         "--master", "local[2]"],
+         "--respect-noindex", "--master", "local[2]"],
         capture_output=True, text=True, env=env, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     report = json.loads(r.stdout.strip().splitlines()[-1])
-    assert report["stats"]["n_input"] == 30
+    assert report["stats"]["n_input"] == 30  # noindex page gated pre-funnel
     assert report["corpus_rows"] == report["stats"]["n_corpus"] > 0
     rows = spark.read.parquet(outp).collect()
     assert {c for c in spark.read.parquet(outp).columns} >= {
         "url", "redacted_text", "quality_score", "lang_detected"}
     assert all("@example" not in row["redacted_text"] for row in rows)
+    assert all("optout.example.com" not in row["url"] for row in rows)
     # checkpoint landed beside the output (the zero-Python-downstream shape)
     assert os.path.exists(outp + "_redacted")
 

@@ -1,0 +1,57 @@
+"""Robots noindex meta gate: directive forms, head-bound, plan purity."""
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.robots import filter_noindex, is_noindex
+
+
+def _page(body: str, head_extra: str = "") -> bytes:
+    return (f"<html><head>{head_extra}<title>t</title></head>"
+            f"<body><p>{body}</p></body></html>").encode()
+
+
+def _frame(spark):
+    rows = [
+        ("keep-plain", _page("hello")),
+        ("drop-noindex",
+         _page("x", '<meta name="robots" content="noindex, nofollow">')),
+        ("drop-none", _page("x", "<meta name=robots content=none>")),
+        ("drop-reversed",
+         _page("x", '<META CONTENT="NOINDEX" NAME="ROBOTS">')),
+        ("keep-nofollow-only",
+         _page("x", '<meta name="robots" content="nofollow">')),
+        ("keep-other-meta",
+         _page("x", '<meta name="googlebot" content="noindex">')),
+        ("keep-body-mention", _page("the word noindex in prose")),
+        ("keep-null", None),
+        ("keep-empty", b""),
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_directive_forms_and_conservative_keeps(spark):
+    kept = {r["url"] for r in filter_noindex(_frame(spark)).collect()}
+    assert kept == {"keep-plain", "keep-nofollow-only", "keep-other-meta",
+                    "keep-body-mention", "keep-null", "keep-empty"}
+    only = {r["url"] for r in
+            filter_noindex(_frame(spark), keep_noindex=True).collect()}
+    assert only == {"drop-noindex", "drop-none", "drop-reversed"}
+
+
+def test_head_bound_treats_late_tag_as_absent(spark):
+    # a directive past head_bytes is conservatively kept — the regexp cost
+    # must stay independent of document size
+    late = ("<html><head>" + "x" * 2048 +
+            '<meta name="robots" content="noindex"></head></html>').encode()
+    df = spark.createDataFrame([("u", late)], "url string, html binary")
+    assert df.select(is_noindex("html", head_bytes=1024).alias("f")) \
+        .first()["f"] is False
+    assert df.select(is_noindex("html", head_bytes=65536).alias("f")) \
+        .first()["f"] is True
+
+
+def test_pure_catalyst_no_python(spark):
+    plan = filter_noindex(_frame(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # per-row predicate: shuffle-free
