@@ -1,0 +1,207 @@
+"""WARC/WET source adapter — read Common-Crawl-style archive files into the
+pages-table shape (url, warc_ts, html, text, lang).
+
+The engine's contract input is an Iceberg/parquet table of pages
+(FIXTURES.md §1); real crawls deliver WARC files (ISO 28500; Common Crawl
+ships ~1 GB gzip files, one gzip MEMBER per record so readers can skip
+records without decompressing the whole file). This module is the ingest
+step that turns those archives into the table every downstream operator
+reads. Reference parity: the blob-scan → parse side of the reference's
+ingestion (/root/reference/src/services/storage_service.py) re-expressed
+for archive files instead of image blobs.
+
+Scale shape: `spark.read.format("binaryFile")` yields one row per file, and
+Spark never splits a binary file across tasks — which is exactly right for
+WARC: records never cross file boundaries, files are sized (~1 GB) for one
+worker, and a crawl's 10^4-10^5 files give ample parallelism. Parsing runs
+in `mapInPandas` (Arrow-batched; the per-FILE loop is the irreducible
+container-format work, there is no per-row Python downstream — the output
+feeds the same all-Catalyst/pandas-UDF pipeline as parquet input). Rows
+stream out in bounded chunks so a 1 GB file never materializes as one
+Arrow batch.
+
+Malformed input follows the engine's per-row isolation rule: a record that
+can't be parsed poisons only the REMAINDER of its file (framing is
+byte-offset-chained, so resync is not reliable); ``strict=False`` (default)
+keeps the records already parsed and emits one synthetic error row
+(url=NULL, text=the reason) per damaged file for lineage, ``strict=True``
+raises.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["read_warc", "warc_bytes", "PAGES_SCHEMA"]
+
+# parser emits warc_ts as the raw ISO-8601 string; read_warc casts it to
+# timestamp in Catalyst (keeps datetime parsing out of Python)
+PAGES_SCHEMA = ("url string, warc_ts string, html binary, "
+                "text string, lang string, warc_error string")
+
+_CRLF = b"\r\n"
+
+
+# ---------------------------------------------------------------------------
+# serializer (deterministic; fixtures + round-trip tests + archive sink)
+
+def warc_bytes(
+    records: Iterable[dict],
+    gzip_members: bool = True,
+) -> bytes:
+    """Serialize records to WARC bytes. Each record dict: ``url``, ``date``
+    (ISO-8601 string), and either ``html: bytes`` (written as a WARC
+    *response* record wrapping a minimal HTTP response, the Common-Crawl
+    WARC shape) or ``text: str`` (written as a WET-style *conversion*
+    record), plus optional ``lang``. With ``gzip_members`` each record is
+    its own gzip member (mtime pinned to 0 so output is byte-deterministic),
+    matching how Common Crawl concatenates them."""
+    out = io.BytesIO()
+    for rec in records:
+        if rec.get("html") is not None:
+            body = rec["html"]
+            payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                       b"Content-Length: " + str(len(body)).encode() +
+                       b"\r\n\r\n" + body)
+            rtype, ctype = b"response", b"application/http; msgtype=response"
+        else:
+            payload = rec["text"].encode("utf-8")
+            rtype, ctype = b"conversion", b"text/plain"
+        headers = [
+            b"WARC/1.0",
+            b"WARC-Type: " + rtype,
+            b"WARC-Target-URI: " + rec["url"].encode("utf-8"),
+            b"WARC-Date: " + rec["date"].encode(),
+            b"Content-Type: " + ctype,
+        ]
+        if rec.get("lang"):
+            headers.append(b"WARC-Identified-Content-Language: "
+                           + rec["lang"].encode())
+        headers.append(b"Content-Length: " + str(len(payload)).encode())
+        raw = _CRLF.join(headers) + _CRLF * 2 + payload + _CRLF * 2
+        if gzip_members:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(raw)
+            out.write(buf.getvalue())
+        else:
+            out.write(raw)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# parser
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a multi-member gzip stream one member at a time (CC WARCs
+    are member-per-record; zlib exposes the boundary via unused_data)."""
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        yield d.decompress(data)
+        data = d.unused_data
+
+
+def _parse_stream(data: bytes) -> Iterator[dict]:
+    """Yield row dicts from one decompressed WARC byte stream. Raises
+    ValueError on broken framing (caller decides strict vs isolate)."""
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        head_end = data.find(_CRLF * 2, pos)
+        if head_end < 0:
+            raise ValueError(f"unterminated WARC header block at byte {pos}")
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"bad record marker at byte {pos}")
+        headers = {}
+        for line in data[pos:head_end].split(_CRLF)[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers[b"content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"missing/bad Content-Length at byte {pos}")
+        body_start = head_end + 4
+        if body_start + length > n:
+            raise ValueError(f"truncated record body at byte {body_start}")
+        payload = data[body_start : body_start + length]
+        pos = body_start + length
+        rtype = headers.get(b"warc-type", b"")
+        row = {
+            "url": headers.get(b"warc-target-uri", b"").decode("utf-8", "replace") or None,
+            "warc_ts": headers.get(b"warc-date", b"").decode() or None,
+            "html": None,
+            "text": None,
+            "lang": (headers.get(b"warc-identified-content-language", b"")
+                     .decode() or None),
+            "warc_error": None,
+        }
+        if rtype == b"response":
+            # payload is an HTTP response: drop its header block
+            sep = payload.find(_CRLF * 2)
+            row["html"] = payload[sep + 4:] if sep >= 0 else payload
+        elif rtype == b"conversion":
+            row["text"] = payload.decode("utf-8", "replace")
+        else:
+            continue  # warcinfo/request/metadata records carry no page
+        yield row
+
+
+def _parse_file(content: bytes, strict: bool) -> Iterator[dict]:
+    try:
+        if content[:2] == b"\x1f\x8b":
+            for member in _gzip_members(content):
+                yield from _parse_stream(member)
+        else:
+            yield from _parse_stream(content)
+    except (ValueError, zlib.error, EOFError) as e:
+        if strict:
+            raise
+        yield {"url": None, "warc_ts": None, "html": None,
+               "text": None, "lang": None, "warc_error": str(e)}
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    strict: bool = False,
+    keep_error_rows: bool = False,
+    rows_per_chunk: int = 2048,
+) -> DataFrame:
+    """Read WARC/WET files under ``path`` (glob ok) into the pages-table
+    shape. Response records fill ``html``, conversion (WET) records fill
+    ``text``; both parse WARC-Date into ``warc_ts``. With
+    ``keep_error_rows`` the per-damaged-file error rows (url NULL,
+    warc_error set) stay in the frame for lineage sinks; by default they
+    are filtered out after parsing."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        buf: list[dict] = []
+        for pdf in batches:
+            for content in pdf["content"]:
+                for row in _parse_file(bytes(content), strict):
+                    buf.append(row)
+                    if len(buf) >= rows_per_chunk:
+                        yield pd.DataFrame(buf)
+                        buf = []
+        if buf:
+            yield pd.DataFrame(buf)
+
+    pages = files.mapInPandas(parse, PAGES_SCHEMA)
+    # ISO-8601 Zulu → timestamp happens in Catalyst, not Python
+    pages = pages.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    if not keep_error_rows:
+        pages = pages.filter(F.col("warc_error").isNull()).drop("warc_error")
+    return pages

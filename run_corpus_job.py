@@ -27,6 +27,10 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="pages parquet dir / table")
+    p.add_argument("--input-format", default="table", choices=["table", "warc"],
+                   help="'table' = parquet dir / catalog table (default); "
+                        "'warc' = raw WARC/WET archive files (ingested via "
+                        "sources.warc.read_warc, one task per archive file)")
     p.add_argument("--output", required=True, help="curated corpus parquet dir")
     p.add_argument("--stats", required=True, help="funnel-stats parquet dir")
     p.add_argument("--checkpoint", default=None,
@@ -128,7 +132,12 @@ def main(argv: list[str] | None = None) -> int:
     from redactifai_spark.session import get_spark
 
     spark = get_spark(app_name="redactifai-corpus-job", master=args.master)
-    pages = _read_target(spark, args.input)
+    if args.input_format == "warc":
+        from redactifai_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    else:
+        pages = _read_target(spark, args.input)
     if args.block_domains:
         # first gate in the job: blocked-domain rows never reach the
         # (dominant-cost) per-doc redaction pass

@@ -32,6 +32,10 @@ import time
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="pages parquet dir / table")
+    p.add_argument("--input-format", default="table", choices=["table", "warc"],
+                   help="'table' = parquet dir / catalog table (default); "
+                        "'warc' = raw WARC/WET archive files (ingested via "
+                        "sources.warc.read_warc, one task per archive file)")
     p.add_argument("--output", required=True, help="clean output parquet dir / table")
     p.add_argument("--metrics", required=True, help="lineage/metrics parquet dir")
     p.add_argument("--run-id", default=None)
@@ -118,7 +122,12 @@ def main(argv: list[str] | None = None) -> int:
 
     from redactifai_spark.operators.metrics import _read_target, target_missing
 
-    pages = _read_target(spark, args.input)
+    if args.input_format == "warc":
+        from redactifai_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    else:
+        pages = _read_target(spark, args.input)
     if args.canonicalize_urls:
         # before resume on purpose: the committed output is keyed on the
         # canonical form, so resume must compare canonical to canonical.

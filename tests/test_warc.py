@@ -1,0 +1,175 @@
+"""WARC/WET source adapter: round-trip, member framing, isolation, plan."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.sources.warc import read_warc, warc_bytes
+
+
+def _records(n, html=True):
+    return [
+        {
+            "url": f"https://site-{i}.example.com/a/{i}",
+            "date": f"2024-01-0{(i % 9) + 1}T0{i % 10}:30:00Z",
+            "html": (f"<html><body><p>doc {i} body</p></body>"
+                     "</html>").encode() if html else None,
+            "text": None if html else f"extracted text of doc {i}",
+            "lang": ["en", "de", None][i % 3],
+        }
+        for i in range(n)
+    ]
+
+
+def _write(tmp_path, name, recs, gzip_members=True):
+    p = tmp_path / name
+    p.write_bytes(warc_bytes(recs, gzip_members=gzip_members))
+    return str(p)
+
+
+def test_response_roundtrip_gzip_members(spark, tmp_path):
+    recs = _records(7)
+    # two files, as a crawl ships many — reader globs the directory
+    _write(tmp_path, "a.warc.gz", recs[:4])
+    _write(tmp_path, "b.warc.gz", recs[4:])
+    got = read_warc(spark, str(tmp_path)).orderBy("url").collect()
+    assert len(got) == 7
+    by_url = {r["url"]: r for r in got}
+    for rec in recs:
+        row = by_url[rec["url"]]
+        assert bytes(row["html"]) == rec["html"]
+        assert row["text"] is None
+        assert row["lang"] == rec["lang"]
+        assert row["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ") == rec["date"]
+
+
+def test_wet_conversion_records_fill_text(spark, tmp_path):
+    recs = _records(5, html=False)
+    _write(tmp_path, "a.warc.wet.gz", recs)
+    got = {r["url"]: r for r in read_warc(spark, str(tmp_path)).collect()}
+    assert len(got) == 5
+    for rec in recs:
+        assert got[rec["url"]]["html"] is None
+        assert got[rec["url"]]["text"] == rec["text"]
+
+
+def test_plain_uncompressed_and_non_page_records(spark, tmp_path):
+    recs = _records(3)
+    raw = warc_bytes(recs, gzip_members=False)
+    # prepend a warcinfo record (every real WARC starts with one) — carries
+    # no page, must be skipped, must not break framing
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            b"Content-Length: 9\r\n\r\nrobots: x\r\n\r\n")
+    (tmp_path / "c.warc").write_bytes(info + raw)
+    got = read_warc(spark, str(tmp_path))
+    assert got.count() == 3
+
+
+def test_truncated_file_isolates_not_poisons(spark, tmp_path):
+    good = _records(4)
+    _write(tmp_path, "good.warc.gz", good)
+    # truncate a file mid-record-body: its parsed prefix survives, the rest
+    # becomes one error row, other files are untouched
+    bad = warc_bytes(_records(3), gzip_members=False)
+    (tmp_path / "bad.warc").write_bytes(bad[: len(bad) - 40])
+    df = read_warc(spark, str(tmp_path))
+    assert df.count() >= 4 + 1  # all good + at least bad's intact prefix
+    assert "warc_error" not in df.columns
+    withered = read_warc(spark, str(tmp_path), keep_error_rows=True)
+    errs = withered.filter(F.col("warc_error").isNotNull()).collect()
+    assert len(errs) == 1 and "truncated" in errs[0]["warc_error"]
+    assert errs[0]["url"] is None
+
+
+def test_strict_mode_raises(spark, tmp_path):
+    (tmp_path / "junk.warc").write_bytes(b"WARC/1.0\r\nno-terminator")
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        read_warc(spark, str(tmp_path), strict=True).count()
+    assert isinstance(ei.value, Py4JJavaError) or "unterminated" in str(ei.value)
+
+
+def test_corrupt_gzip_isolated(spark, tmp_path):
+    _write(tmp_path, "ok.warc.gz", _records(2))
+    blob = bytearray(warc_bytes(_records(2)))
+    blob[len(blob) // 2] ^= 0xFF  # flip a byte inside the deflate stream
+    (tmp_path / "corrupt.warc.gz").write_bytes(bytes(blob))
+    df = read_warc(spark, str(tmp_path), keep_error_rows=True)
+    assert df.filter(F.col("warc_error").isNotNull()).count() == 1
+    assert df.filter(F.col("warc_error").isNull()).count() >= 2
+
+
+def test_feeds_pipeline_byte_identical(spark, tmp_path):
+    # WARC ingest composes with the redaction pipeline: same bytes per url
+    # as driving the pipeline from an equivalent in-memory pages frame
+    from redactifai_spark.operators.pipeline import run_pipeline
+    from redactifai_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 20, n_partitions=2)
+    rows = pages.collect()
+    recs = [{"url": r["url"],
+             "date": r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+             "html": bytes(r["html"]), "text": None, "lang": r["lang"]}
+            for r in rows]
+    _write(tmp_path, "pages.warc.gz", recs)
+    via_warc = read_warc(spark, str(tmp_path)) \
+        .withColumn("text", F.lit(None).cast("string"))
+    a = {r["url"]: r["redacted_text"]
+         for r in run_pipeline(via_warc, fused=True).collect()}
+    b = {r["url"]: r["redacted_text"]
+         for r in run_pipeline(pages, fused=True).collect()}
+    assert a == b and len(a) == 20
+
+
+def test_plan_single_arrow_hop_no_shuffle(spark, tmp_path):
+    _write(tmp_path, "a.warc.gz", _records(3))
+    plan = read_warc(spark, str(tmp_path))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_serializer_deterministic():
+    recs = _records(6)
+    assert warc_bytes(recs) == warc_bytes(recs)
+    # gzip member-per-record: each record independently decompressible
+    blob = warc_bytes(recs)
+    assert blob[:2] == b"\x1f\x8b"
+    assert gzip.decompress(blob).count(b"WARC/1.0") == 6
+
+
+def test_redaction_cli_warc_input(spark, tmp_path):
+    # run_redaction_job.py --input-format warc: archives in, committed clean
+    # parquet out — the full crawl→table→redact path in one submission
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from redactifai_spark.sources.pages import generate_pages
+
+    rows = generate_pages(spark, 12, n_partitions=2).collect()
+    recs = [{"url": r["url"],
+             "date": r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+             "html": bytes(r["html"]), "text": None, "lang": r["lang"]}
+            for r in rows]
+    inp = tmp_path / "warcs"
+    inp.mkdir()
+    _write(inp, "crawl-00000.warc.gz", recs[:6])
+    _write(inp, "crawl-00001.warc.gz", recs[6:])
+    outp, met = str(tmp_path / "out"), str(tmp_path / "met")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "run_redaction_job.py"),
+         "--input", str(inp), "--input-format", "warc",
+         "--output", outp, "--metrics", met,
+         "--run-id", "w1", "--master", "local[2]"],
+        capture_output=True, text=True,
+        env=dict(os.environ, PYTHONPATH=repo), timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = spark.read.parquet(outp)
+    assert out.count() == 12
+    assert out.filter("n_spans > 0").count() == 12
