@@ -23,32 +23,37 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# one <meta ...> tag that carries BOTH name=robots and a noindex/none token
+# ONE <meta ...> tag that carries BOTH name=robots and a noindex/none token
 # in content, in either attribute order. [^>]* keeps the scan inside the
 # tag, so an unrelated "noindex" in body text can never match. The content
 # value may be quoted OR unquoted (HTML allows both: content=none and
-# content="noindex, nofollow" are equally valid).
+# content="noindex, nofollow" are equally valid). (?<![\w-]) keeps
+# look-alike attributes (data-name=, data-content=, itemprop-content=) from
+# matching — \b alone matches after a hyphen. Both attribute orders live in
+# a single alternation so the (possibly 64KB) head is scanned ONCE.
 _DIRECTIVE = r"(?:noindex|none)"
 _CONTENT_VAL = (
     r'(?:["\'][^"\']*\b' + _DIRECTIVE + r'\b[^"\']*["\']'
     r'|[^\s>"\']*\b' + _DIRECTIVE + r'\b[^\s>"\']*)'
 )
-_NAME_ROBOTS = r'\bname\s*=\s*["\']?robots\b["\']?'
-_NAME_FIRST = (
-    r"(?is)<meta\b[^>]*" + _NAME_ROBOTS + r"[^>]*\bcontent\s*=\s*" + _CONTENT_VAL
-)
-_CONTENT_FIRST = (
-    r"(?is)<meta\b[^>]*\bcontent\s*=\s*" + _CONTENT_VAL + r"[^>]*" + _NAME_ROBOTS
+_NAME_ROBOTS = r'(?<![\w-])name\s*=\s*["\']?robots\b["\']?'
+_CONTENT_EQ = r"(?<![\w-])content\s*=\s*"
+_NOINDEX_RE = (
+    r"(?is)<meta\b[^>]*"
+    r"(?:" + _NAME_ROBOTS + r"[^>]*" + _CONTENT_EQ + _CONTENT_VAL
+    + r"|" + _CONTENT_EQ + _CONTENT_VAL + r"[^>]*" + _NAME_ROBOTS + r")"
 )
 
 
 def is_noindex(html, head_bytes: int = 65536) -> Column:
     """True when the page's head slice carries a robots noindex/none meta
-    directive; False otherwise (including null/empty html)."""
+    directive; False otherwise (including null/empty html). The binary →
+    string conversion is a permissive cast (malformed bytes — including a
+    multibyte character split at the head_bytes cut — become U+FFFD, they
+    never abort the job; Spark's `decode` would throw under ANSI mode)."""
     col = F.col(html) if isinstance(html, str) else html
-    head = F.decode(F.substring(col, 1, head_bytes), "UTF-8")
-    hit = head.rlike(_NAME_FIRST) | head.rlike(_CONTENT_FIRST)
-    return F.coalesce(hit, F.lit(False))
+    head = F.substring(col, 1, head_bytes).cast("string")
+    return F.coalesce(head.rlike(_NOINDEX_RE), F.lit(False))
 
 
 def filter_noindex(

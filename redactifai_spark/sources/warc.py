@@ -20,12 +20,15 @@ feeds the same all-Catalyst/pandas-UDF pipeline as parquet input). Rows
 stream out in bounded chunks so a 1 GB file never materializes as one
 Arrow batch.
 
-Malformed input follows the engine's per-row isolation rule: a record that
-can't be parsed poisons only the REMAINDER of its file (framing is
-byte-offset-chained, so resync is not reliable); ``strict=False`` (default)
-keeps the records already parsed and emits one synthetic error row
-(url=NULL, text=the reason) per damaged file for lineage, ``strict=True``
-raises.
+Malformed input follows the engine's per-row isolation rule, at two
+granularities. Broken FRAMING (truncated file, corrupt gzip member,
+unterminated header) poisons only the remainder of its file — framing is
+byte-offset-chained, so resync is not reliable — and ``strict=False``
+(default) keeps the records already parsed plus one error row naming the
+damaged file (url NULL, ``warc_error`` = "<path>: <reason>"); a broken
+RECORD BODY (undecodable Content-Encoding, bad chunked framing) isolates
+to that record with its url in the error row. ``strict=True`` raises on
+framing failures.
 """
 
 from __future__ import annotations
@@ -97,13 +100,71 @@ def warc_bytes(
 # ---------------------------------------------------------------------------
 # parser
 
+_GZ_CHUNK = 1 << 20
+
+
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a multi-member gzip stream one member at a time (CC WARCs
-    are member-per-record; zlib exposes the boundary via unused_data)."""
-    while data:
+    are member-per-record). The decompressor is fed bounded chunks through a
+    memoryview — feeding the whole remaining tail per member would copy it
+    into ``unused_data`` every iteration, O(members × file_size) for a ~1 GB
+    member-per-record archive. A member whose deflate stream ends without
+    its gzip trailer (``not d.eof``) is TRUNCATED, not complete — zlib
+    returns the partial bytes without error, so the check is explicit."""
+    mv = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
-        yield d.decompress(data)
-        data = d.unused_data
+        out = []
+        while not d.eof and pos < n:
+            chunk = mv[pos : pos + _GZ_CHUNK]
+            out.append(d.decompress(chunk))
+            pos += len(chunk)
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at tail of file ({n} bytes)")
+        pos -= len(d.unused_data)  # rewind the part of the chunk past the member
+        yield b"".join(out)
+
+
+def _unchunk(body: bytes) -> bytes:
+    """Undo HTTP/1.1 chunked transfer framing (hex size lines interleaved
+    with the data — left in place they corrupt the markup)."""
+    out, pos = [], 0
+    while True:
+        nl = body.find(_CRLF, pos)
+        if nl < 0:
+            raise ValueError("bad chunked framing: missing size line")
+        size = int(body[pos:nl].split(b";")[0], 16)
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)
+        out.append(body[pos : pos + size])
+        pos += size + 2
+
+
+def _decode_http_body(http_head: bytes, body: bytes) -> bytes:
+    """Apply Transfer-Encoding (transport framing) then Content-Encoding
+    (compression) from the record's stored HTTP response headers. Common
+    Crawl pre-decodes payloads (headers absent → passthrough); wget/
+    heritrix/warcio store bytes as transmitted."""
+    headers = {}
+    for line in http_head.split(_CRLF)[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().lower()] = v.strip().lower()
+    if b"chunked" in headers.get(b"transfer-encoding", b""):
+        body = _unchunk(body)
+    coding = headers.get(b"content-encoding", b"").split(b",")[0].strip()
+    if coding in (b"", b"identity"):
+        return body
+    if coding == b"gzip":
+        return gzip.decompress(body)
+    if coding == b"deflate":
+        try:
+            return zlib.decompress(body)       # RFC-correct zlib wrapper
+        except zlib.error:
+            return zlib.decompress(body, -15)  # common raw-deflate violation
+    raise ValueError(f"unsupported Content-Encoding: {coding.decode('ascii', 'replace')}")
 
 
 def _parse_stream(data: bytes) -> Iterator[dict]:
@@ -136,19 +197,29 @@ def _parse_stream(data: bytes) -> Iterator[dict]:
         payload = data[body_start : body_start + length]
         pos = body_start + length
         rtype = headers.get(b"warc-type", b"")
+        # every header decodes leniently: one mojibake byte in one record's
+        # metadata must not read as file-level framing failure
         row = {
             "url": headers.get(b"warc-target-uri", b"").decode("utf-8", "replace") or None,
-            "warc_ts": headers.get(b"warc-date", b"").decode() or None,
+            "warc_ts": headers.get(b"warc-date", b"").decode("utf-8", "replace") or None,
             "html": None,
             "text": None,
             "lang": (headers.get(b"warc-identified-content-language", b"")
-                     .decode() or None),
+                     .decode("utf-8", "replace") or None),
             "warc_error": None,
         }
         if rtype == b"response":
-            # payload is an HTTP response: drop its header block
+            # payload is an HTTP response: drop its header block, undo the
+            # transport/content codings some writers (wget/heritrix/warcio)
+            # store as-transmitted. Failure isolates to THIS record: the url
+            # is known, so the error row is per-page lineage.
             sep = payload.find(_CRLF * 2)
-            row["html"] = payload[sep + 4:] if sep >= 0 else payload
+            http_head = payload[:sep] if sep >= 0 else b""
+            body = payload[sep + 4:] if sep >= 0 else payload
+            try:
+                row["html"] = _decode_http_body(http_head, body)
+            except (ValueError, zlib.error, EOFError) as e:
+                row["warc_error"] = f"http body decode failed: {e}"
         elif rtype == b"conversion":
             row["text"] = payload.decode("utf-8", "replace")
         else:
@@ -156,7 +227,7 @@ def _parse_stream(data: bytes) -> Iterator[dict]:
         yield row
 
 
-def _parse_file(content: bytes, strict: bool) -> Iterator[dict]:
+def _parse_file(path: str, content: bytes, strict: bool) -> Iterator[dict]:
     try:
         if content[:2] == b"\x1f\x8b":
             for member in _gzip_members(content):
@@ -165,9 +236,11 @@ def _parse_file(content: bytes, strict: bool) -> Iterator[dict]:
             yield from _parse_stream(content)
     except (ValueError, zlib.error, EOFError) as e:
         if strict:
-            raise
+            raise ValueError(f"{path}: {e}") from e
+        # file-level framing failure: name the damaged file so lineage can
+        # point at it (record-level failures carry the record's url instead)
         yield {"url": None, "warc_ts": None, "html": None,
-               "text": None, "lang": None, "warc_error": str(e)}
+               "text": None, "lang": None, "warc_error": f"{path}: {e}"}
 
 
 def read_warc(
@@ -176,22 +249,28 @@ def read_warc(
     strict: bool = False,
     keep_error_rows: bool = False,
     rows_per_chunk: int = 2048,
+    observation=None,
 ) -> DataFrame:
     """Read WARC/WET files under ``path`` (glob ok) into the pages-table
     shape. Response records fill ``html``, conversion (WET) records fill
-    ``text``; both parse WARC-Date into ``warc_ts``. With
-    ``keep_error_rows`` the per-damaged-file error rows (url NULL,
-    warc_error set) stay in the frame for lineage sinks; by default they
-    are filtered out after parsing."""
+    ``text``; both parse WARC-Date into ``warc_ts``.
+
+    Error rows carry lineage either way: ``warc_error`` names the damaged
+    file (framing failures, url NULL) or the failing record's url (body
+    decode failures). With ``keep_error_rows`` they stay in the frame; by
+    default they are filtered out — pass ``observation`` (a
+    ``pyspark.sql.Observation``) to still COUNT them during the caller's
+    first action, with no second scan over the archives:
+    ``observation.get["n_parse_errors"]``."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         buf: list[dict] = []
         for pdf in batches:
-            for content in pdf["content"]:
-                for row in _parse_file(bytes(content), strict):
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for row in _parse_file(fpath, bytes(content), strict):
                     buf.append(row)
                     if len(buf) >= rows_per_chunk:
                         yield pd.DataFrame(buf)
@@ -202,6 +281,11 @@ def read_warc(
     pages = files.mapInPandas(parse, PAGES_SCHEMA)
     # ISO-8601 Zulu → timestamp happens in Catalyst, not Python
     pages = pages.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    if observation is not None:
+        pages = pages.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("warc_error").alias("n_parse_errors"))
     if not keep_error_rows:
         pages = pages.filter(F.col("warc_error").isNull()).drop("warc_error")
     return pages

@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="'table' = parquet dir / catalog table (default); "
                         "'warc' = raw WARC/WET archive files (ingested via "
                         "sources.warc.read_warc, one task per archive file)")
+    p.add_argument("--warc-strict", action="store_true",
+                   help="fail the job on a malformed archive instead of "
+                        "isolating it (default: parsed records survive and "
+                        "the final report counts warc_parse_errors)")
     p.add_argument("--output", required=True, help="curated corpus parquet dir")
     p.add_argument("--stats", required=True, help="funnel-stats parquet dir")
     p.add_argument("--checkpoint", default=None,
@@ -132,10 +136,17 @@ def main(argv: list[str] | None = None) -> int:
     from redactifai_spark.session import get_spark
 
     spark = get_spark(app_name="redactifai-corpus-job", master=args.master)
+    warc_obs = None
     if args.input_format == "warc":
+        from pyspark.sql import Observation
+
         from redactifai_spark.sources.warc import read_warc
 
-        pages = read_warc(spark, args.input)
+        # observation counts damaged-file/record rows during the job's own
+        # first pass — corrupt archives are reported, never silently shrunk
+        warc_obs = Observation("warc_ingest")
+        pages = read_warc(spark, args.input, strict=args.warc_strict,
+                          observation=warc_obs)
     else:
         pages = _read_target(spark, args.input)
     if args.block_domains:
@@ -200,8 +211,11 @@ def main(argv: list[str] | None = None) -> int:
     stats.write.mode("overwrite").parquet(args.stats)
     unpersist_tracked()
     row = spark.read.parquet(args.stats).collect()[0].asDict()
-    print(json.dumps({"stats": row,
-                      "corpus_rows": spark.read.parquet(args.output).count()}))
+    report = {"stats": row,
+              "corpus_rows": spark.read.parquet(args.output).count()}
+    if warc_obs is not None:
+        report["warc_parse_errors"] = warc_obs.get["n_parse_errors"]
+    print(json.dumps(report))
     spark.stop()
     return 0
 

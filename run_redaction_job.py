@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="'table' = parquet dir / catalog table (default); "
                         "'warc' = raw WARC/WET archive files (ingested via "
                         "sources.warc.read_warc, one task per archive file)")
+    p.add_argument("--warc-strict", action="store_true",
+                   help="fail the job on a malformed archive instead of "
+                        "isolating it (default: parsed records survive; the "
+                        "job prints the parse-error count)")
     p.add_argument("--output", required=True, help="clean output parquet dir / table")
     p.add_argument("--metrics", required=True, help="lineage/metrics parquet dir")
     p.add_argument("--run-id", default=None)
@@ -122,10 +126,17 @@ def main(argv: list[str] | None = None) -> int:
 
     from redactifai_spark.operators.metrics import _read_target, target_missing
 
+    warc_obs = None
     if args.input_format == "warc":
+        from pyspark.sql import Observation
+
         from redactifai_spark.sources.warc import read_warc
 
-        pages = read_warc(spark, args.input)
+        # observation counts damaged-file/record rows during the job's own
+        # first pass — corrupt archives are reported, never silently shrunk
+        warc_obs = Observation("warc_ingest")
+        pages = read_warc(spark, args.input, strict=args.warc_strict,
+                          observation=warc_obs)
     else:
         pages = _read_target(spark, args.input)
     if args.canonicalize_urls:
@@ -195,7 +206,10 @@ def main(argv: list[str] | None = None) -> int:
 
     unpersist_tracked()
     n = _read_target(spark, args.output).count()
-    print(f"committed run_id={run_id}; output rows now {n}")
+    suffix = ""
+    if warc_obs is not None:
+        suffix = f"; warc parse errors: {warc_obs.get['n_parse_errors']}"
+    print(f"committed run_id={run_id}; output rows now {n}{suffix}")
     spark.stop()
     return 0
 

@@ -55,3 +55,51 @@ def test_pure_catalyst_no_python(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # per-row predicate: shuffle-free
+
+
+def test_malformed_bytes_never_abort(spark):
+    # Spark 4 decode() throws MALFORMED_CHARACTER_CODING on non-UTF-8 input;
+    # the gate must use a permissive conversion — real crawls carry latin-1/
+    # shift-jis bytes and 64KB head cuts that split multibyte characters
+    noidx_tail = ('<meta name="robots" content="noindex"></head>'
+                  '<body></body></html>').encode()
+    rows = [
+        ("latin1", b"\xff\xfe<html><head>" + noidx_tail),
+        # valid UTF-8, but the head_bytes cut lands mid-codepoint
+        ("split-multibyte",
+         "<html><head>".encode() + ("é" * 40).encode() + noidx_tail),
+        ("keep-latin1-plain", b"\xfe\xca<html><head></head><body>x</body>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    flags = {r["url"]: r["f"] for r in df.select(
+        "url", is_noindex("html", head_bytes=30).alias("f")).collect()}
+    assert flags == {"latin1": False, "split-multibyte": False,
+                     "keep-latin1-plain": False}  # tag past bound: kept
+    flags = {r["url"]: r["f"] for r in df.select(
+        "url", is_noindex("html").alias("f")).collect()}
+    assert flags == {"latin1": True, "split-multibyte": True,
+                     "keep-latin1-plain": False}
+
+
+def test_lookalike_attributes_do_not_match(spark):
+    # \b matches after '-', so data-name=/data-content= must not trip the
+    # gate: these pages explicitly allow indexing
+    rows = [
+        ("keep-data-attrs", _page(
+            "x", '<meta data-content="noindex-widget" data-name="robots">')),
+        ("keep-data-pair", _page(
+            "x", '<meta data-name="robots" data-content="noindex">')),
+        ("drop-real", _page(
+            "x", '<meta data-x="1" name="robots" content="noindex">')),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    kept = {r["url"] for r in filter_noindex(df).collect()}
+    assert kept == {"keep-data-attrs", "keep-data-pair"}
+
+
+def test_single_regex_single_scan(spark):
+    # both attribute orders live in ONE alternation: the (up to 64KB) head
+    # is decoded and scanned once per row, not twice
+    plan = filter_noindex(_frame(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("RLIKE") == 1

@@ -173,3 +173,99 @@ def test_redaction_cli_warc_input(spark, tmp_path):
     out = spark.read.parquet(outp)
     assert out.count() == 12
     assert out.filter("n_spans > 0").count() == 12
+
+
+def test_http_body_codings_decoded(spark, tmp_path):
+    # wget/heritrix/warcio store response bytes as transmitted: gzip
+    # Content-Encoding and chunked Transfer-Encoding must be undone, or
+    # garbage flows into the corpus as html
+    import gzip as _gzip
+
+    html = b"<html><body><p>coded body</p></body></html>"
+    gz_payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                  b"Content-Encoding: gzip\r\n\r\n" + _gzip.compress(html, mtime=0))
+    c1, c2 = html[:20], html[20:]
+    chunked = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+               + hex(len(c1))[2:].encode() + b"\r\n" + c1 + b"\r\n"
+               + hex(len(c2))[2:].encode() + b"\r\n" + c2 + b"\r\n0\r\n\r\n")
+    recs = []
+    for i, payload in enumerate((gz_payload, chunked)):
+        raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://coded.example.com/" + str(i).encode() +
+               b"\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+               b"Content-Type: application/http; msgtype=response\r\n"
+               b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n" +
+               payload + b"\r\n\r\n")
+        recs.append(raw)
+    (tmp_path / "coded.warc").write_bytes(b"".join(recs))
+    got = {r["url"]: bytes(r["html"])
+           for r in read_warc(spark, str(tmp_path)).collect()}
+    assert got["https://coded.example.com/0"] == html
+    assert got["https://coded.example.com/1"] == html
+
+
+def test_unsupported_encoding_isolates_record_with_url(spark, tmp_path):
+    # a body the reader can't decode fails THAT record only, with its url
+    # in the error row — other records in the same file survive
+    good = _records(2)
+    bad_payload = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nXXXX")
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://bad.example.com/br\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           b"Content-Length: " + str(len(bad_payload)).encode() + b"\r\n\r\n" +
+           bad_payload + b"\r\n\r\n")
+    (tmp_path / "mix.warc").write_bytes(
+        warc_bytes(good, gzip_members=False) + bad)
+    df = read_warc(spark, str(tmp_path), keep_error_rows=True)
+    errs = df.filter(F.col("warc_error").isNotNull()).collect()
+    assert len(errs) == 1
+    assert errs[0]["url"] == "https://bad.example.com/br"
+    assert "Content-Encoding" in errs[0]["warc_error"]
+    assert df.filter(F.col("warc_error").isNull()).count() == 2
+    # strict mode concerns FRAMING; a record-level body failure still
+    # isolates rather than killing the archive
+    assert read_warc(spark, str(tmp_path), strict=True).count() == 2
+
+
+def test_truncated_gzip_member_detected(spark, tmp_path):
+    # a member whose deflate stream just ends (no CRC trailer) decompresses
+    # without error in zlib — the reader must still flag it, not silently
+    # drop trailing records
+    blob = warc_bytes(_records(3))
+    (tmp_path / "cut.warc.gz").write_bytes(blob[:-15])
+    df = read_warc(spark, str(tmp_path), keep_error_rows=True)
+    errs = df.filter(F.col("warc_error").isNotNull()).collect()
+    assert len(errs) == 1 and "truncated gzip member" in errs[0]["warc_error"]
+
+
+def test_error_rows_name_the_file(spark, tmp_path):
+    (tmp_path / "named.warc").write_bytes(b"WARC/1.0\r\nbroken")
+    errs = read_warc(spark, str(tmp_path), keep_error_rows=True).collect()
+    assert len(errs) == 1 and "named.warc" in errs[0]["warc_error"]
+
+
+def test_mojibake_header_does_not_poison_file(spark, tmp_path):
+    # one non-UTF-8 byte in one record's WARC-Date must not read as a
+    # framing failure for the whole archive
+    ok = warc_bytes(_records(2), gzip_members=False)
+    moji = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: https://moji.example.com/x\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\xff\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    (tmp_path / "m.warc").write_bytes(moji + ok)
+    df = read_warc(spark, str(tmp_path))
+    assert df.count() == 3  # mojibake record kept (ts unparseable -> NULL)
+    assert df.filter(F.col("url") == "https://moji.example.com/x").count() == 1
+
+
+def test_observation_counts_errors_in_one_pass(spark, tmp_path):
+    from pyspark.sql import Observation
+
+    _write(tmp_path, "ok.warc.gz", _records(3))
+    (tmp_path / "bad.warc").write_bytes(b"WARC/1.0\r\nbroken")
+    obs = Observation("warc_ingest_test")
+    df = read_warc(spark, str(tmp_path), observation=obs)
+    assert df.count() == 3  # error row filtered from the frame...
+    got = obs.get
+    assert got["n_parse_errors"] == 1 and got["n_rows"] == 4
