@@ -1,0 +1,103 @@
+"""Outlink extraction and host-graph statistics — pure Catalyst link mining.
+
+Web-scale quality pipelines use the LINK STRUCTURE around a page as a spam/
+quality signal (host out-degree, ratio of intra- vs cross-host links,
+distinct target hosts). This module extracts hrefs from raw html with JVM
+regexps (no UDF, no DOM library) and aggregates them into per-host stats.
+
+Scale shape: extraction is a per-row `regexp_extract_all` over a permissive
+binary→string cast (malformed bytes become U+FFFD, never abort — same rule
+as operators/robots.py); the explode is a narrow transform; the host-level
+aggregation groups on `host`, a key whose skew the engine already handles
+(salting in operators/partitioning.py) — and the stats aggregation itself
+is map-side combining. Nothing touches Python.
+
+Href semantics are deliberately conservative: absolute http(s) URLs are
+kept as-is, protocol-relative (//host/x) inherit the page's scheme,
+root-relative (/x) resolve against the page's host; other forms (relative
+paths, mailto:, javascript:, fragments) are dropped — resolving dot
+segments without a DOM/base-tag pass is guesswork, and quality signals
+need precision over recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["extract_links", "host_link_stats"]
+
+# href="..." / href='...' / href=unquoted inside an <a ...> tag
+_HREF_RE = r"""(?is)<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))"""
+
+
+def _page_host(url: Column) -> Column:
+    return F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit(""))
+
+
+def _page_scheme(url: Column) -> Column:
+    return F.coalesce(F.try_parse_url(url, F.lit("PROTOCOL")), F.lit("https"))
+
+
+def extract_links(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    head_bytes: int = 0,
+) -> DataFrame:
+    """One row per (page url, resolved target url). ``head_bytes`` > 0
+    bounds the scanned slice like the robots gate (0 = whole document —
+    links live in the body, so the default scans everything)."""
+    html = F.col(html_col)
+    if head_bytes > 0:
+        html = F.substring(html, 1, head_bytes)
+    body = html.cast("string")
+
+    # ONE regexp pass over the (potentially megabytes) body pulls the whole
+    # matched snippets (group 0); the quoted/unquoted value then extracts
+    # from each ~100-char snippet — three short-string regexps per match
+    # beat three full-body scans by orders of magnitude on real pages
+    def _href_value(t):
+        return F.coalesce(
+            F.nullif(F.regexp_extract(t, _HREF_RE, 1), F.lit("")),
+            F.nullif(F.regexp_extract(t, _HREF_RE, 2), F.lit("")),
+            F.nullif(F.regexp_extract(t, _HREF_RE, 3), F.lit("")),
+        )
+
+    pages = df.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract_all(body, F.lit(_HREF_RE), 0).alias("_snips"),
+    ).withColumn("_raw", F.transform(F.col("_snips"), _href_value))
+    links = pages.select("url", F.explode("_raw").alias("_href")) \
+        .filter(F.col("_href").isNotNull())
+    href = F.col("_href")
+    resolved = (
+        F.when(href.rlike(r"(?i)^https?://"), href)
+        .when(href.startswith("//"),
+              F.concat(_page_scheme(F.col("url")), F.lit(":"), href))
+        .when(href.startswith("/"),
+              F.concat(_page_scheme(F.col("url")), F.lit("://"),
+                       _page_host(F.col("url")), href))
+    )
+    return links.select(
+        "url", resolved.alias("target_url"),
+    ).filter(F.col("target_url").isNotNull())
+
+
+def host_link_stats(links: DataFrame) -> DataFrame:
+    """Per-source-host link signals from an :func:`extract_links` frame:
+    ``(host, n_links, n_pages, distinct_target_hosts, intra_host_frac)``.
+    Skewed hosts only fatten the map-side partials — every aggregate here
+    combines (count / approx distinct / sum)."""
+    hosts = links.select(
+        _page_host(F.col("url")).alias("host"),
+        F.coalesce(F.try_parse_url("target_url", F.lit("HOST")),
+                   F.lit("")).alias("target_host"),
+        F.col("url"),
+    )
+    return hosts.groupBy("host").agg(
+        F.count("*").alias("n_links"),
+        F.approx_count_distinct("url").alias("n_pages"),
+        F.approx_count_distinct("target_host").alias("distinct_target_hosts"),
+        F.avg((F.col("target_host") == F.col("host")).cast("double"))
+            .alias("intra_host_frac"),
+    )

@@ -1,0 +1,73 @@
+"""Quality-stratified selection — keep the best fraction of each source
+WITHOUT a global sort.
+
+The last curation step many training pipelines run: "keep the top 30% of
+each crawl snapshot by classifier/LM score". The naive shape — a window
+``row_number() over (partition by source order by score)`` — total-sorts
+every partition of a 10^12-row corpus. This module replaces it with the
+two-pass threshold shape:
+
+  1. per-source score THRESHOLD via ``approx_percentile`` — one map-side-
+     combining aggregation over a low-cardinality key (a t-digest-style
+     sketch per source, tiny exchange);
+  2. one narrow filter pass: ``score >= threshold[source]`` with the
+     threshold table joined in by broadcast (bounded by source count).
+
+No sort, no shuffle of the corpus, deterministic given the input. The
+sketch makes the CUT approximate (a hair more or fewer rows than the exact
+quantile — tunable via ``accuracy``); which rows pass is exact given the
+threshold. Complements ``mixing.mix_to_token_budgets``: mixing decides
+HOW MUCH of each source, this decides WHICH rows qualify at all.
+
+Ties at the threshold all pass (>=): score ties are semantically identical
+documents for selection purposes, so the operator never splits a tie by
+row order — that would make the output depend on partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["quality_thresholds", "take_top_quality"]
+
+
+def quality_thresholds(
+    df: DataFrame,
+    frac: float,
+    source_col: str = "source",
+    score_col: str = "quality_score",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-source score cutoff keeping ~``frac`` of rows: one row per source
+    ``(source, threshold, n_source_rows)``. NULL scores are excluded from
+    the sketch (and later rejected by the filter: an unscorable doc is not
+    "top quality")."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    return df.groupBy(source_col).agg(
+        F.percentile_approx(
+            score_col, F.lit(1.0 - frac), F.lit(accuracy)).alias("threshold"),
+        F.count(score_col).alias("n_scored_rows"),
+    )
+
+
+def take_top_quality(
+    df: DataFrame,
+    frac: float,
+    source_col: str = "source",
+    score_col: str = "quality_score",
+    accuracy: int = 10000,
+    thresholds: DataFrame | None = None,
+) -> DataFrame:
+    """Keep the ~top ``frac`` of each source by ``score_col``. Pass a
+    precomputed ``thresholds`` frame (from :func:`quality_thresholds`,
+    persisted) to reuse cutoffs across batches — the incremental-ingest
+    shape, mirroring ``near_duplicates_against(corpus_features=...)``."""
+    th = thresholds if thresholds is not None else quality_thresholds(
+        df, frac, source_col, score_col, accuracy)
+    th = th.select(source_col, "threshold")
+    out = df.join(F.broadcast(th), source_col, "left")
+    # a source absent from the threshold table (all-NULL scores, or unseen
+    # in the precomputed frame) contributes nothing — NULL >= x is NULL,
+    # filter drops it; same for NULL-scored rows of known sources
+    return out.filter(F.col(score_col) >= F.col("threshold")).drop("threshold")

@@ -1,0 +1,117 @@
+"""Outlink extraction / host-graph stats and quality-stratified sampling."""
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.links import extract_links, host_link_stats
+from redactifai_spark.operators.sampling import (
+    quality_thresholds, take_top_quality,
+)
+
+
+def _pages(spark):
+    rows = [
+        ("https://a.com/p1",
+         b'<html><body>'
+         b'<a href="https://b.com/x">abs</a>'
+         b"<a href='/local'>rootrel</a>"
+         b'<a href=//c.com/y>protorel</a>'
+         b'<a href="mailto:x@y.com">mail</a>'
+         b'<a href="page2.html">rel-dropped</a>'
+         b'<a href="#frag">frag-dropped</a>'
+         b'<A HREF="HTTPS://D.COM/Z">caps</A>'
+         b'</body></html>'),
+        ("https://a.com/p2", b'<html><a href="https://a.com/p1">self</a></html>'),
+        ("https://e.org/q", b"\xff\xfe<html><a href='https://a.com/'>mojibake page</a>"),
+        ("https://nolinks.net/r", b"<html><p>nothing here</p></html>"),
+        ("https://null.net/s", None),
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_extract_links_resolution_rules(spark):
+    got = {(r["url"], r["target_url"])
+           for r in extract_links(_pages(spark)).collect()}
+    assert got == {
+        ("https://a.com/p1", "https://b.com/x"),
+        ("https://a.com/p1", "https://a.com/local"),
+        ("https://a.com/p1", "https://c.com/y"),
+        ("https://a.com/p1", "HTTPS://D.COM/Z"),
+        ("https://a.com/p2", "https://a.com/p1"),
+        ("https://e.org/q", "https://a.com/"),
+    }
+
+
+def test_host_link_stats(spark):
+    stats = {r["host"]: r for r in
+             host_link_stats(extract_links(_pages(spark))).collect()}
+    a = stats["a.com"]
+    assert a["n_links"] == 5 and a["n_pages"] == 2
+    # a.com -> {b.com, a.com, c.com, d.com}; intra links: /local + self = 2/5
+    assert a["distinct_target_hosts"] == 4
+    assert abs(a["intra_host_frac"] - 2 / 5) < 1e-9
+    assert stats["e.org"]["intra_host_frac"] == 0.0
+
+
+def test_links_pure_catalyst_no_shuffle_before_agg(spark):
+    plan = extract_links(_pages(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no Arrow/BatchEval nodes
+
+
+def _scored(spark):
+    # two sources with disjoint score ranges; 100 rows each, score = i
+    rows = [(f"s1-{i}", "s1", float(i)) for i in range(100)] + \
+           [(f"s2-{i}", "s2", float(1000 + i)) for i in range(100)] + \
+           [("s2-null", "s2", None), ("s3-null", "s3", None)]
+    return spark.createDataFrame(rows, "id string, source string, score double")
+
+
+def test_take_top_quality_per_source(spark):
+    kept = take_top_quality(
+        _scored(spark), 0.25, "source", "score").collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r["score"])
+    # ~top 25% of each source, by that source's own distribution
+    assert 20 <= len(by_src["s1"]) <= 30
+    assert min(by_src["s1"]) >= 70.0
+    assert 20 <= len(by_src["s2"]) <= 30
+    assert min(by_src["s2"]) >= 1070.0
+    # NULL-scored rows and all-NULL sources never pass
+    assert "s3" not in by_src
+    assert all(s is not None for ss in by_src.values() for s in ss)
+
+
+def test_precomputed_thresholds_reused_across_batches(spark):
+    corpus = _scored(spark)
+    th = quality_thresholds(corpus, 0.5, "source", "score")
+    th.persist()
+    try:
+        batch = spark.createDataFrame(
+            [("new-lo", "s1", 10.0), ("new-hi", "s1", 95.0),
+             ("unseen", "sX", 1e9)],
+            "id string, source string, score double")
+        kept = {r["id"] for r in take_top_quality(
+            batch, 0.5, "source", "score", thresholds=th).collect()}
+        # judged against the CORPUS thresholds, not the batch's own; a
+        # source unseen in the corpus has no threshold -> nothing passes
+        assert kept == {"new-hi"}
+    finally:
+        th.unpersist()
+
+
+def test_thresholds_broadcast_no_corpus_sort(spark):
+    plan = take_top_quality(_scored(spark), 0.3, "source", "score") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Sort" not in plan  # the whole point: no window/sort over the corpus
+
+
+def test_frac_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        quality_thresholds(_scored(spark), 0.0)
+    with pytest.raises(ValueError):
+        quality_thresholds(_scored(spark), 1.5)
