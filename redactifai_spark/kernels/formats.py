@@ -63,6 +63,8 @@ def extract_any(
         if isinstance(payload, (bytes, bytearray)):
             payload = bytes(payload).decode(config.encoding, errors="replace")
         return fmt, payload or "", 1 if payload else 0
-    # PDF and unknown binaries share the text-run path (real pypdf when present)
+    # PDF: pypdf when present, else the stdlib structural parser (object walk
+    # + FlateDecode + BT/ET text operators); unknown binaries and textless
+    # PDFs fall through to the byte-run mode inside extract_pdf_blocks
     text, blocks = extract_pdf_blocks(payload, config)
     return fmt, text, len(blocks)

@@ -1,13 +1,19 @@
 """PDF / binary-document layout parse — the non-HTML leg of the north rule.
 
 The reference's TIFF loader (/root/reference/src/utils/tiff_processor.py:43-91)
-becomes: binary payload -> text blocks. A real deployment drops pypdf/pdfminer
-in here; this container has neither, so the implementation is layered:
+becomes: binary payload -> text blocks. The implementation is layered:
 
 1. ``pypdf`` if importable (gated import — never a hard dependency),
-2. else a deterministic degraded mode: extract printable text runs from the
-   raw bytes (catches uncompressed text objects in simple PDFs and gives a
-   deterministic, testable fallback for arbitrary binaries).
+2. else a pure-stdlib STRUCTURAL parser: walks ``N 0 obj … endobj``
+   objects (xref-free, so broken cross-reference tables don't matter),
+   inflates FlateDecode content streams with zlib, and interprets the
+   text-showing operators (``BT``/``ET`` blocks; ``Tj``, ``'``, ``"``,
+   ``TJ`` with literal ``(…)`` escape/octal handling and hex ``<…>``
+   strings). Covers the mainstream simple-font subset (reportlab/TeX-
+   style output); CID/Type0 composite fonts need a CMap pass and fall
+   through to...
+3. the deterministic degraded mode: printable text runs from the raw
+   bytes — the fallback for arbitrary or encrypted binaries.
 
 Either way the output feeds the same block pipeline (boilerplate filter,
 "\n" join, span detection) — byte-deterministic per payload.
@@ -16,6 +22,7 @@ Either way the output feeds the same block pipeline (boilerplate filter,
 from __future__ import annotations
 
 import re
+import zlib
 
 from .extract import Block, ExtractConfig
 
@@ -36,6 +43,161 @@ def pdf_available() -> bool:
     return _HAVE_PYPDF
 
 
+# ---------------------------------------------------------------------------
+# stdlib structural parser
+
+_OBJ_RE = re.compile(rb"\d+\s+\d+\s+obj\b(.*?)\bendobj", re.S)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_FILTER_RE = re.compile(rb"/Filter\b")
+_ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+            b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _iter_streams(payload: bytes):
+    """Yield (dict_bytes, raw_stream_bytes) for every stream object. The
+    /Length entry bounds the data when it's a direct integer; an indirect
+    `/Length N 0 R` falls back to the endstream scan."""
+    for m in _OBJ_RE.finditer(payload):
+        body = m.group(1)
+        s = body.find(b"stream")
+        if s < 0:
+            continue
+        head = body[:s]
+        data = body[s + len(b"stream"):]
+        if data[:2] == b"\r\n":
+            data = data[2:]
+        elif data[:1] in (b"\n", b"\r"):
+            data = data[1:]
+        lm = _LENGTH_RE.search(head)
+        if lm:
+            data = data[: int(lm.group(1))]
+        else:
+            e = data.rfind(b"endstream")
+            if e >= 0:
+                data = data[:e].rstrip(b"\r\n")
+        yield head, data
+
+
+def _pdf_string_literal(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Parse a `(...)` literal starting at the '(' — returns (bytes, next
+    position). Handles nesting, backslash escapes, and octal codes."""
+    out, depth, i, n = [], 1, pos + 1, len(data)
+    while i < n and depth:
+        c = data[i : i + 1]
+        if c == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                    j += 1
+                out.append(bytes([int(data[i + 1 : j], 8) & 0xFF]))
+                i = j
+            elif nxt in (b"\n", b"\r"):  # line continuation: drop both
+                i += 3 if data[i + 1 : i + 3] == b"\r\n" else 2
+            else:  # unknown escape: spec says ignore the backslash only
+                i += 1
+        elif c == b"(":
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return b"".join(out), i
+
+
+def _content_text_blocks(stream: bytes) -> list[str]:
+    """Interpret a decoded content stream's text operators: one output
+    block per BT..ET text object; shows within a block join directly,
+    line-advance operators (Td/TD/T*/') insert newlines. Strings decode
+    as latin-1 — the simple-font assumption this parser documents."""
+    blocks: list[str] = []
+    cur: list[str] = []
+    pending: list[bytes] = []  # string operands since the last operator
+    in_text = False
+    i, n = 0, len(stream)
+
+    def _emit_shows():
+        for s in pending:
+            cur.append(s.decode("latin-1"))
+        pending.clear()
+
+    while i < n:
+        c = stream[i : i + 1]
+        if c == b"(":
+            s, i = _pdf_string_literal(stream, i)
+            pending.append(s)
+        elif c == b"<" and stream[i + 1 : i + 2] != b"<":
+            e = stream.find(b">", i)
+            if e < 0:
+                break
+            hx = re.sub(rb"\s", b"", stream[i + 1 : e])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                pending.append(bytes.fromhex(hx.decode("ascii")))
+            except ValueError:
+                pass
+            i = e + 1
+        elif c.isalpha() or c in (b"'", b'"', b"*"):
+            j = i
+            while j < n and (stream[j : j + 1].isalpha()
+                             or stream[j : j + 1] in (b"'", b'"', b"*")):
+                j += 1
+            op = stream[i:j]
+            i = j
+            if op == b"BT":
+                in_text, pending[:] = True, []
+            elif op == b"ET":
+                if in_text and cur:
+                    blocks.append("".join(cur).strip())
+                in_text, cur[:] = False, []
+            elif in_text and op in (b"Tj", b"TJ"):
+                _emit_shows()
+            elif in_text and op in (b"'", b'"'):
+                cur.append("\n")
+                _emit_shows()
+            elif in_text and op in (b"Td", b"TD", b"T*"):
+                if cur and not "".join(cur).endswith("\n"):
+                    cur.append("\n")
+                pending.clear()
+            else:
+                pending.clear()  # non-show operator consumes its operands
+        else:
+            i += 1
+    return [b for b in blocks if b]
+
+
+def extract_pdf_structural(payload: bytes) -> list[str]:
+    """Pure-stdlib text extraction: every content stream's BT..ET blocks,
+    in object order. Returns [] when the payload yields no text operators
+    (image-only, encrypted, CID-font, or non-PDF input) — callers fall
+    through to the degraded byte-run mode."""
+    if not payload.lstrip()[:5].startswith(b"%PDF-"):
+        return []
+    out: list[str] = []
+    for head, data in _iter_streams(payload):
+        if b"/FlateDecode" in head:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        elif _FILTER_RE.search(head):
+            continue  # other filters (DCT images, LZW, ...) carry no text here
+        if b"BT" not in data:
+            continue
+        out.extend(_content_text_blocks(data))
+    return out
+
+
 def extract_pdf_blocks(
     payload: bytes | None, config: ExtractConfig = ExtractConfig()
 ) -> tuple[str, list[Block]]:
@@ -52,11 +214,16 @@ def extract_pdf_blocks(
             if text:
                 raw_blocks.append(text)
     else:
-        for m in _TEXT_RUN_RE.finditer(payload):
-            run = m.group().decode("ascii")
-            norm = _WS_RE.sub(" ", run).strip()
-            if norm and " " in norm:  # demand a word boundary: drops b64/hex noise
+        for blk in extract_pdf_structural(payload):
+            norm = _WS_RE.sub(" ", blk).strip()
+            if norm:
                 raw_blocks.append(norm)
+        if not raw_blocks:  # non-PDF / image-only / CID fonts: byte-run mode
+            for m in _TEXT_RUN_RE.finditer(payload):
+                run = m.group().decode("ascii")
+                norm = _WS_RE.sub(" ", run).strip()
+                if norm and " " in norm:  # word boundary: drops b64/hex noise
+                    raw_blocks.append(norm)
 
     kept: list[Block] = []
     offset = 0

@@ -41,3 +41,81 @@ def test_wordless_runs_dropped():
 def test_gating_flag_is_honest():
     # in this container pypdf is absent; the flag must say so
     assert pdf_available() is False
+
+
+# ---------------------------------------------------------------------------
+# stdlib structural parser
+
+import zlib
+
+from redactifai_spark.kernels.pdf import extract_pdf_structural
+
+
+def _mini_pdf(content: bytes, compress: bool = True, trailing: bytes = b"") -> bytes:
+    data = zlib.compress(content) if compress else content
+    filt = b"/Filter /FlateDecode " if compress else b""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< " + filt + b"/Length " + str(len(data)).encode()
+        + b" >>\nstream\n" + data + trailing + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+_CONTENT = (
+    b"BT /F1 12 Tf 72 700 Td (Hello PII world) Tj ET\n"
+    b"BT 72 680 Td (Second \\(escaped\\) line: \\110i) Tj T* (after star) Tj ET\n"
+    b"BT <48656c 6c6f> Tj ET\n"
+    b"BT [(A) (B) -120 (C)] TJ ET\n"
+)
+
+
+def test_structural_flate_stream():
+    blocks = extract_pdf_structural(_mini_pdf(_CONTENT, compress=True))
+    assert blocks == [
+        "Hello PII world",
+        "Second (escaped) line: Hi\nafter star",
+        "Hello",
+        "ABC",
+    ]
+
+
+def test_structural_uncompressed_stream():
+    assert extract_pdf_structural(_mini_pdf(_CONTENT, compress=False)) == \
+        extract_pdf_structural(_mini_pdf(_CONTENT, compress=True))
+
+
+def test_length_bounds_the_stream():
+    # bytes between /Length and endstream are NOT content — a parser that
+    # scans to endstream would leak the junk into the text
+    pdf = _mini_pdf(_CONTENT, compress=False, trailing=b" BT (leak) Tj ET")
+    blocks = extract_pdf_structural(pdf)
+    assert "leak" not in " ".join(blocks)
+    assert blocks[0] == "Hello PII world"
+
+
+def test_structural_feeds_block_pipeline():
+    text, blocks = extract_pdf_blocks(_mini_pdf(_CONTENT))
+    assert "Hello PII world" in text
+    assert "Second (escaped) line: Hi" in text
+    for b in blocks:
+        assert text[b.start:b.end] == b.text  # offset contract holds
+
+
+def test_textless_pdf_falls_through_to_degraded():
+    # image-only stream (DCT filter): structural finds nothing, the byte-run
+    # heuristic still sees printable runs in the raw payload
+    img = (b"%PDF-1.4\n1 0 obj\n<< /Filter /DCTDecode /Length 8 >>\n"
+           b"stream\n\xff\xd8\xff\xe0junk\nendstream\nendobj\n"
+           b"visible metadata words here\n%%EOF\n")
+    assert extract_pdf_structural(img) == []
+    text, _ = extract_pdf_blocks(img)
+    assert "visible metadata words here" in text
+
+
+def test_corrupt_flate_skipped_not_raised():
+    pdf = _mini_pdf(b"garbage-not-deflate", compress=False).replace(
+        b"<< /Length", b"<< /Filter /FlateDecode /Length")
+    assert extract_pdf_structural(pdf) == []  # skip, never raise
