@@ -1,0 +1,129 @@
+"""Host-graph PageRank — the classic web quality/spam signal, as an
+iterative DataFrame job.
+
+Consumes the edge frame that :mod:`operators.links` mines from raw html
+(page→target urls reduced to host→host edges) and produces a per-host rank
+usable exactly like the heuristic/LM/classifier scores: a `source`-level
+prior to gate or stratify by (``sampling.take_top_quality`` on rank,
+mixing budgets by rank tier, …).
+
+Scale shape: the HOST graph is ~10^8 nodes for a full crawl — 4 orders
+smaller than the page table, so an iterative algorithm is honest here
+where it would not be on pages. Per iteration:
+  - one shuffle join (ranks ⨝ out-edges on ``src``) + one groupBy(dst)
+    with map-side combine. The weighted edge frame is repartitioned on
+    ``src`` ONCE and persisted — every iteration reuses its layout and
+    only the (much smaller) rank frame moves;
+  - dangling mass (hosts with no outlinks) and the L1 convergence delta
+    are two scalar aggregates per round — driver actions bounded by the
+    iteration cap, the same budget ``dedup.duplicate_clusters`` spends;
+  - per-round checkpointing truncates lineage (executor-local by default,
+    reliable ``checkpoint_dir`` for production, mirroring
+    ``duplicate_clusters``).
+
+Determinism: float sums ARE order-sensitive, so ranks can differ across
+runs in the last ulps; callers needing bit-stable output quantize (the
+``operators.lm`` micronat trick). Convergence is tolerance-based, so rank
+ORDER is stable well before tol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["host_edges", "pagerank"]
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """(src, dst, weight) host-level weighted edges from an
+    ``extract_links`` frame; self-loops dropped (intra-host links carry no
+    endorsement), multi-links collapse into the weight."""
+    e = links.select(
+        F.coalesce(F.try_parse_url("url", F.lit("HOST")), F.lit("")).alias("src"),
+        F.coalesce(F.try_parse_url("target_url", F.lit("HOST")), F.lit("")).alias("dst"),
+    ).filter((F.col("src") != "") & (F.col("dst") != "")
+             & (F.col("src") != F.col("dst")))
+    return e.groupBy("src", "dst").agg(F.count("*").cast("double").alias("weight"))
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iterations: int = 40,
+    tol: float = 1e-6,
+    checkpoint_dir: str | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Weighted PageRank over ``(src, dst, weight)`` → ``(host, rank)``;
+    ranks sum to 1. Dangling mass is redistributed uniformly (the standard
+    formulation — without it rank leaks and totals drift per iteration).
+    Stops early when the L1 delta drops under ``tol``."""
+    spark = edges.sparkSession
+    npart = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    nodes = edges.select(F.col("src").alias("host")).union(
+        edges.select(F.col("dst").alias("host"))).distinct()
+    nodes = nodes.repartition(npart, "host").persist()
+    n = nodes.count()  # also materializes the persist
+    if n == 0:
+        return spark.createDataFrame([], "host string, rank double")
+
+    # normalized out-edges, laid out by src once; every iteration's join
+    # reuses this layout — only the rank frame shuffles per round
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("w_total"))
+    norm_edges = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("w_total")).alias("p"),
+    ).repartition(npart, "src").persist()
+    norm_edges.count()
+
+    sc = spark.sparkContext
+    sources = norm_edges.select("src").distinct()
+    orig_ckpt_dir = sc._jsc.sc().checkpointDir()
+
+    def _rm(sub: int) -> None:
+        jvm = sc._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/iter_{sub}")
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+
+    def _ckpt(df: DataFrame, it: int) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        sc.setCheckpointDir(f"{checkpoint_dir}/iter_{it}")
+        return df.checkpoint()  # eager
+
+    ranks = nodes.select("host", (F.lit(1.0) / n).alias("rank"))
+    ranks = _ckpt(ranks.repartition(npart, "host"), 0)
+    base = (1.0 - damping) / n
+    try:
+        for it in range(1, max_iterations + 1):
+            # scalar: rank mass sitting on dangling hosts this round
+            dangling = ranks.join(sources, ranks.host == sources.src,
+                                  "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0]
+            contribs = ranks.join(
+                norm_edges, ranks.host == norm_edges.src).groupBy("dst").agg(
+                F.sum(F.col("rank") * F.col("p")).alias("inflow"))
+            new_ranks = nodes.join(
+                contribs, nodes.host == contribs.dst, "left").select(
+                "host",
+                (F.lit(base + damping * dangling / n)
+                 + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                 ).alias("rank"))
+            new_ranks = _ckpt(new_ranks.repartition(npart, "host"), it)
+            delta = ranks.join(new_ranks.withColumnRenamed("rank", "r2"),
+                               "host").agg(
+                F.sum(F.abs(F.col("rank") - F.col("r2")))).first()[0]
+            ranks = new_ranks
+            if checkpoint_dir is not None:
+                # the delta join was the LAST reader of round it-1 — only
+                # now are its files superseded (GraphX-style cleanup)
+                _rm(it - 1)
+            if delta < tol:
+                break
+    finally:
+        nodes.unpersist()
+        norm_edges.unpersist()
+        if checkpoint_dir is not None and orig_ckpt_dir.isDefined():
+            sc.setCheckpointDir(orig_ckpt_dir.get())
+    return ranks

@@ -1,0 +1,111 @@
+"""Host-graph PageRank: numpy cross-check, dangling mass, checkpointing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.pagerank import host_edges, pagerank
+
+
+def _numpy_pagerank(hosts, edges, damping=0.85, iters=200):
+    """Dense reference implementation (standard formulation, uniform
+    dangling redistribution)."""
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    m = np.zeros((n, n))
+    for src, dst, w in edges:
+        m[idx[dst], idx[src]] += w
+    col = m.sum(axis=0)
+    dangling = col == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = np.where(col > 0, m / col, 0.0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - damping) / n + damping * (m @ r + r[dangling].sum() / n)
+    return {h: r[idx[h]] for h in hosts}
+
+
+_EDGES = [
+    ("a.com", "b.com", 3.0),
+    ("a.com", "c.com", 1.0),
+    ("b.com", "c.com", 1.0),
+    ("c.com", "a.com", 1.0),
+    ("b.com", "d.org", 2.0),
+    # d.org is dangling: no outlinks
+]
+_HOSTS = ["a.com", "b.com", "c.com", "d.org"]
+
+
+def _edge_df(spark):
+    return spark.createDataFrame(_EDGES, "src string, dst string, weight double")
+
+
+def test_matches_dense_reference(spark):
+    got = {r["host"]: r["rank"] for r in pagerank(
+        _edge_df(spark), tol=1e-10, max_iterations=200).collect()}
+    want = _numpy_pagerank(_HOSTS, _EDGES)
+    assert set(got) == set(want)
+    for h in _HOSTS:
+        assert got[h] == pytest.approx(want[h], abs=1e-7)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_early_convergence_stops(spark):
+    # a symmetric 2-cycle converges immediately (uniform is the fixed
+    # point): loose tol must stop after the first delta check
+    e = spark.createDataFrame(
+        [("x.com", "y.com", 1.0), ("y.com", "x.com", 1.0)],
+        "src string, dst string, weight double")
+    got = {r["host"]: r["rank"] for r in pagerank(e, tol=1e-3).collect()}
+    assert got["x.com"] == pytest.approx(0.5, abs=1e-9)
+    assert got["y.com"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_reliable_checkpoint_dir_cleanup(spark, tmp_path):
+    import os
+
+    ck = str(tmp_path / "pr_ck")
+    got = {r["host"]: r["rank"] for r in pagerank(
+        _edge_df(spark), tol=1e-10, max_iterations=50,
+        checkpoint_dir=ck).collect()}
+    want = _numpy_pagerank(_HOSTS, _EDGES)
+    for h in _HOSTS:
+        assert got[h] == pytest.approx(want[h], abs=1e-7)
+    # GraphX-style: at most the last two iteration dirs survive the run
+    left = [d for d in os.listdir(ck) if d.startswith("iter_")]
+    assert 1 <= len(left) <= 2
+
+
+def test_host_edges_from_links(spark):
+    links = spark.createDataFrame(
+        [("https://a.com/p1", "https://b.com/x"),
+         ("https://a.com/p2", "https://b.com/y"),   # multi-link -> weight 2
+         ("https://a.com/p1", "https://a.com/self"),  # self loop dropped
+         ("https://b.com/q", "https://a.com/")],
+        "url string, target_url string")
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in host_edges(links).collect()}
+    assert got == {("a.com", "b.com"): 2.0, ("b.com", "a.com"): 1.0}
+
+
+def test_empty_graph(spark):
+    e = spark.createDataFrame([], "src string, dst string, weight double")
+    assert pagerank(e).count() == 0
+
+
+def test_end_to_end_from_html(spark):
+    # html -> extract_links -> host_edges -> pagerank composes
+    from redactifai_spark.operators.links import extract_links
+
+    rows = [
+        ("https://hub.com/a", b'<a href="https://s1.com/x"></a>'
+                              b'<a href="https://s2.com/y"></a>'),
+        ("https://s1.com/p", b'<a href="https://hub.com/"></a>'),
+        ("https://s2.com/p", b'<a href="https://hub.com/"></a>'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    ranks = {r["host"]: r["rank"] for r in pagerank(
+        host_edges(extract_links(pages)), tol=1e-9).collect()}
+    # the hub is endorsed by both spokes: strictly highest rank
+    assert ranks["hub.com"] > ranks["s1.com"]
+    assert ranks["s1.com"] == pytest.approx(ranks["s2.com"], abs=1e-9)
