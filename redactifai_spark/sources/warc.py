@@ -40,7 +40,7 @@ from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["read_warc", "warc_bytes", "PAGES_SCHEMA"]
+__all__ = ["read_warc", "read_warc_stream", "warc_bytes", "PAGES_SCHEMA"]
 
 # parser emits warc_ts as the raw ISO-8601 string; read_warc casts it to
 # timestamp in Catalyst (keeps datetime parsing out of Python)
@@ -262,9 +262,54 @@ def read_warc(
     ``pyspark.sql.Observation``) to still COUNT them during the caller's
     first action, with no second scan over the archives:
     ``observation.get["n_parse_errors"]``."""
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    pages = _pages_from_files(files, strict, rows_per_chunk)
+    if observation is not None:
+        pages = pages.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("warc_error").alias("n_parse_errors"))
+    if not keep_error_rows:
+        pages = pages.filter(F.col("warc_error").isNull()).drop("warc_error")
+    return pages
+
+
+_BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                       "length long, content binary")
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    strict: bool = False,
+    keep_error_rows: bool = False,
+    rows_per_chunk: int = 2048,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: archives that LAND over time are
+    each processed exactly once — the streaming commit log tracks which
+    files are done, so a crawl-drop directory needs no manual bookkeeping.
+    Pair with ``Trigger.AvailableNow`` (see
+    ``streaming.incremental.incremental_redact_warc``) for the re-invoke-
+    when-new-archives-arrive batch pattern, or a continuous trigger for a
+    live drop. ``maxFilesPerTrigger`` bounds archives per micro-batch
+    (each ~1 GB file is one task — the knob sizes batch memory)."""
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    pages = _pages_from_files(files, strict, rows_per_chunk)
+    if not keep_error_rows:
+        pages = pages.filter(F.col("warc_error").isNull()).drop("warc_error")
+    return pages
+
+
+def _pages_from_files(
+    files: DataFrame, strict: bool, rows_per_chunk: int,
+) -> DataFrame:
+    """(path, content) frame → parsed pages; shared by the batch and
+    streaming readers (mapInPandas runs unchanged on a streaming frame)."""
+    import pandas as pd
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         buf: list[dict] = []
@@ -280,12 +325,4 @@ def read_warc(
 
     pages = files.mapInPandas(parse, PAGES_SCHEMA)
     # ISO-8601 Zulu → timestamp happens in Catalyst, not Python
-    pages = pages.withColumn("warc_ts", F.to_timestamp("warc_ts"))
-    if observation is not None:
-        pages = pages.observe(
-            observation,
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count("warc_error").alias("n_parse_errors"))
-    if not keep_error_rows:
-        pages = pages.filter(F.col("warc_error").isNull()).drop("warc_error")
-    return pages
+    return pages.withColumn("warc_ts", F.to_timestamp("warc_ts"))

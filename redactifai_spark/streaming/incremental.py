@@ -143,3 +143,36 @@ def incremental_redact_with_lineage(
         .start()
     )
     query.awaitTermination()
+
+
+def incremental_redact_warc(
+    spark: SparkSession,
+    archive_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    config: PipelineConfig = PipelineConfig(),
+    fused: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Crawl-drop ingestion: WARC/WET archives landing under ``archive_dir``
+    are parsed and redacted exactly once each — the streaming commit log
+    tracks processed FILES, so re-invoking after new archives arrive
+    processes only those (crash mid-batch replays that batch; parquet sink
+    + checkpoint give exactly-once at the file granularity).
+
+    The whole chain — archive parse (mapInPandas), extraction, detection,
+    masking — runs inside one streaming query; ``max_files_per_trigger``
+    bounds how many ~1 GB archives one micro-batch holds."""
+    from ..sources.warc import read_warc_stream
+
+    pages = read_warc_stream(
+        spark, archive_dir, max_files_per_trigger=max_files_per_trigger)
+    out = run_pipeline(pages, config, fused=fused)
+    query = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -269,3 +269,38 @@ def test_observation_counts_errors_in_one_pass(spark, tmp_path):
     assert df.count() == 3  # error row filtered from the frame...
     got = obs.get
     assert got["n_parse_errors"] == 1 and got["n_rows"] == 4
+
+
+def test_streaming_warc_exactly_once(spark, tmp_path):
+    # archives landing over time: each file processed exactly once across
+    # re-invocations; byte-identical redaction vs the batch path
+    from redactifai_spark.sources.pages import generate_pages
+    from redactifai_spark.streaming.incremental import incremental_redact_warc
+
+    rows = generate_pages(spark, 18, n_partitions=2).collect()
+    recs = [{"url": r["url"],
+             "date": r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+             "html": bytes(r["html"]), "text": None, "lang": r["lang"]}
+            for r in rows]
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _write(drop, "crawl-0.warc.gz", recs[:6])
+    _write(drop, "crawl-1.warc.gz", recs[6:12])
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    incremental_redact_warc(spark, str(drop), out, ck)
+    first = spark.read.parquet(out)
+    assert first.count() == 12
+    # a new archive lands; re-invoke — ONLY its records append
+    _write(drop, "crawl-2.warc.gz", recs[12:])
+    incremental_redact_warc(spark, str(drop), out, ck)
+    final = spark.read.parquet(out)
+    assert final.count() == 18
+    assert final.select("url").distinct().count() == 18
+    # byte parity with the batch pipeline over the same archives
+    from redactifai_spark.operators.pipeline import run_pipeline
+    from redactifai_spark.sources.warc import read_warc
+
+    batch = {r["url"]: r["redacted_text"] for r in run_pipeline(
+        read_warc(spark, str(drop)), fused=True).collect()}
+    stream = {r["url"]: r["redacted_text"] for r in final.collect()}
+    assert stream == batch
