@@ -1,0 +1,63 @@
+"""Crawl snapshot diff — classify pages across two crawls so downstream
+only recomputes what changed.
+
+Consecutive Common-Crawl-style snapshots overlap heavily (most pages are
+byte-identical recrawls); redacting/curating the full new snapshot redoes
+~90% of the work. ``crawl_delta`` classifies every url as added / changed
+/ unchanged / removed, so the expensive per-doc pipeline runs on
+``added ∪ changed`` only and the committed outputs of ``unchanged`` urls
+carry over — the inter-snapshot analog of ``metrics.resume_filter``'s
+intra-run resume.
+
+Scale shape: content collapses to one ``xxhash64`` per row map-side, so
+the full-outer join moves (url, hash) pairs — not page bodies; url is the
+uniform key the whole engine already shuffles on. One shuffle, no Python,
+no window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["crawl_delta", "changed_pages"]
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    content_cols: tuple[str, ...] = ("html",),
+) -> DataFrame:
+    """Full-outer classification of ``new`` vs ``old``: the new snapshot's
+    columns (NULL for removed urls) plus ``change`` ∈ {'added', 'changed',
+    'unchanged', 'removed'}. Content equality is xxhash64 over
+    ``content_cols`` (NULL-safe: NULL html vs NULL html is unchanged —
+    xxhash64 folds NULL deterministically).
+
+    Precondition: one row per url on each side (the engine's standing
+    contract — ``dedupe_by_canonical_url`` / the funnel's duplicate-url
+    probe enforce it upstream); duplicate urls would fan out the join."""
+    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    oldh = old.select(F.col(url_col), h.alias("_h_old"))
+    newh = new.withColumn("_h_new", h)
+    j = newh.join(oldh, url_col, "full")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_new") == F.col("_h_old"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.withColumn("change", change).drop("_h_old", "_h_new")
+
+
+def changed_pages(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    content_cols: tuple[str, ...] = ("html",),
+) -> DataFrame:
+    """The rows of ``new`` that actually need per-doc compute
+    (added + changed), columns unchanged — feed this to the pipeline and
+    union the carried-over committed output of the rest."""
+    return crawl_delta(old, new, url_col, content_cols).filter(
+        F.col("change").isin("added", "changed")).drop("change")

@@ -1,0 +1,69 @@
+"""Crawl snapshot diff: classification, NULL safety, pipeline composition."""
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.crawldiff import changed_pages, crawl_delta
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_classification(spark):
+    old = _snap(spark, [
+        ("u/keep", b"<html>same</html>"),
+        ("u/edit", b"<html>v1</html>"),
+        ("u/gone", b"<html>bye</html>"),
+        ("u/null-both", None),
+        ("u/null-to-content", None),
+    ])
+    new = _snap(spark, [
+        ("u/keep", b"<html>same</html>"),
+        ("u/edit", b"<html>v2</html>"),
+        ("u/new", b"<html>hello</html>"),
+        ("u/null-both", None),
+        ("u/null-to-content", b"<html>now real</html>"),
+    ])
+    got = {r["url"]: r["change"] for r in crawl_delta(old, new).collect()}
+    assert got == {
+        "u/keep": "unchanged",
+        "u/edit": "changed",
+        "u/gone": "removed",
+        "u/new": "added",
+        "u/null-both": "unchanged",
+        "u/null-to-content": "changed",
+    }
+    # removed rows keep their url, payload NULL (nothing to process)
+    removed = crawl_delta(old, new).filter("change = 'removed'").first()
+    assert removed["url"] == "u/gone" and removed["html"] is None
+
+
+def test_changed_pages_feeds_pipeline_only_delta(spark):
+    # the inter-snapshot resume shape: per-doc compute touches ONLY
+    # added+changed, carried-over rows come from the committed table
+    from redactifai_spark.operators.pipeline import run_pipeline
+    from redactifai_spark.sources.pages import generate_pages
+
+    old = generate_pages(spark, 10, n_partitions=2)
+    # new snapshot: 8 identical recrawls, 2 edited, 2 brand new
+    edited = old.filter("url like '%/2' or url like '%/3'") \
+        .withColumn("html", F.concat(F.col("html"), F.lit(b" <!--edit-->")))
+    kept = old.filter("url not like '%/2' and url not like '%/3'")
+    brand_new = generate_pages(spark, 12, n_partitions=2) \
+        .filter("url like '%/10' or url like '%/11'")
+    new = kept.unionByName(edited).unionByName(brand_new)
+
+    delta = changed_pages(old, new)
+    urls = {r["url"] for r in delta.select("url").collect()}
+    assert len(urls) == 4  # 2 edited + 2 added
+    out = run_pipeline(delta, fused=True)
+    assert out.count() == 4  # 8 of 12 pages never touch the pipeline
+
+
+def test_plan_single_join_no_python(spark):
+    old = _snap(spark, [("a", b"x")])
+    new = _snap(spark, [("a", b"x")])
+    plan = crawl_delta(old, new)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan
+    assert plan.count("Join") == 1
