@@ -47,7 +47,11 @@ def pdf_available() -> bool:
 # stdlib structural parser
 
 _OBJ_RE = re.compile(rb"\d+\s+\d+\s+obj\b(.*?)\bendobj", re.S)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) pins the FULL number before the indirect-ref lookahead runs —
+# without it, (\d+) backtracks ('10 0 R' matches as '1' + lookahead on
+# '0 0 R') and an indirect /Length with a multi-digit object number would
+# silently truncate the stream to a prefix
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _FILTER_RE = re.compile(rb"/Filter\b")
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -89,9 +93,9 @@ def _pdf_string_literal(data: bytes, pos: int) -> tuple[bytes, int]:
             if nxt in _ESCAPES:
                 out.append(_ESCAPES[nxt])
                 i += 2
-            elif nxt.isdigit():
-                j = i + 1
-                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+            elif nxt and nxt in b"01234567":  # octal only: \8 \9 are invalid
+                j = i + 1               # escapes, handled as "drop the
+                while j < min(i + 4, n) and data[j] in b"01234567":  # backslash"
                     j += 1
                 out.append(bytes([int(data[i + 1 : j], 8) & 0xFF]))
                 i = j
@@ -127,7 +131,12 @@ def _content_text_blocks(stream: bytes) -> list[str]:
 
     def _emit_shows():
         for s in pending:
-            cur.append(s.decode("latin-1"))
+            # a NUL byte inside a show string means these are 2-byte CID
+            # glyph indices (Type0/composite fonts), not character codes —
+            # decoding them as latin-1 yields NUL-laced mojibake. Skip, so
+            # a CID-only PDF yields [] and falls through to degraded mode.
+            if b"\x00" not in s:
+                cur.append(s.decode("latin-1"))
         pending.clear()
 
     while i < n:
@@ -214,7 +223,11 @@ def extract_pdf_blocks(
             if text:
                 raw_blocks.append(text)
     else:
-        for blk in extract_pdf_structural(payload):
+        try:
+            structural = extract_pdf_structural(payload)
+        except Exception:  # malformed-in-the-wild PDFs must degrade, not
+            structural = []  # kill the Spark task (and after retries, the job)
+        for blk in structural:
             norm = _WS_RE.sub(" ", blk).strip()
             if norm:
                 raw_blocks.append(norm)

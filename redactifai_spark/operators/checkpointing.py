@@ -1,0 +1,52 @@
+"""Shared per-round checkpoint plumbing for iterative DataFrame jobs
+(`dedup.duplicate_clusters`, `pagerank.pagerank`).
+
+Both algorithms truncate lineage every round — executor-local
+``localCheckpoint`` for small/interactive runs, RELIABLE ``checkpoint()``
+into per-round subdirectories for production (an executor loss with
+local-only blocks kills the job: truncated lineage leaves nothing to
+recompute from) — and both delete superseded round dirs GraphX-style once
+their last reader has run. One implementation, two callers.
+
+Caveat (applies to both): the SparkContext checkpoint dir is
+process-global and cannot be UNSET once set; :func:`restore_checkpoint_dir`
+puts back the previous value when there was one, otherwise the last round
+dir stays active. A concurrent ``checkpoint()`` from another thread during
+a rotating run would land in this job's round dir — Spark offers no scoped
+alternative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def hadoop_rm(sc, path: str) -> None:
+    """Recursively delete ``path`` through the JVM's Hadoop FS client (works
+    on any configured filesystem — local, HDFS, object store)."""
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
+def round_checkpoint(
+    sc, df: DataFrame, checkpoint_dir: str | None, sub: str,
+) -> DataFrame:
+    """Eagerly checkpoint ``df`` — locally when ``checkpoint_dir`` is None,
+    else reliably into ``<checkpoint_dir>/<sub>``."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc.setCheckpointDir(f"{checkpoint_dir}/{sub}")
+    return df.checkpoint(eager=True)
+
+
+def saved_checkpoint_dir(sc):
+    """The app's current checkpoint dir as a Scala Option — capture before a
+    rotating run, hand to :func:`restore_checkpoint_dir` after."""
+    return sc._jsc.sc().getCheckpointDir()
+
+
+def restore_checkpoint_dir(sc, saved) -> None:
+    if saved is not None and saved.isDefined():
+        sc.setCheckpointDir(saved.get())

@@ -37,7 +37,15 @@ def crawl_delta(
     Precondition: one row per url on each side (the engine's standing
     contract — ``dedupe_by_canonical_url`` / the funnel's duplicate-url
     probe enforce it upstream); duplicate urls would fan out the join."""
-    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    # xxhash64 SKIPS null children (the seed passes through), so a naive
+    # xxhash64(c1, c2) hashes (x, NULL) and (NULL, x) identically — content
+    # migrating between columns (html-crawl vs WET-text rows) would read as
+    # 'unchanged'. Interleaved position markers + null flags pin each
+    # column's contribution to its slot.
+    parts: list = []
+    for i, c in enumerate(content_cols):
+        parts += [F.lit(i), F.isnull(F.col(c)), F.col(c)]
+    h = F.xxhash64(*parts)
     oldh = old.select(F.col(url_col), h.alias("_h_old"))
     newh = new.withColumn("_h_new", h)
     j = newh.join(oldh, url_col, "full")

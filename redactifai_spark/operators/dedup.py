@@ -561,30 +561,29 @@ def duplicate_clusters(
     not O(n). Raises if not converged within ``max_iterations`` (enough
     for diameters ~2^15) — at 10^12 docs that means upstream near-dup
     parameters are degenerate (see the templated-corpus note in bench.py)."""
+    from .checkpointing import (
+        hadoop_rm, restore_checkpoint_dir, round_checkpoint,
+        saved_checkpoint_dir,
+    )
+
     sc = pairs.sparkSession.sparkContext
     reliable = checkpoint_dir is not None
 
     def _rm(path: str) -> None:
-        jvm = sc._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
-        fs.delete(hpath, True)
+        hadoop_rm(sc, path)
 
     def _ckpt(d: DataFrame, sub: str) -> DataFrame:
-        if not reliable:
-            return d.localCheckpoint()
-        sc.setCheckpointDir(f"{checkpoint_dir}/{sub}")
-        return d.checkpoint(eager=True)
+        return round_checkpoint(sc, d, checkpoint_dir, sub)
 
-    orig_dir = sc._jsc.sc().getCheckpointDir() if reliable else None
+    orig_dir = saved_checkpoint_dir(sc) if reliable else None
     try:
         return _duplicate_clusters_loop(
             pairs, max_iterations, reliable, checkpoint_dir, _ckpt, _rm)
     finally:
         # restore the app's checkpoint dir (it cannot be UNSET once set —
         # if none was configured before, the last round dir remains active)
-        if reliable and orig_dir is not None and orig_dir.isDefined():
-            sc.setCheckpointDir(orig_dir.get())
+        if reliable:
+            restore_checkpoint_dir(sc, orig_dir)
 
 
 def _duplicate_clusters_loop(

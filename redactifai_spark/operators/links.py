@@ -31,11 +31,15 @@ _HREF_RE = r"""(?is)<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""
 
 
 def _page_host(url: Column) -> Column:
-    return F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit(""))
+    # hosts are case-insensitive (RFC 3986) and urlnorm.canonicalize_url
+    # lowercases them — graph/stats keys must match or case variants split
+    # rank mass and break joins against canonicalized urls
+    return F.lower(F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit("")))
 
 
 def _page_scheme(url: Column) -> Column:
-    return F.coalesce(F.try_parse_url(url, F.lit("PROTOCOL")), F.lit("https"))
+    return F.lower(
+        F.coalesce(F.try_parse_url(url, F.lit("PROTOCOL")), F.lit("https")))
 
 
 def extract_links(
@@ -90,8 +94,7 @@ def host_link_stats(links: DataFrame) -> DataFrame:
     combines (count / approx distinct / sum)."""
     hosts = links.select(
         _page_host(F.col("url")).alias("host"),
-        F.coalesce(F.try_parse_url("target_url", F.lit("HOST")),
-                   F.lit("")).alias("target_host"),
+        _page_host(F.col("target_url")).alias("target_host"),
         F.col("url"),
     )
     return hosts.groupBy("host").agg(

@@ -38,9 +38,11 @@ def host_edges(links: DataFrame) -> DataFrame:
     """(src, dst, weight) host-level weighted edges from an
     ``extract_links`` frame; self-loops dropped (intra-host links carry no
     endorsement), multi-links collapse into the weight."""
+    from .links import _page_host
+
     e = links.select(
-        F.coalesce(F.try_parse_url("url", F.lit("HOST")), F.lit("")).alias("src"),
-        F.coalesce(F.try_parse_url("target_url", F.lit("HOST")), F.lit("")).alias("dst"),
+        _page_host(F.col("url")).alias("src"),
+        _page_host(F.col("target_url")).alias("dst"),
     ).filter((F.col("src") != "") & (F.col("dst") != "")
              & (F.col("src") != F.col("dst")))
     return e.groupBy("src", "dst").agg(F.count("*").cast("double").alias("weight"))
@@ -66,6 +68,7 @@ def pagerank(
     nodes = nodes.repartition(npart, "host").persist()
     n = nodes.count()  # also materializes the persist
     if n == 0:
+        nodes.unpersist()  # early return bypasses the finally below
         return spark.createDataFrame([], "host string, rank double")
 
     # normalized out-edges, laid out by src once; every iteration's join
@@ -76,21 +79,20 @@ def pagerank(
     ).repartition(npart, "src").persist()
     norm_edges.count()
 
+    from .checkpointing import (
+        hadoop_rm, restore_checkpoint_dir, round_checkpoint,
+        saved_checkpoint_dir,
+    )
+
     sc = spark.sparkContext
     sources = norm_edges.select("src").distinct()
-    orig_ckpt_dir = sc._jsc.sc().checkpointDir()
+    orig_ckpt_dir = saved_checkpoint_dir(sc) if checkpoint_dir else None
 
     def _rm(sub: int) -> None:
-        jvm = sc._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/iter_{sub}")
-        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
-        fs.delete(hpath, True)
+        hadoop_rm(sc, f"{checkpoint_dir}/iter_{sub}")
 
     def _ckpt(df: DataFrame, it: int) -> DataFrame:
-        if checkpoint_dir is None:
-            return df.localCheckpoint()
-        sc.setCheckpointDir(f"{checkpoint_dir}/iter_{it}")
-        return df.checkpoint()  # eager
+        return round_checkpoint(sc, df, checkpoint_dir, f"iter_{it}")
 
     ranks = nodes.select("host", (F.lit(1.0) / n).alias("rank"))
     ranks = _ckpt(ranks.repartition(npart, "host"), 0)
@@ -124,6 +126,6 @@ def pagerank(
     finally:
         nodes.unpersist()
         norm_edges.unpersist()
-        if checkpoint_dir is not None and orig_ckpt_dir.isDefined():
-            sc.setCheckpointDir(orig_ckpt_dir.get())
+        if checkpoint_dir is not None:
+            restore_checkpoint_dir(sc, orig_ckpt_dir)
     return ranks

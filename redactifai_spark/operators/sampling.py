@@ -39,9 +39,9 @@ def quality_thresholds(
     accuracy: int = 10000,
 ) -> DataFrame:
     """Per-source score cutoff keeping ~``frac`` of rows: one row per source
-    ``(source, threshold, n_source_rows)``. NULL scores are excluded from
-    the sketch (and later rejected by the filter: an unscorable doc is not
-    "top quality")."""
+    ``(source, threshold, n_scored_rows)``. NULL scores are excluded from
+    the sketch and the count (and later rejected by the filter: an
+    unscorable doc is not "top quality")."""
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
     return df.groupBy(source_col).agg(

@@ -299,6 +299,13 @@ def read_warc_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path).select("path", "content")
     pages = _pages_from_files(files, strict, rows_per_chunk)
+    # named observe: per-batch (n_rows, n_parse_errors) surface in each
+    # StreamingQueryProgress.observedMetrics["warc_ingest"] — the streaming
+    # twin of the batch reader's Observation hook, same no-second-scan cost
+    pages = pages.observe(
+        "warc_ingest",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("warc_error").alias("n_parse_errors"))
     if not keep_error_rows:
         pages = pages.filter(F.col("warc_error").isNull()).drop("warc_error")
     return pages

@@ -153,7 +153,7 @@ def incremental_redact_warc(
     config: PipelineConfig = PipelineConfig(),
     fused: bool = True,
     max_files_per_trigger: int | None = None,
-) -> None:
+) -> dict:
     """Crawl-drop ingestion: WARC/WET archives landing under ``archive_dir``
     are parsed and redacted exactly once each — the streaming commit log
     tracks processed FILES, so re-invoking after new archives arrive
@@ -162,7 +162,12 @@ def incremental_redact_warc(
 
     The whole chain — archive parse (mapInPandas), extraction, detection,
     masking — runs inside one streaming query; ``max_files_per_trigger``
-    bounds how many ~1 GB archives one micro-batch holds."""
+    bounds how many ~1 GB archives one micro-batch holds.
+
+    Returns ``{"n_rows": ..., "n_parse_errors": ...}`` summed over this
+    invocation's batches (from the reader's named observe) — damaged
+    archives are REPORTED, never silently shrunk; this is the unattended
+    path, where silence matters most."""
     from ..sources.warc import read_warc_stream
 
     pages = read_warc_stream(
@@ -176,3 +181,10 @@ def incremental_redact_warc(
         .start()
     )
     query.awaitTermination()
+    totals = {"n_rows": 0, "n_parse_errors": 0}
+    for progress in query.recentProgress:
+        got = (progress.observedMetrics or {}).get("warc_ingest")
+        if got is not None:
+            totals["n_rows"] += got["n_rows"]
+            totals["n_parse_errors"] += got["n_parse_errors"]
+    return totals

@@ -67,3 +67,14 @@ def test_plan_single_join_no_python(spark):
         .executedPlan().toString()
     assert "Python" not in plan
     assert plan.count("Join") == 1
+
+
+def test_content_migrating_between_columns_is_changed(spark):
+    # xxhash64 skips NULL children: (x, NULL) vs (NULL, x) must still
+    # classify as changed (html-crawl row became a WET text row)
+    old = spark.createDataFrame([("u", b"payload", None)],
+                                "url string, html binary, text string")
+    new = spark.createDataFrame([("u", None, "payload")],
+                                "url string, html binary, text string")
+    got = crawl_delta(old, new, content_cols=("html", "text")).first()
+    assert got["change"] == "changed"

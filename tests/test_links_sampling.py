@@ -115,3 +115,22 @@ def test_frac_validation(spark):
         quality_thresholds(_scored(spark), 0.0)
     with pytest.raises(ValueError):
         quality_thresholds(_scored(spark), 1.5)
+
+
+def test_host_case_variants_merge(spark):
+    # hosts are case-insensitive (RFC 3986): stats keys and graph nodes
+    # must not split on case, and must match urlnorm's lowercased hosts
+    rows = [
+        ("https://Example.COM/p1", b'<a href="https://example.com/x"></a>'),
+        ("https://example.com/p2", b'<a href="HTTPS://EXAMPLE.COM/y"></a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    stats = host_link_stats(extract_links(df)).collect()
+    assert len(stats) == 1
+    assert stats[0]["host"] == "example.com"
+    assert stats[0]["intra_host_frac"] == 1.0
+
+    from redactifai_spark.operators.pagerank import host_edges
+
+    # all four case-variant links are self-loops once lowercased
+    assert host_edges(extract_links(df)).count() == 0

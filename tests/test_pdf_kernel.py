@@ -119,3 +119,31 @@ def test_corrupt_flate_skipped_not_raised():
     pdf = _mini_pdf(b"garbage-not-deflate", compress=False).replace(
         b"<< /Length", b"<< /Filter /FlateDecode /Length")
     assert extract_pdf_structural(pdf) == []  # skip, never raise
+
+
+def test_invalid_octal_escape_survives():
+    # \9 is not octal — in-the-wild PDFs carry it; spec says drop the
+    # backslash, never crash the task
+    content = b"BT (bad \\9 escape \\8 too) Tj ET"
+    blocks = extract_pdf_structural(_mini_pdf(content, compress=False))
+    assert blocks == ["bad 9 escape 8 too"]
+
+
+def test_indirect_length_multidigit_ref_not_truncated():
+    # /Length 10 0 R must NOT parse as direct length 1 (regex backtracking)
+    # — the endstream fallback has to kick in and keep the full stream
+    pdf = _mini_pdf(_CONTENT, compress=False)
+    pdf = pdf.replace(b"/Length " + str(len(_CONTENT)).encode(),
+                      b"/Length 10 0 R")
+    blocks = extract_pdf_structural(pdf)
+    assert blocks[0] == "Hello PII world"
+    assert blocks[-1] == "ABC"  # end of stream intact
+
+
+def test_cid_hex_glyphs_fall_through_not_mojibake():
+    # 2-byte CID glyph indices are not character codes: emitting them as
+    # latin-1 floods the corpus with NUL-laced garbage
+    cid = b"BT <0024005700480051> Tj ET"
+    assert extract_pdf_structural(_mini_pdf(cid)) == []
+    text, _ = extract_pdf_blocks(_mini_pdf(cid))
+    assert "\x00" not in text

@@ -304,3 +304,18 @@ def test_streaming_warc_exactly_once(spark, tmp_path):
         read_warc(spark, str(drop)), fused=True).collect()}
     stream = {r["url"]: r["redacted_text"] for r in final.collect()}
     assert stream == batch
+
+
+def test_streaming_reports_parse_errors(spark, tmp_path):
+    # unattended ingestion must REPORT damaged archives, not shrink silently
+    from redactifai_spark.streaming.incremental import incremental_redact_warc
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _write(drop, "good.warc.gz", _records(4))
+    (drop / "bad.warc").write_bytes(b"WARC/1.0\r\nbroken")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    totals = incremental_redact_warc(spark, str(drop), out, ck)
+    assert totals["n_parse_errors"] == 1
+    assert totals["n_rows"] == 5  # 4 pages + 1 error row observed pre-filter
+    assert spark.read.parquet(out).count() == 4
