@@ -1,0 +1,108 @@
+"""robots.txt (Robots Exclusion Protocol, RFC 9309) parsing — pure Python.
+
+The DataFrame operator (operators/robotstxt.py) and the pytest oracle both
+import THIS module, the same kernel-as-source-of-truth contract the
+extraction/redaction kernels follow (kernels/extract.py). Nothing here
+touches Spark.
+
+Supported subset (documented, conservative):
+  - ``user-agent`` / ``allow`` / ``disallow`` lines, case-insensitive keys,
+    ``#`` comments, blank-line tolerant (groups are delimited by the
+    user-agent header runs, not by blank lines — RFC 9309 §2.2.1).
+  - Group selection: a group applies to a crawler when one of its
+    user-agent tokens is a case-insensitive substring of the crawler's
+    product token; the LONGEST matching token wins and every group carrying
+    that winning token contributes rules (RFC: groups with the identical
+    user-agent are combined). If nothing matches, all ``*`` groups apply.
+  - Patterns: ``*`` wildcard, trailing ``$`` end anchor, longest-pattern
+    precedence measured in pattern octets with ``allow`` winning ties
+    (RFC 9309 §2.2.2). An empty ``disallow:`` value is "allow everything"
+    (no rule emitted); an empty ``allow:`` is a no-op.
+  - NOT implemented (documented gap): percent-encoding equivalence between
+    rule and path — both sides are compared as-crawled, which matches what
+    a pages table actually stores.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["compile_rules", "match_path", "pattern_regex"]
+
+
+def pattern_regex(pattern: str) -> str:
+    """Translate a robots path pattern to an anchored regex usable by BOTH
+    Python `re` and Java (Spark `regexp_like`): ``*`` -> ``.*``, a trailing
+    ``$`` -> end anchor, everything else escaped literally. Python >= 3.7
+    re.escape only emits escapes that Java regex also accepts."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    body = ".*".join(re.escape(seg) for seg in pattern.split("*"))
+    return "^" + body + ("$" if anchored else "")
+
+
+def compile_rules(body: str, user_agent: str = "*") -> list[dict]:
+    """Parse one robots.txt body and return the rule list applying to
+    ``user_agent``: ``[{"pattern": <regex>, "plen": <int>, "allow": <bool>}]``
+    sorted for determinism. ``plen`` is the RAW pattern length in octets —
+    the RFC's precedence key — not the regex length."""
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_uas: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    in_ua_run = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_ua_run:
+                if cur_uas:
+                    groups.append((cur_uas, cur_rules))
+                cur_uas, cur_rules = [], []
+                in_ua_run = True
+            cur_uas.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_ua_run = False
+            if cur_uas and val:
+                cur_rules.append((val, key == "allow"))
+        else:
+            # sitemap / crawl-delay / unknown lines end a user-agent header
+            # run (the next user-agent starts a NEW group) but carry no rule
+            in_ua_run = False
+    if cur_uas:
+        groups.append((cur_uas, cur_rules))
+
+    ua = user_agent.lower()
+    best_token = ""
+    for uas, _ in groups:
+        for tok in uas:
+            if tok != "*" and tok and tok in ua and len(tok) > len(best_token):
+                best_token = tok
+    rules: list[tuple[str, bool]] = []
+    for uas, rs in groups:
+        if (best_token and best_token in uas) or (not best_token and "*" in uas):
+            rules.extend(rs)
+    compiled = [
+        {"pattern": pattern_regex(p), "plen": len(p), "allow": allow}
+        for p, allow in rules
+    ]
+    compiled.sort(key=lambda r: (-r["plen"], r["pattern"], not r["allow"]))
+    return compiled
+
+
+def match_path(rules: list[dict], path: str) -> bool:
+    """True when ``path`` is ALLOWED under ``rules`` (longest pattern wins,
+    allow wins ties, no matching rule = allowed). The DataFrame operator's
+    aggregate expression mirrors exactly this fold."""
+    best_len, best_allow = -1, True
+    for r in rules:
+        if re.search(r["pattern"], path):
+            if r["plen"] > best_len or (
+                r["plen"] == best_len and r["allow"] and not best_allow
+            ):
+                best_len, best_allow = r["plen"], r["allow"]
+    return best_allow

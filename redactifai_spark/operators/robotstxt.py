@@ -1,0 +1,130 @@
+"""robots.txt protocol gate — drop pages a host's robots.txt disallows.
+
+Completes the opt-out story started by operators/robots.py (the in-page
+``<meta name=robots>`` gate): real crawls also carry the per-host
+``robots.txt`` fetches (Common Crawl publishes them as a sidecar dataset),
+and responsible corpus builds honor the Disallow/Allow rules for the
+crawler's user-agent (RFC 9309). Parsing lives in kernels/robotstxt.py —
+the kernel-as-source-of-truth contract (cf. kernels/extract.py).
+
+Scale shape, at 10^12 pages / ~10^8 hosts:
+  - Parsing runs on the ROBOTS table (one row per host — orders of
+    magnitude smaller than the pages table) with one Arrow-batched pandas
+    UDF; the pages side never sees Python.
+  - The gate is a host-keyed equi-join where the rules side has EXACTLY one
+    row per host (rules pre-collapsed into an array column), so there is no
+    row explosion and a skewed host (many pages, one rules row) splits
+    cleanly under AQE skew-join; AQE broadcasts the rules side outright
+    when it is small. No forced broadcast (the boilerplate lesson:
+    operators/boilerplate.py grew a set with host count).
+  - Verdict evaluation is pure Catalyst: an array filter + fold over the
+    per-host rules implementing the RFC's longest-match / allow-tie
+    precedence, fused into the join's output projection — no second
+    shuffle, no UDF on the 10^12-row side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..kernels import robotstxt as _kernel
+
+__all__ = [
+    "parse_robots_rules",
+    "robots_allowed",
+    "filter_robots_disallowed",
+]
+
+_RULES_TYPE = "array<struct<pattern:string,plen:int,allow:boolean>>"
+
+
+def parse_robots_rules(
+    robots_df: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """``(host, robots_txt)`` -> ``(host, rules)`` with ``rules`` the
+    compiled rule array for ``user_agent`` (see kernels/robotstxt.py for
+    the supported RFC 9309 subset). Hosts are lowercased here so the gate's
+    join key always matches ``lower(try_parse_url(url, 'HOST'))``. Multiple
+    rows for one host (re-fetches) are collapsed to the lexically-largest
+    body — a deterministic keeper; feed a deduplicated robots table if you
+    need last-fetch-wins semantics."""
+
+    @F.pandas_udf(_RULES_TYPE)
+    def _compile(bodies: pd.Series) -> pd.Series:
+        return bodies.map(
+            lambda b: _kernel.compile_rules(b or "", user_agent))
+
+    return (
+        robots_df
+        .groupBy(F.lower(F.col(host_col)).alias("host"))
+        .agg(F.max(F.col(body_col)).alias("_rb_body"))
+        .select("host", _compile("_rb_body").alias("rules"))
+    )
+
+
+def _match_target(url: Column) -> Column:
+    """The string robots rules match against: path + ('?' + query)?, with
+    an empty path normalized to '/' (RFC 9309 §2.2.2)."""
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    return F.concat(
+        path,
+        F.when(query.isNotNull(), F.concat(F.lit("?"), query))
+        .otherwise(F.lit("")),
+    )
+
+
+def robots_allowed(rules: Column, target: Column) -> Column:
+    """Pure-Catalyst verdict: True when ``target`` is allowed under the
+    per-host ``rules`` array (null rules — host without robots.txt — is
+    allowed, the crawl-standard default). Mirrors kernels.robotstxt
+    .match_path exactly: longest raw-pattern wins, allow wins ties."""
+    matched = F.filter(
+        F.coalesce(rules, F.array().cast(_RULES_TYPE)),
+        lambda r: F.regexp_like(target, r["pattern"]),
+    )
+    best = F.aggregate(
+        matched,
+        F.struct(
+            F.lit(-1).cast("int").alias("plen"),
+            F.lit(True).alias("allow"),
+        ),
+        lambda acc, r: F.when(
+            (r["plen"] > acc["plen"])
+            | ((r["plen"] == acc["plen"]) & r["allow"] & ~acc["allow"]),
+            F.struct(r["plen"].alias("plen"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    return best["allow"]
+
+
+def filter_robots_disallowed(
+    pages: DataFrame,
+    rules_df: DataFrame,
+    url_col: str = "url",
+    keep_disallowed: bool = False,
+) -> DataFrame:
+    """Gate a pages table against compiled per-host rules
+    (``parse_robots_rules`` output). Rows whose host has no robots.txt, or
+    whose path the rules allow, survive; ``keep_disallowed=True`` inverts
+    the filter for auditing. Row set only changes — columns pass through."""
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    joined = (
+        pages.withColumn("_rb_host", host)
+        .join(
+            rules_df.select(
+                F.col("host").alias("_rb_host"), F.col("rules").alias("_rb_rules")
+            ),
+            on="_rb_host",
+            how="left",
+        )
+    )
+    allowed = robots_allowed(
+        F.col("_rb_rules"), _match_target(F.col(url_col)))
+    kept = joined.filter(~allowed if keep_disallowed else allowed)
+    return kept.drop("_rb_host", "_rb_rules")

@@ -1,0 +1,181 @@
+"""robots.txt protocol gate — kernel semantics + DataFrame parity.
+
+RFC 9309 scenarios: group selection by longest UA token, * fallback,
+wildcard/$ patterns, longest-match precedence with allow tiebreak, empty
+disallow, comments, and the host-join gate over a pages table.
+"""
+
+import pytest
+
+from redactifai_spark.kernels import robotstxt as K
+from redactifai_spark.operators.robotstxt import (
+    filter_robots_disallowed,
+    parse_robots_rules,
+)
+
+BODY = """
+# global rules
+User-agent: *
+Disallow: /private/
+Allow: /private/ok.html
+Disallow: /*.pdf$
+
+User-agent: DataBot
+User-agent: OtherBot
+Disallow: /databot-only/
+
+User-agent: databot-nightly
+Disallow: /nightly/
+"""
+
+
+class TestKernel:
+    def test_star_group_longest_match_allow_tiebreak(self):
+        rules = K.compile_rules(BODY, "SomeCrawler/1.0")
+        assert not K.match_path(rules, "/private/secret.html")
+        # allow rule is longer than the disallow -> allowed
+        assert K.match_path(rules, "/private/ok.html")
+        assert K.match_path(rules, "/public/index.html")
+
+    def test_wildcard_and_anchor(self):
+        rules = K.compile_rules(BODY, "SomeCrawler/1.0")
+        assert not K.match_path(rules, "/docs/report.pdf")
+        # $ anchor: .pdf only at end
+        assert K.match_path(rules, "/docs/report.pdf.html")
+
+    def test_group_selection_longest_token_wins(self):
+        # "databot-nightly" is a longer matching token than "databot"
+        rules = K.compile_rules(BODY, "DataBot-Nightly/2.0")
+        assert not K.match_path(rules, "/nightly/x")
+        # the shorter token's group does NOT contribute
+        assert K.match_path(rules, "/databot-only/x")
+
+    def test_named_group_excludes_star_rules(self):
+        rules = K.compile_rules(BODY, "DataBot/1.0")
+        assert not K.match_path(rules, "/databot-only/x")
+        # star group's /private/ rule does not apply to the named group
+        assert K.match_path(rules, "/private/secret.html")
+
+    def test_shared_ua_header_run(self):
+        # OtherBot shares DataBot's group via the stacked user-agent lines
+        rules = K.compile_rules(BODY, "OtherBot/3.1")
+        assert not K.match_path(rules, "/databot-only/x")
+
+    def test_empty_disallow_allows_everything(self):
+        rules = K.compile_rules("User-agent: *\nDisallow:", "X")
+        assert rules == []
+        assert K.match_path(rules, "/anything")
+
+    def test_no_body_allows(self):
+        assert K.compile_rules("", "X") == []
+        assert K.compile_rules(None, "X") == []
+
+    def test_comments_and_case(self):
+        body = "USER-AGENT: *  # everyone\nDISALLOW: /a  # blocked"
+        rules = K.compile_rules(body, "X")
+        assert not K.match_path(rules, "/a/b")
+
+    def test_unknown_lines_split_ua_runs(self):
+        # a sitemap line between user-agent headers ends the run: the
+        # second user-agent starts a NEW group with its own rules
+        body = (
+            "User-agent: a\nSitemap: http://x/s.xml\n"
+            "User-agent: b\nDisallow: /b/\n"
+        )
+        assert K.compile_rules(body, "a/1") == []
+        assert not K.match_path(K.compile_rules(body, "b/1"), "/b/x")
+
+    def test_pattern_regex_escapes_metachars(self):
+        rules = K.compile_rules("User-agent: *\nDisallow: /a+b(c)", "X")
+        assert not K.match_path(rules, "/a+b(c)/d")
+        assert K.match_path(rules, "/aab")  # + is literal, not regex
+
+
+@pytest.fixture(scope="module")
+def robots_rules(spark):
+    robots = spark.createDataFrame(
+        [
+            ("Example.COM", BODY),
+            ("other.net", "User-agent: *\nDisallow: /\nAllow: /open/"),
+        ],
+        "host string, robots_txt string",
+    )
+    return parse_robots_rules(robots, user_agent="SomeCrawler/1.0").cache()
+
+
+class TestDataFrameGate:
+    PAGES = [
+        "http://example.com/public/a.html",       # kept
+        "http://EXAMPLE.com/private/secret.html", # dropped (host case-blind)
+        "http://example.com/private/ok.html",     # kept (longer allow)
+        "http://example.com/docs/r.pdf",          # dropped ($ anchor)
+        "http://other.net/anything",              # dropped (Disallow: /)
+        "http://other.net/open/x",                # kept (Allow longer)
+        "http://norobots.org/x",                  # kept (no robots.txt)
+    ]
+
+    def _pages(self, spark):
+        return spark.createDataFrame(
+            [(u, f"t{i}") for i, u in enumerate(self.PAGES)],
+            "url string, text string",
+        )
+
+    def test_gate_matches_kernel_expectations(self, spark, robots_rules):
+        kept = filter_robots_disallowed(self._pages(spark), robots_rules)
+        urls = {r.url for r in kept.collect()}
+        assert urls == {
+            "http://example.com/public/a.html",
+            "http://example.com/private/ok.html",
+            "http://other.net/open/x",
+            "http://norobots.org/x",
+        }
+
+    def test_keep_disallowed_is_complement(self, spark, robots_rules):
+        pages = self._pages(spark)
+        kept = filter_robots_disallowed(pages, robots_rules)
+        dropped = filter_robots_disallowed(
+            pages, robots_rules, keep_disallowed=True)
+        assert kept.count() + dropped.count() == pages.count()
+
+    def test_columns_pass_through(self, spark, robots_rules):
+        kept = filter_robots_disallowed(self._pages(spark), robots_rules)
+        assert kept.columns == ["url", "text"]
+
+    def test_query_string_participates(self, spark, robots_rules):
+        pages = spark.createDataFrame(
+            [("http://example.com/q?file=x.pdf", "t")],
+            "url string, text string",
+        )
+        # rule /*.pdf$ matches the path+query target ending in .pdf
+        assert filter_robots_disallowed(pages, robots_rules).count() == 0
+
+    def test_dataframe_verdict_equals_kernel(self, spark, robots_rules):
+        """Every page's DataFrame verdict must equal the kernel's."""
+        from urllib.parse import urlsplit
+
+        rules_by_host = {
+            r["host"]: [row.asDict() for row in r["rules"]]
+            for r in robots_rules.collect()
+        }
+        kept_urls = {
+            r.url
+            for r in filter_robots_disallowed(
+                self._pages(spark), robots_rules).collect()
+        }
+        for u in self.PAGES:
+            parts = urlsplit(u)
+            target = (parts.path or "/") + (
+                "?" + parts.query if parts.query else "")
+            rules = rules_by_host.get(parts.hostname.lower(), [])
+            assert K.match_path(rules, target) == (u in kept_urls), u
+
+    def test_refetch_keeper_is_deterministic(self, spark):
+        dup = spark.createDataFrame(
+            [("h.com", "User-agent: *\nDisallow: /a"),
+             ("h.com", "User-agent: *\nDisallow: /b")],
+            "host string, robots_txt string",
+        )
+        out = parse_robots_rules(dup).collect()
+        assert len(out) == 1
+        # lexically-largest body wins -> the /b rule
+        assert out[0]["rules"][0]["pattern"] == "^/b"
