@@ -1,0 +1,161 @@
+"""SemDeDup — semantic (embedding-space) near-duplicate pruning.
+
+Implements the public SemDeDup recipe (Abbas et al., 2023,
+arXiv:2303.09540): cluster document embeddings with k-means, then WITHIN
+each cluster find pairs above a cosine-similarity threshold and keep one
+representative per duplicate group. Complements the lexical near-dup
+family (operators/dedup.py MinHash/SimHash) — paraphrases and translations
+that share no shingles still collide in embedding space.
+
+Scale shape, at 10^9-10^12 embeddings:
+  - Clustering reuses operators/similarity.kmeans_centroids: only k x dim
+    floats ever reach the driver; assignment is a pure-Catalyst expression.
+  - The candidate pair generation is a SELF-JOIN ON THE CLUSTER ID — the
+    paper's whole point: k chosen ~ sqrt(N) bounds each cluster, so the
+    quadratic pair cost is (N/k)^2 * k = N^2/k per pass instead of N^2,
+    and the join shuffles each side once on a uniform int key. A skewed
+    (oversized) cluster degrades gracefully under AQE skew-join splitting;
+    pathological collapse (all vectors identical) is the caller's signal
+    to raise k, same as the LSH templated-corpus story.
+  - The keep rule is the greedy dominated-row rule the lexical family
+    uses: a doc is dropped when ANY sufficiently-similar doc in its
+    cluster has higher keep-priority. One aggregation over the pair list
+    — no iterative connected components on the default path. The paper's
+    duplicate groups are epsilon-ball near-cliques, where this greedy rule
+    keeps exactly one; on non-clique chains it deviates from strict
+    keep-one-per-component (a V-shape keeps both endpoints, a monotone
+    chain keeps only its minimum). Callers who need exact
+    one-per-component can feed semantic_duplicate_pairs into
+    dedup.duplicate_clusters instead.
+
+Keep-priority follows the paper: prefer the row with the LOWEST cosine
+similarity to its cluster centroid (keeps the most "outlying" = most
+informative example), tie-broken by id for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .similarity import (
+    _as_double,
+    cosine,
+    kmeans_centroids,
+    with_ivf_cluster,
+)
+
+__all__ = [
+    "with_semantic_cluster",
+    "semantic_duplicate_pairs",
+    "drop_semantic_duplicates",
+]
+
+
+def _centroid_sim(vec: Column, centroids: list[list[float]]) -> Column:
+    """Cosine similarity of `vec` to its ASSIGNED (nearest) centroid,
+    as an element lookup so the distance array is built once."""
+    lits = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    return cosine(vec, F.element_at(lits, F.col("cluster") + 1))
+
+
+def with_semantic_cluster(
+    df: DataFrame,
+    dim: int,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add `cluster` (nearest-centroid id) and `centroid_sim` (cosine to
+    the assigned centroid — the paper's keep-priority key). Deterministic:
+    seeds and iterations come from similarity.kmeans_centroids."""
+    cents = kmeans_centroids(
+        df, dim, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    out = with_ivf_cluster(df, cents, vec_col=vec_col)
+    return out.withColumn(
+        "centroid_sim",
+        _centroid_sim(_as_double(F.col(vec_col)), cents),
+    )
+
+
+def semantic_duplicate_pairs(
+    clustered: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster pairs with cosine(vec_a, vec_b) > threshold.
+    Input must carry `cluster` (see with_semantic_cluster). Returns
+    ``(id_a, id_b, cluster, sim)`` with id_a < id_b — the candidate set is
+    cluster-bounded, never the full cross product."""
+    a = clustered.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = clustered.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("sim") > F.lit(float(threshold)))
+    )
+    return pairs.select("id_a", "id_b", "cluster", "sim")
+
+
+def drop_semantic_duplicates(
+    df: DataFrame,
+    dim: int,
+    k: int = 16,
+    threshold: float = 0.95,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup end-to-end: cluster, pair within clusters, drop every row
+    DOMINATED by a similar row (lower keep-priority loses; priority =
+    lowest centroid_sim first, then smallest id). Payload columns pass
+    through; output is the surviving subset of the input rows."""
+    from .caching import persist_tracked
+
+    # persisted + eagerly materialized: the k-means assignment feeds both
+    # pair-join legs AND the priority lookup — same race/recompute story as
+    # dedup._featurized; freed via caching.unpersist_tracked()
+    clustered = persist_tracked(with_semantic_cluster(
+        df, dim, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col))
+    pairs = semantic_duplicate_pairs(
+        clustered, threshold=threshold, id_col=id_col, vec_col=vec_col)
+
+    # keep_rank: SMALLER wins — lowest centroid_sim (the paper's most-
+    # outlying representative) first, then smallest id for determinism
+    rank = clustered.select(
+        F.col(id_col).alias("_sd_id"),
+        F.struct(
+            F.col("centroid_sim").alias("s"),
+            F.col(id_col).cast("string").alias("i"),
+        ).alias("_sd_rank"),
+    )
+    ranked = (
+        pairs
+        .join(rank.withColumnRenamed("_sd_id", "id_a")
+                  .withColumnRenamed("_sd_rank", "_ra"), on="id_a")
+        .join(rank.withColumnRenamed("_sd_id", "id_b")
+                  .withColumnRenamed("_sd_rank", "_rb"), on="id_b")
+    )
+    losers = (
+        ranked.select(
+            F.when(F.col("_ra") > F.col("_rb"), F.col("id_a"))
+            .otherwise(F.col("id_b")).alias("_sd_loser"))
+        .distinct()
+    )
+    return df.join(
+        losers,
+        on=F.col(id_col) == F.col("_sd_loser"),
+        how="left_anti",
+    )

@@ -1,0 +1,125 @@
+"""SemDeDup (embedding-space near-dup pruning) — clustering, pair
+generation, and the keep-priority drop rule."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.semdedup import (
+    drop_semantic_duplicates,
+    semantic_duplicate_pairs,
+    with_semantic_cluster,
+)
+
+DIM = 4
+
+
+def _vec(base, jitter=0.0, axis=0):
+    v = list(base)
+    v[axis] += jitter
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # two well-separated directions; within direction A, three near-identical
+    # vectors (a planted duplicate group) plus one genuinely distinct vector
+    A = [1.0, 0.0, 0.0, 0.0]
+    B = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, _vec(A)),
+        (2, _vec(A, 0.01)),          # ~A (dup of 1)
+        (3, _vec(A, 0.02)),          # ~A (dup of 1/2)
+        (4, _vec([0.7, 0.0, 0.7, 0.0])),  # direction A-ish but far (kept)
+        (10, _vec(B)),
+        (11, _vec(B, 0.015)),        # dup of 10
+        (12, _vec([0.0, 0.7, 0.0, 0.7])),  # far from B (kept)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>")
+
+
+def test_clustering_separates_directions(emb):
+    out = with_semantic_cluster(emb, DIM, k=2, n_iter=4)
+    by_cluster = {
+        r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert by_cluster[1] == by_cluster[2] == by_cluster[3]
+    assert by_cluster[10] == by_cluster[11]
+    assert by_cluster[1] != by_cluster[10]
+    sims = {r["vec_id"]: r["centroid_sim"] for r in out.collect()}
+    assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims.values())
+
+
+def test_pairs_are_within_cluster_only(emb):
+    clustered = with_semantic_cluster(emb, DIM, k=2, n_iter=4)
+    pairs = semantic_duplicate_pairs(clustered, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (2, 3) in got and (1, 3) in got
+    assert (10, 11) in got
+    # cross-direction or far-vector pairs never appear
+    for (a, b) in got:
+        assert {a, b} <= {1, 2, 3} or {a, b} <= {10, 11}
+
+
+def test_pairs_ordered_and_thresholded(emb):
+    clustered = with_semantic_cluster(emb, DIM, k=2, n_iter=4)
+    pairs = semantic_duplicate_pairs(clustered, threshold=0.999).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["sim"] > 0.999
+
+
+def test_drop_keeps_one_per_group_and_all_uniques(emb):
+    kept = drop_semantic_duplicates(emb, DIM, k=2, threshold=0.999, n_iter=4)
+    ids = sorted(r["vec_id"] for r in kept.collect())
+    # one survivor from {1,2,3}, one from {10,11}; 4 and 12 always survive
+    assert 4 in ids and 12 in ids
+    assert len([i for i in ids if i in (1, 2, 3)]) == 1
+    assert len([i for i in ids if i in (10, 11)]) == 1
+    assert len(ids) == 4
+
+
+def test_drop_is_deterministic(emb):
+    a = sorted(r["vec_id"] for r in drop_semantic_duplicates(
+        emb, DIM, k=2, threshold=0.999, n_iter=4).collect())
+    b = sorted(r["vec_id"] for r in drop_semantic_duplicates(
+        emb, DIM, k=2, threshold=0.999, n_iter=4).collect())
+    assert a == b
+
+
+def test_payload_columns_pass_through(spark, emb):
+    with_payload = emb.withColumn("src", F.lit("crawl"))
+    kept = drop_semantic_duplicates(
+        with_payload, DIM, k=2, threshold=0.999, n_iter=4)
+    assert kept.columns == ["vec_id", "embedding", "src"]
+    assert kept.filter(F.col("src") != "crawl").count() == 0
+
+
+def test_high_threshold_drops_nothing(emb):
+    kept = drop_semantic_duplicates(
+        emb, DIM, k=2, threshold=1.0000001, n_iter=4)
+    assert kept.count() == emb.count()
+
+
+def test_on_testdata_embeddings(spark):
+    """Smoke on the driver-shaped embeddings table: runs, keeps a subset,
+    survivors are a subset of the input ids."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    id_col, vec_col = df.columns[0], None
+    for c, t in df.dtypes:
+        if t.startswith("array"):
+            vec_col = c
+            break
+    assert vec_col is not None
+    dim = len(df.select(vec_col).first()[0])
+    sub = df.limit(200)
+    kept = drop_semantic_duplicates(
+        sub, dim, k=4, threshold=0.98, n_iter=2,
+        id_col=id_col, vec_col=vec_col)
+    n_in, n_out = sub.count(), kept.count()
+    assert 0 < n_out <= n_in
+    in_ids = {r[id_col] for r in sub.select(id_col).collect()}
+    out_ids = {r[id_col] for r in kept.select(id_col).collect()}
+    assert out_ids <= in_ids
