@@ -1,0 +1,136 @@
+"""Text normalization for training corpora — pure-Catalyst cleanup.
+
+Web-extracted text carries crawl artifacts that poison tokenizers and
+dedup keys alike: C0/C1 control characters, zero-width code points,
+NBSP-family spaces, soft hyphens, and the classic UTF-8-read-as-cp1252
+mojibake ("Ã©" where "é" was meant). Public pipelines (C4,
+ftfy, RefinedWeb) normalize these before filtering; doing it here keeps
+every downstream operator (shingles, LM scores, fingerprints) stable
+across crawls that differ only in encoding damage.
+
+Scale shape: everything on the default path is JVM-side Catalyst —
+``translate`` (single-pass char map) and a bounded number of
+``replace``/``regexp_replace`` passes — fused into whole-stage codegen
+with zero shuffle and zero Python. Full Unicode NFC, which Catalyst
+lacks, is an OPT-IN Arrow-batched pandas UDF (``nfc=True``) for corpora
+that need canonical composition; it is off by default so the hot path
+stays UDF-free (the north-rule contract).
+
+Mojibake repair is deliberately a FIXED, documented table of the
+high-frequency cp1252/UTF-8 double-encodings (the ftfy top cases), not a
+general re-decoder: heuristic re-decoding can corrupt legitimate text, so
+only unambiguous multi-char sequences are rewritten. All special
+characters in this module are written as explicit ``\\u`` escapes — no
+invisible literals in source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["clean_text", "with_clean_text", "MOJIBAKE_TABLE"]
+
+# Zero-width & BOM code points plus soft hyphen: dropped outright.
+_DROP = (
+    "\u200b\u200c\u200d\u2060\ufeff\u00ad"
+)
+# NBSP-family / exotic spaces -> ASCII space.
+_SPACES = (
+    "\u00a0\u1680\u2000\u2001\u2002\u2003\u2004\u2005"
+    "\u2006\u2007\u2008\u2009\u200a\u202f\u205f\u3000"
+)
+
+# Unambiguous UTF-8-bytes-read-as-cp1252 double-encodings (ftfy's most
+# common cases). Keys are what the damaged text contains; values the
+# intended character. € = euro sign (cp1252 0x80), ˜ = small
+# tilde (0x98), œ = oe ligature (0x9c): the cp1252 faces of the
+# UTF-8 continuation bytes.
+MOJIBAKE_TABLE: dict[str, str] = {
+    "\u00c3\u00a9": "\u00e9",  # e acute
+    "\u00c3\u00a8": "\u00e8",  # e grave
+    "\u00c3\u00aa": "\u00ea",  # e circumflex
+    "\u00c3\u00a0": "\u00e0",  # a grave
+    "\u00c3\u00a2": "\u00e2",  # a circumflex
+    "\u00c3\u00a7": "\u00e7",  # c cedilla
+    "\u00c3\u00b4": "\u00f4",  # o circumflex
+    "\u00c3\u00b6": "\u00f6",  # o diaeresis
+    "\u00c3\u00bc": "\u00fc",  # u diaeresis
+    "\u00c3\u00a4": "\u00e4",  # a diaeresis
+    "\u00c3\u00b1": "\u00f1",  # n tilde
+    "\u00c3\u00ad": "\u00ed",  # i acute
+    "\u00c3\u00b3": "\u00f3",  # o acute
+    "\u00c3\u00ba": "\u00fa",  # u acute
+    "\u00c3\u00a1": "\u00e1",  # a acute
+    "\u00c2\u00a0": " ",  # NBSP read through cp1252 (then mapped to ' ')
+    "\u00e2\u20ac\u2122": "\u2019",  # right single quote
+    "\u00e2\u20ac\u02dc": "\u2018",  # left single quote
+    "\u00e2\u20ac\u0153": "\u201c",  # left double quote
+    "\u00e2\u20ac\u009d": "\u201d",  # right double quote (0x9d passthrough)
+    "\u00e2\u20ac\u201c": "\u2013",  # en dash
+    "\u00e2\u20ac\u201d": "\u2014",  # em dash
+    "\u00e2\u20ac\u00a6": "\u2026",  # ellipsis
+}
+
+# C0 controls minus \t\n, plus DEL + C1 block.
+_CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]"
+
+
+def clean_text(
+    text: Column | str,
+    fix_mojibake: bool = True,
+    collapse_whitespace: bool = False,
+) -> Column:
+    """Normalized copy of ``text`` (null passes through as null):
+
+    - CRLF/CR normalized to LF
+    - mojibake table applied first (with ``fix_mojibake``) — its keys
+      contain C1 bytes the control strip would otherwise destroy
+    - NBSP-family spaces mapped to ASCII space
+    - zero-width characters, BOM, and soft hyphens removed
+    - C0/C1 controls removed (newline/tab kept — they are structure)
+    - with ``collapse_whitespace``: runs of spaces/tabs collapsed to one
+      space and edge whitespace trimmed per line (OFF by default — it
+      changes byte offsets, so run it BEFORE detection, never after)
+    """
+    out = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(out, "\r\n?", "\n")
+    if fix_mojibake:
+        for bad, good in MOJIBAKE_TABLE.items():
+            out = F.replace(out, F.lit(bad), F.lit(good))
+    out = F.translate(out, _SPACES, " " * len(_SPACES))
+    out = F.translate(out, _DROP, "")
+    out = F.regexp_replace(out, _CONTROL_RE, "")
+    if collapse_whitespace:
+        out = F.regexp_replace(out, "[ \t]+", " ")
+        out = F.regexp_replace(out, "(?m)^ | $", "")
+    return out
+
+
+def with_clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    fix_mojibake: bool = True,
+    collapse_whitespace: bool = False,
+    nfc: bool = False,
+) -> DataFrame:
+    """``clean_text`` as a column transform (in place by default).
+    ``nfc=True`` additionally applies full Unicode NFC composition via an
+    Arrow-batched pandas UDF — opt-in, because canonical composition is
+    the one step Catalyst cannot express (one Python hop on this column)."""
+    out = out_col or text_col
+    col = clean_text(
+        F.col(text_col),
+        fix_mojibake=fix_mojibake,
+        collapse_whitespace=collapse_whitespace,
+    )
+    if nfc:
+        @F.pandas_udf("string")
+        def _nfc(s):
+            import unicodedata
+            return s.map(
+                lambda v: unicodedata.normalize("NFC", v)
+                if v is not None else None)
+
+        col = _nfc(col)
+    return df.withColumn(out, col)

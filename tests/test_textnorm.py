@@ -1,0 +1,100 @@
+"""Text normalization — control/zero-width strip, space mapping, mojibake
+repair, optional collapse + NFC."""
+
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.textnorm import (
+    MOJIBAKE_TABLE,
+    clean_text,
+    with_clean_text,
+)
+
+
+def _run(spark, s, **kw):
+    df = spark.createDataFrame([(s,)], "text string")
+    return df.select(clean_text("text", **kw).alias("t")).first()["t"]
+
+
+def test_controls_stripped_structure_kept(spark):
+    assert _run(spark, "a\x00b\x07c\td\ne\x9f") == "abc\td\ne"
+
+
+def test_crlf_normalized(spark):
+    assert _run(spark, "a\r\nb\rc\nd") == "a\nb\nc\nd"
+
+
+def test_zero_width_and_soft_hyphen_dropped(spark):
+    assert _run(spark, "co­op​erate﻿") == "cooperate"
+
+
+def test_nbsp_family_to_space(spark):
+    assert _run(spark, "a b c　d") == "a b c d"
+
+
+def test_mojibake_repaired(spark):
+    assert _run(spark, "cafÃ© â€™tis") == "café ’tis"
+    assert _run(spark, "Aâ€”B") == "A—B"
+
+
+def test_mojibake_opt_out(spark):
+    s = "cafÃ©"
+    assert _run(spark, s, fix_mojibake=False) == s
+
+
+def test_c1_bearing_mojibake_key_survives_strip_order(spark):
+    # the right-double-quote key ends in U+009D (a C1 control): the table
+    # must run BEFORE the control strip or the key can never match
+    assert _run(spark, "â€end") == "”end"
+
+
+def test_collapse_whitespace(spark):
+    out = _run(spark, "  a \t b  \n  c ", collapse_whitespace=True)
+    assert out == "a b\nc"
+
+
+def test_null_passthrough(spark):
+    df = spark.createDataFrame([(None,)], "text string")
+    assert df.select(clean_text("text").alias("t")).first()["t"] is None
+
+
+def test_with_clean_text_in_place_and_out_col(spark):
+    df = spark.createDataFrame([("x\x00y", 1)], "text string, n int")
+    assert with_clean_text(df).first()["text"] == "xy"
+    out = with_clean_text(df, out_col="clean").first()
+    assert out["text"] == "x\x00y" and out["clean"] == "xy"
+
+
+def test_nfc_composition_optional(spark):
+    decomposed = unicodedata.normalize("NFD", "café")
+    df = spark.createDataFrame([(decomposed,)], "text string")
+    kept = with_clean_text(df).first()["text"]
+    assert kept == decomposed  # default: no recomposition
+    fixed = with_clean_text(df, nfc=True).first()["text"]
+    assert fixed == "café" and len(fixed) == 4
+
+
+def test_plan_is_pure_catalyst_by_default(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    plan = with_clean_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_table_keys_unique_and_escaped():
+    assert len(MOJIBAKE_TABLE) == len(set(MOJIBAKE_TABLE))
+    src = open("redactifai_spark/operators/textnorm.py", encoding="utf-8").read()
+    # no invisible/control literals in source — everything is \u-escaped
+    # (em-dash etc. in prose is fine; only invisibles are banned)
+    invisible = set(range(0x2000, 0x2010)) | {0x2060, 0xfeff, 0xad,
+                                              0x202f, 0x205f, 0x3000, 0xa0}
+    assert not any(ord(c) < 9 or 0x7f <= ord(c) <= 0x9f or
+                   ord(c) in invisible for c in src)
+
+
+def test_idempotent(spark):
+    s = "a bÃ© \r\n x​"
+    once = _run(spark, s)
+    df = spark.createDataFrame([(once,)], "text string")
+    twice = df.select(clean_text("text").alias("t")).first()["t"]
+    assert once == twice
