@@ -96,6 +96,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="drop pages whose html head carries a robots "
                         "noindex/none meta directive (C4/RefinedWeb-style "
                         "opt-out; pure Catalyst predicate, no extra scan)")
+    p.add_argument("--robots-txt", default=None, metavar="PATH",
+                   help="parquet (host, robots_txt) table of per-host "
+                        "robots.txt bodies: pages the host's rules disallow "
+                        "for --robots-user-agent are dropped (RFC 9309 "
+                        "longest-match; host-keyed join, one rules row per "
+                        "host, pages side never sees Python)")
+    p.add_argument("--robots-user-agent", default="*",
+                   help="crawler product token matched against robots.txt "
+                        "user-agent groups (default '*': only wildcard "
+                        "groups apply)")
+    p.add_argument("--clean-text", action="store_true",
+                   help="normalize the OUTPUT corpus text (control/zero-"
+                        "width strip, NBSP mapping, cp1252 mojibake repair "
+                        "— pure Catalyst); runs after redaction so the "
+                        "byte-identity contract of the redaction pass "
+                        "itself is untouched")
     p.add_argument("--assume-unique-urls", action="store_true",
                    help="skip the duplicate-url probe that guards the "
                         "boilerplate/LM stages (input already deduped)")
@@ -160,6 +176,14 @@ def main(argv: list[str] | None = None) -> int:
         from redactifai_spark.operators.robots import filter_noindex
 
         pages = filter_noindex(pages)
+    if args.robots_txt:
+        from redactifai_spark.operators.robotstxt import (
+            filter_robots_disallowed, parse_robots_rules)
+
+        rules = parse_robots_rules(
+            _read_target(spark, args.robots_txt),
+            user_agent=args.robots_user_agent)
+        pages = filter_robots_disallowed(pages, rules)
     if args.canonicalize_urls:
         # collapses crawl variants AND keeps one row per canonical url
         # (deterministic min-content keeper): the funnel's boilerplate strip
@@ -207,6 +231,10 @@ def main(argv: list[str] | None = None) -> int:
             "url", "redacted_text", n=args.decontaminate_ngram,
             eval_text_col="text",
         )
+    if args.clean_text:
+        from redactifai_spark.operators.textnorm import with_clean_text
+
+        corpus = with_clean_text(corpus, text_col="redacted_text")
     corpus.write.mode("overwrite").parquet(args.output)
     stats.write.mode("overwrite").parquet(args.stats)
     unpersist_tracked()

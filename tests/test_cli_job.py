@@ -201,3 +201,38 @@ def test_corpus_job_decontaminate_flag(spark, tmp_path):
     kept = {row["url"] for row in spark.read.parquet(outp).collect()}
     assert kept.isdisjoint(bad_urls)
     assert len(kept) == 20 - len(bad_urls)
+
+
+def test_corpus_job_robots_txt_and_clean_text_flags(spark, tmp_path):
+    # --robots-txt drops protocol-disallowed pages pre-funnel; --clean-text
+    # normalizes the OUTPUT corpus text (mojibake repaired downstream of the
+    # byte-identical redaction pass)
+    import json
+
+    from redactifai_spark.sources.pages import generate_pages
+
+    inp = str(tmp_path / "in")
+    robotsp = str(tmp_path / "robots")
+    outp, statsp = str(tmp_path / "corpus"), str(tmp_path / "stats")
+    generate_pages(spark, 24, n_partitions=2).write.parquet(inp)
+    # generate_pages urls look like https://site-N.example.com/article/N:
+    # disallow /article/ on one specific host
+    host = spark.read.parquet(inp).selectExpr(
+        "lower(try_parse_url(url, 'HOST')) h").first()["h"]
+    spark.createDataFrame(
+        [(host, "User-agent: *\nDisallow: /article/")],
+        "host string, robots_txt string",
+    ).write.parquet(robotsp)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_corpus_job.py"),
+         "--input", inp, "--output", outp, "--stats", statsp,
+         "--quality-min", "0.0", "--langs", "en,und",
+         "--robots-txt", robotsp, "--clean-text", "--master", "local[2]"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["stats"]["n_input"] == 23  # the disallowed host's page gone
+    urls = [row["url"] for row in spark.read.parquet(outp).collect()]
+    assert all(host not in u for u in urls)
