@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["compile_rules", "match_path", "pattern_regex"]
+__all__ = ["compile_rules", "match_path", "pattern_regex", "sitemap_urls"]
 
 
 def pattern_regex(pattern: str) -> str:
@@ -92,6 +92,22 @@ def compile_rules(body: str, user_agent: str = "*") -> list[dict]:
     ]
     compiled.sort(key=lambda r: (-r["plen"], r["pattern"], not r["allow"]))
     return compiled
+
+
+def sitemap_urls(body: str) -> list[str]:
+    """All ``Sitemap:`` URLs in a robots.txt body, in file order with
+    duplicates removed. Sitemap lines are group-independent (RFC 9309
+    §2.2.4 treats them as non-group records), so every line counts
+    regardless of which user-agent group surrounds it."""
+    seen: list[str] = []
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            u = val.strip()
+            if u not in seen:
+                seen.append(u)
+    return seen
 
 
 def match_path(rules: list[dict], path: str) -> bool:

@@ -1,0 +1,106 @@
+"""Passage splitting — overlapping fixed-size windows over long documents.
+
+Retrieval corpora and embedding pipelines consume PASSAGES, not whole
+documents: fixed token windows with a stride overlap so no span is cut at
+a boundary without also appearing whole in a neighbor. This is the
+document→passage step upstream of operators/similarity.py (embed each
+passage, ANN over passages, lineage back to the url).
+
+Scale shape: pure Catalyst — tokenize once per row (``split``), derive
+window starts with ``sequence``, ``explode`` (a narrow transform: each
+row fans out independently, no shuffle), ``slice`` + ``array_join`` per
+window. The tokens array is BOUND TO A COLUMN before the per-window
+lambda references it — the established re-inline trap (SURVEY round-4:
+an expression inlined into a higher-order function re-evaluates per
+element; binding lets CollapseProject keep it single-eval).
+
+Window semantics: windows start at 0, stride apart, up to the FIRST
+stride multiple whose window reaches the document end (no redundant
+trailing window fully contained in its predecessor); only the final
+window may be shorter than ``max_tokens``; a document shorter than one
+window yields exactly one passage. stride < max_tokens gives overlap;
+stride == max_tokens tiles exactly.
+Token lineage (``start_token``/``end_token``, 0-based half-open) makes
+every passage reproducibly addressable without char offsets (whitespace
+tokenization is deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["split_passages"]
+
+
+def split_passages(
+    df: DataFrame,
+    max_tokens: int = 256,
+    stride: int = 192,
+    id_col: str = "url",
+    text_col: str = "text",
+    passage_col: str = "passage",
+) -> DataFrame:
+    """One output row per (document, window): ``id_col`` and all payload
+    columns pass through, plus ``passage_idx`` (0-based window ordinal),
+    ``start_token``/``end_token`` (0-based half-open over the document's
+    whitespace tokens), ``n_tokens`` (window size), and ``passage_col``
+    (the window's text, single-space joined). Null/empty text yields
+    zero rows (there is nothing to retrieve)."""
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    if stride > max_tokens:
+        raise ValueError(
+            "stride > max_tokens would skip tokens between windows")
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(toks)
+
+    out = (
+        df
+        # bind BEFORE the explode lambda: single tokenize per row
+        .withColumn("_ps_toks", toks)
+        .withColumn("_ps_n", F.size("_ps_toks"))
+        .withColumn(
+            "_ps_start",
+            F.explode(
+                F.when(
+                    F.col("_ps_n") > 0,
+                    F.sequence(
+                        F.lit(0),
+                        # last start: the first stride multiple whose window
+                        # reaches the end — no redundant trailing windows
+                        # fully contained in their predecessor
+                        (F.ceil(
+                            F.greatest(
+                                F.col("_ps_n") - max_tokens, F.lit(0))
+                            / stride) * stride).cast("int"),
+                        F.lit(stride),
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+    )
+    end = F.least(F.col("_ps_start") + max_tokens, F.col("_ps_n"))
+    out = (
+        out
+        .withColumn("passage_idx", (F.col("_ps_start") / stride).cast("int"))
+        .withColumn("start_token", F.col("_ps_start"))
+        .withColumn("end_token", end.cast("int"))
+        .withColumn("n_tokens", (end - F.col("_ps_start")).cast("int"))
+        .withColumn(
+            passage_col,
+            F.array_join(
+                F.slice(
+                    "_ps_toks",
+                    F.col("_ps_start") + 1,  # slice is 1-based
+                    end - F.col("_ps_start"),
+                ),
+                " ",
+            ),
+        )
+        .drop("_ps_toks", "_ps_n", "_ps_start")
+    )
+    return out

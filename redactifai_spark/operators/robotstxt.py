@@ -34,6 +34,7 @@ __all__ = [
     "parse_robots_rules",
     "robots_allowed",
     "filter_robots_disallowed",
+    "extract_sitemaps",
 ]
 
 _RULES_TYPE = "array<struct<pattern:string,plen:int,allow:boolean>>"
@@ -63,6 +64,31 @@ def parse_robots_rules(
         .groupBy(F.lower(F.col(host_col)).alias("host"))
         .agg(F.max(F.col(body_col)).alias("_rb_body"))
         .select("host", _compile("_rb_body").alias("rules"))
+    )
+
+
+def extract_sitemaps(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """``(host, sitemap)`` — one row per distinct Sitemap URL per host, in
+    file order (crawl-frontier seed list). Sitemap records are
+    group-independent (RFC 9309 §2.2.4), so no user-agent selection
+    applies — which is why this is pure Catalyst (one regexp pass +
+    array_distinct + explode, no UDF) while rule parsing is not. Mirrors
+    kernels.robotstxt.sitemap_urls; fragments/comments truncate at ``#``
+    on both sides."""
+    urls = F.array_distinct(
+        F.regexp_extract_all(
+            F.col(body_col),
+            F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\s]+)"),
+            1,
+        )
+    )
+    return robots_df.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.explode(urls).alias("sitemap"),
     )
 
 

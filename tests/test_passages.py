@@ -1,0 +1,103 @@
+"""Passage splitting — window coverage, overlap, lineage, edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.passages import split_passages
+
+
+def _doc(spark, n_tokens, url="u"):
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    return spark.createDataFrame([(url, text)], "url string, text string")
+
+
+def _rows(df):
+    return sorted(
+        df.collect(), key=lambda r: (r["url"], r["passage_idx"]))
+
+
+def test_short_doc_single_passage(spark):
+    rows = _rows(split_passages(_doc(spark, 5), max_tokens=8, stride=4))
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["passage_idx"], r["start_token"], r["end_token"],
+            r["n_tokens"]) == (0, 0, 5, 5)
+    assert r["passage"] == "t0 t1 t2 t3 t4"
+
+
+def test_exact_fit_single_window(spark):
+    rows = _rows(split_passages(_doc(spark, 8), max_tokens=8, stride=4))
+    assert len(rows) == 1
+    assert rows[0]["end_token"] == 8
+
+
+def test_overlap_and_no_redundant_tail(spark):
+    # n=10, max=8, stride=4 -> starts 0 and 4 only (a start-8 window would
+    # be fully inside the start-4 window)
+    rows = _rows(split_passages(_doc(spark, 10), max_tokens=8, stride=4))
+    assert [(r["start_token"], r["end_token"]) for r in rows] == [
+        (0, 8), (4, 10)]
+    assert [r["passage_idx"] for r in rows] == [0, 1]
+
+
+def test_full_coverage_and_window_text(spark):
+    n, m, s = 20, 8, 4
+    rows = _rows(split_passages(_doc(spark, n), max_tokens=m, stride=s))
+    assert [(r["start_token"], r["end_token"]) for r in rows] == [
+        (0, 8), (4, 12), (8, 16), (12, 20)]
+    covered = set()
+    for r in rows:
+        toks = r["passage"].split(" ")
+        assert toks == [f"t{i}" for i in range(
+            r["start_token"], r["end_token"])]
+        assert r["n_tokens"] == len(toks) <= m
+        covered.update(range(r["start_token"], r["end_token"]))
+    assert covered == set(range(n))
+
+
+def test_tiling_when_stride_equals_max(spark):
+    rows = _rows(split_passages(_doc(spark, 10), max_tokens=4, stride=4))
+    assert [(r["start_token"], r["end_token"]) for r in rows] == [
+        (0, 4), (4, 8), (8, 10)]
+
+
+def test_null_and_empty_text_yield_no_rows(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("b", ""), ("c", "   "), ("d", "one two")],
+        "url string, text string")
+    rows = _rows(split_passages(df, max_tokens=4, stride=2))
+    assert [r["url"] for r in rows] == ["d"]
+
+
+def test_payload_columns_pass_through(spark):
+    df = _doc(spark, 6).withColumn("lang", F.lit("en"))
+    rows = _rows(split_passages(df, max_tokens=4, stride=2))
+    assert all(r["lang"] == "en" for r in rows)
+    assert all(r["text"].startswith("t0 ") for r in rows)
+
+
+def test_multiple_docs_independent(spark):
+    df = _doc(spark, 10, "a").unionByName(_doc(spark, 3, "b"))
+    rows = _rows(split_passages(df, max_tokens=8, stride=4))
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    assert len(by_url["a"]) == 2 and len(by_url["b"]) == 1
+
+
+def test_bad_params_raise(spark):
+    df = _doc(spark, 4)
+    with pytest.raises(ValueError):
+        split_passages(df, max_tokens=0, stride=1)
+    with pytest.raises(ValueError):
+        split_passages(df, max_tokens=4, stride=0)
+    with pytest.raises(ValueError):
+        split_passages(df, max_tokens=4, stride=8)
+
+
+def test_no_shuffle_no_python_in_plan(spark):
+    df = _doc(spark, 10)
+    plan = split_passages(df, max_tokens=8, stride=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -179,3 +179,43 @@ class TestDataFrameGate:
         assert len(out) == 1
         # lexically-largest body wins -> the /b rule
         assert out[0]["rules"][0]["pattern"] == "^/b"
+
+
+class TestSitemaps:
+    BODY = (
+        "User-agent: *\nDisallow: /a\n"
+        "Sitemap: https://Example.com/s1.xml\n"
+        "# Sitemap: https://example.com/commented.xml\n"
+        "User-agent: b\n"
+        "sitemap:https://example.com/s2.xml  # trailing comment\n"
+        "Sitemap: https://Example.com/s1.xml\n"  # duplicate
+    )
+
+    def test_kernel_extracts_in_order_deduped(self):
+        assert K.sitemap_urls(self.BODY) == [
+            "https://Example.com/s1.xml",
+            "https://example.com/s2.xml",
+        ]
+        assert K.sitemap_urls("") == [] and K.sitemap_urls(None) == []
+
+    def test_dataframe_parity(self, spark):
+        from redactifai_spark.operators.robotstxt import extract_sitemaps
+
+        df = spark.createDataFrame(
+            [("HostA.com", self.BODY), ("b.net", "User-agent: *")],
+            "host string, robots_txt string",
+        )
+        rows = extract_sitemaps(df).collect()
+        assert {(r["host"], r["sitemap"]) for r in rows} == {
+            ("hosta.com", "https://Example.com/s1.xml"),
+            ("hosta.com", "https://example.com/s2.xml"),
+        }
+
+    def test_dataframe_is_pure_catalyst(self, spark):
+        from redactifai_spark.operators.robotstxt import extract_sitemaps
+
+        df = spark.createDataFrame(
+            [("h", "x")], "host string, robots_txt string")
+        plan = extract_sitemaps(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "Exchange" not in plan
