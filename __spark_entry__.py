@@ -1194,14 +1194,30 @@ def _embeddings_ann_topk(spark, sf_dir):
 
 
 def _embeddings_near_pairs(spark, sf_dir):
-    # embedding-cosine near-duplicate pairs: LSH-bucket self-join (exact-bucket
-    # candidates) verified by exact cosine; oracle recomputes buckets from the
-    # same hyperplane literals and verifies the same candidate set in SQL.
+    # BOTH embedding near-dup paths in one gate row (same merged-sibling
+    # pattern as embeddings_ann_topk).
+    # lsh: LSH-bucket self-join candidates verified by exact cosine; the
+    # oracle recomputes buckets from the shared hyperplane literals.
+    # semdedup: k-means clusters (the shared md5-seeded chain), within-
+    # cluster pairs > threshold, per-pair loser/winner by keep_rank =
+    # (centroid_sim, id) — loser lands in id_a, winner in id_b; the oracle
+    # replays clustering, pairing, AND the rank comparison in SQL.
+    from redactifai_spark.operators.semdedup import (
+        semantic_pair_verdicts, with_semantic_cluster,
+    )
     from redactifai_spark.operators.similarity import cosine_near_pairs
 
-    return cosine_near_pairs(
-        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.0, n_planes=8
+    emb = _t(spark, sf_dir, "embeddings")
+    lsh = cosine_near_pairs(emb, dim=64, threshold=0.0, n_planes=8) \
+        .select(F.lit("lsh").alias("method"), "id_a", "id_b", "cos_sim")
+    clustered = with_semantic_cluster(emb, dim=64, k=8, n_iter=2)
+    sem = semantic_pair_verdicts(clustered, threshold=0.3).select(
+        F.lit("semdedup").alias("method"),
+        F.col("loser").alias("id_a"),
+        F.col("winner").alias("id_b"),
+        F.round("sim", 6).alias("cos_sim"),
     )
+    return lsh.unionByName(sem)
 
 
 def _wrap(fn):
@@ -1543,15 +1559,13 @@ def _near_pairs_oracle_sql(n_planes: int = 8, threshold: float = 0.0) -> str:
     )
 
 
-def _ivf_topk_oracle_sql(
-    k_cl: int = 8, n_iter: int = 2, n_probe: int = 4, k: int = 10
-) -> str:
-    """Replays the ENTIRE IVF chain in SQL: md5-hex seed selection, ``n_iter``
-    Lloyd iterations (assign by squared distance, per-dimension mean, empty
-    clusters keep their previous centroid), final assignment, probe selection
-    (n_probe nearest centroids to the query), cosine top-k over the probed
-    clusters — the twin of similarity.kmeans_centroids / with_ivf_cluster /
-    ivf_topk."""
+def _kmeans_assign_ctes(k_cl: int = 8, n_iter: int = 2) -> tuple[list, str]:
+    """The shared k-means replay: md5-hex seed selection, ``n_iter`` Lloyd
+    iterations (assign by squared distance, per-dimension mean, empty
+    clusters keep their previous centroid), and the final assignment CTE
+    ``af`` (vec_id, c). Returns (ctes, final_centroid_cte_name) — the twin
+    of similarity.kmeans_centroids + with_ivf_cluster, reused by the IVF
+    top-k and SemDeDup oracles."""
     ctes = [
         "e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev, "
         "generate_subscripts(embedding, 1) AS i FROM embeddings)",
@@ -1587,6 +1601,19 @@ def _ivf_topk_oracle_sql(
         f"FROM e JOIN {cur} ON e.i = {cur}.i GROUP BY 1, 2)",
         "af AS (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER "
         "(PARTITION BY vec_id ORDER BY dist, c) AS rn FROM df_) WHERE rn = 1)",
+    ]
+    return ctes, cur
+
+
+def _ivf_topk_oracle_sql(
+    k_cl: int = 8, n_iter: int = 2, n_probe: int = 4, k: int = 10
+) -> str:
+    """Replays the ENTIRE IVF chain in SQL: the shared k-means replay
+    (_kmeans_assign_ctes), probe selection (n_probe nearest centroids to
+    the query), cosine top-k over the probed clusters — the twin of
+    similarity.ivf_topk."""
+    ctes, cur = _kmeans_assign_ctes(k_cl, n_iter)
+    ctes += [
         "q AS (SELECT ev AS qv, i FROM e WHERE vec_id = 0)",
         f"qd AS (SELECT {cur}.c, SUM((q.qv - {cur}.m) * (q.qv - {cur}.m)) AS dist "
         f"FROM q JOIN {cur} ON q.i = {cur}.i GROUP BY 1)",
@@ -1601,6 +1628,43 @@ def _ivf_topk_oracle_sql(
         "WITH " + ", ".join(ctes)
         + " SELECT vec_id, ROUND(dot / sqrt(nrm * qn), 6) AS cos_sim FROM dd "
         f"ORDER BY dot / sqrt(nrm * qn) DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+def _semdedup_verdicts_oracle_sql(
+    k_cl: int = 8, n_iter: int = 2, threshold: float = 0.3
+) -> str:
+    """Twin of semdedup.semantic_pair_verdicts over the same k-means chain:
+    within-cluster pairs with cosine > threshold, per-pair loser/winner by
+    keep_rank = (cosine-to-assigned-centroid, id-as-string) — the SMALLER
+    rank wins (the paper's most-outlying representative; string compare
+    matches Spark's struct field ordering bit-for-bit on ASCII ids)."""
+    ctes, cur = _kmeans_assign_ctes(k_cl, n_iter)
+    ctes += [
+        # cosine of each vector to its ASSIGNED centroid (keep-priority key)
+        f"cs AS (SELECT a.vec_id, a.c, "
+        f"SUM(e.ev * cm.m) / sqrt(SUM(e.ev * e.ev) * SUM(cm.m * cm.m)) AS csim "
+        f"FROM af a JOIN e ON e.vec_id = a.vec_id "
+        f"JOIN {cur} cm ON cm.c = a.c AND cm.i = e.i GROUP BY 1, 2)",
+        # within-cluster candidate pairs + exact cosine
+        "pr AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.c, "
+        "SUM(ea.ev * eb.ev) / sqrt(SUM(ea.ev * ea.ev) * SUM(eb.ev * eb.ev)) AS sim "
+        "FROM af x JOIN af y ON x.c = y.c AND x.vec_id < y.vec_id "
+        "JOIN e ea ON ea.vec_id = x.vec_id "
+        "JOIN e eb ON eb.vec_id = y.vec_id AND eb.i = ea.i "
+        f"GROUP BY 1, 2, 3 HAVING SUM(ea.ev * eb.ev) / "
+        f"sqrt(SUM(ea.ev * ea.ev) * SUM(eb.ev * eb.ev)) > {threshold})",
+        "sv AS (SELECT p.id_a, p.id_b, p.sim, ca.csim AS sa, cb.csim AS sb "
+        "FROM pr p JOIN cs ca ON ca.vec_id = p.id_a "
+        "JOIN cs cb ON cb.vec_id = p.id_b)",
+    ]
+    loses_a = ("(sa > sb OR (sa = sb AND CAST(id_a AS VARCHAR) > "
+               "CAST(id_b AS VARCHAR)))")
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT CASE WHEN {loses_a} THEN id_a ELSE id_b END AS id_a, "
+        f"CASE WHEN {loses_a} THEN id_b ELSE id_a END AS id_b, "
+        "ROUND(sim, 6) AS cos_sim FROM sv"
     )
 
 
@@ -1771,7 +1835,14 @@ def oracle_sql() -> dict[str, str]:
             ") v(category, off, len, conf, subcat)"
         ),
         "embeddings_ann_topk": _ann_topk_oracle_sql(),
-        "embeddings_near_pairs": _near_pairs_oracle_sql(),
+        "embeddings_near_pairs": (
+            "SELECT 'lsh' AS method, id_a, id_b, cos_sim FROM ("
+            + _near_pairs_oracle_sql()
+            + ") UNION ALL "
+            "SELECT 'semdedup' AS method, id_a, id_b, cos_sim FROM ("
+            + _semdedup_verdicts_oracle_sql()
+            + ")"
+        ),
         "embeddings_ann_recall": _ann_recall_oracle_sql(),
         "media_feature_stats": _media_feature_stats_oracle_sql(),
         "events_value_percentiles": (

@@ -47,6 +47,7 @@ from .similarity import (
 __all__ = [
     "with_semantic_cluster",
     "semantic_duplicate_pairs",
+    "semantic_pair_verdicts",
     "drop_semantic_duplicates",
 ]
 
@@ -90,15 +91,17 @@ def semantic_duplicate_pairs(
     Input must carry `cluster` (see with_semantic_cluster). Returns
     ``(id_a, id_b, cluster, sim)`` with id_a < id_b — the candidate set is
     cluster-bounded, never the full cross product."""
+    # double-precision like every other cosine in the engine (float32
+    # products drift vs the double-summing SQL oracle at the 6th decimal)
     a = clustered.select(
         F.col(id_col).alias("id_a"),
         F.col("cluster"),
-        F.col(vec_col).alias("_va"),
+        _as_double(F.col(vec_col)).alias("_va"),
     )
     b = clustered.select(
         F.col(id_col).alias("id_b"),
         F.col("cluster"),
-        F.col(vec_col).alias("_vb"),
+        _as_double(F.col(vec_col)).alias("_vb"),
     )
     pairs = (
         a.join(b, on="cluster")
@@ -107,6 +110,45 @@ def semantic_duplicate_pairs(
         .filter(F.col("sim") > F.lit(float(threshold)))
     )
     return pairs.select("id_a", "id_b", "cluster", "sim")
+
+
+def semantic_pair_verdicts(
+    clustered: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-pair keep verdicts: ``(loser, winner, cluster, sim)`` for every
+    within-cluster pair above ``threshold``. keep_rank = (centroid_sim,
+    id-as-string); the SMALLER rank wins — lowest centroid similarity
+    first (the paper's most-informative representative), then smallest id
+    string for determinism. Input must carry ``cluster`` and
+    ``centroid_sim`` (see with_semantic_cluster)."""
+    pairs = semantic_duplicate_pairs(
+        clustered, threshold=threshold, id_col=id_col, vec_col=vec_col)
+    rank = clustered.select(
+        F.col(id_col).alias("_sd_id"),
+        F.struct(
+            F.col("centroid_sim").alias("s"),
+            F.col(id_col).cast("string").alias("i"),
+        ).alias("_sd_rank"),
+    )
+    ranked = (
+        pairs
+        .join(rank.withColumnRenamed("_sd_id", "id_a")
+                  .withColumnRenamed("_sd_rank", "_ra"), on="id_a")
+        .join(rank.withColumnRenamed("_sd_id", "id_b")
+                  .withColumnRenamed("_sd_rank", "_rb"), on="id_b")
+    )
+    a_loses = F.col("_ra") > F.col("_rb")
+    return ranked.select(
+        F.when(a_loses, F.col("id_a")).otherwise(F.col("id_b"))
+        .alias("loser"),
+        F.when(a_loses, F.col("id_b")).otherwise(F.col("id_a"))
+        .alias("winner"),
+        "cluster",
+        "sim",
+    )
 
 
 def drop_semantic_duplicates(
@@ -129,29 +171,10 @@ def drop_semantic_duplicates(
     # dedup._featurized; freed via caching.unpersist_tracked()
     clustered = persist_tracked(with_semantic_cluster(
         df, dim, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col))
-    pairs = semantic_duplicate_pairs(
-        clustered, threshold=threshold, id_col=id_col, vec_col=vec_col)
-
-    # keep_rank: SMALLER wins — lowest centroid_sim (the paper's most-
-    # outlying representative) first, then smallest id for determinism
-    rank = clustered.select(
-        F.col(id_col).alias("_sd_id"),
-        F.struct(
-            F.col("centroid_sim").alias("s"),
-            F.col(id_col).cast("string").alias("i"),
-        ).alias("_sd_rank"),
-    )
-    ranked = (
-        pairs
-        .join(rank.withColumnRenamed("_sd_id", "id_a")
-                  .withColumnRenamed("_sd_rank", "_ra"), on="id_a")
-        .join(rank.withColumnRenamed("_sd_id", "id_b")
-                  .withColumnRenamed("_sd_rank", "_rb"), on="id_b")
-    )
     losers = (
-        ranked.select(
-            F.when(F.col("_ra") > F.col("_rb"), F.col("id_a"))
-            .otherwise(F.col("id_b")).alias("_sd_loser"))
+        semantic_pair_verdicts(
+            clustered, threshold=threshold, id_col=id_col, vec_col=vec_col)
+        .select(F.col("loser").alias("_sd_loser"))
         .distinct()
     )
     return df.join(
