@@ -90,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
                         "so crawl variants of one page share a key — "
                         "resume/dedup then see one url where the raw crawl "
                         "had several")
+    p.add_argument("--respect-noindex", action="store_true",
+                   help="drop pages whose html head carries a robots "
+                        "noindex/none meta directive before any per-doc "
+                        "compute (same gate as the corpus job)")
+    p.add_argument("--robots-txt", default=None, metavar="PATH",
+                   help="parquet (host, robots_txt) table: drop pages the "
+                        "host's RFC 9309 rules disallow for "
+                        "--robots-user-agent (same gate as the corpus job)")
+    p.add_argument("--robots-user-agent", default="*")
     p.add_argument("--repartition", type=int, default=None,
                    help="explicit xxhash64(url) re-balance partition count")
     p.add_argument("--chunked-detect", type=int, default=None, metavar="CHARS",
@@ -139,6 +148,18 @@ def main(argv: list[str] | None = None) -> int:
                           observation=warc_obs)
     else:
         pages = _read_target(spark, args.input)
+    if args.respect_noindex:
+        from redactifai_spark.operators.robots import filter_noindex
+
+        pages = filter_noindex(pages)
+    if args.robots_txt:
+        from redactifai_spark.operators.robotstxt import (
+            filter_robots_disallowed, parse_robots_rules)
+
+        pages = filter_robots_disallowed(
+            pages,
+            parse_robots_rules(_read_target(spark, args.robots_txt),
+                               user_agent=args.robots_user_agent))
     if args.canonicalize_urls:
         # before resume on purpose: the committed output is keyed on the
         # canonical form, so resume must compare canonical to canonical.

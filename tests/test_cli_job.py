@@ -236,3 +236,38 @@ def test_corpus_job_robots_txt_and_clean_text_flags(spark, tmp_path):
     assert report["stats"]["n_input"] == 23  # the disallowed host's page gone
     urls = [row["url"] for row in spark.read.parquet(outp).collect()]
     assert all(host not in u for u in urls)
+
+
+def test_redaction_job_robots_gates(spark, tmp_path):
+    # --respect-noindex / --robots-txt on the redaction job mirror the
+    # corpus job's gates: disallowed pages never reach the committed output
+    from redactifai_spark.sources.pages import generate_pages
+
+    inp = str(tmp_path / "in")
+    robotsp = str(tmp_path / "robots")
+    outp, metp = str(tmp_path / "clean"), str(tmp_path / "metrics")
+    generate_pages(spark, 16, n_partitions=2).write.parquet(inp)
+    # generate_pages hosts are Zipf-skewed: the picked host may own several
+    # pages, so compute the expected survivor count instead of assuming 1
+    host = spark.read.parquet(inp).selectExpr(
+        "lower(try_parse_url(url, 'HOST')) h").first()["h"]
+    n_host = spark.read.parquet(inp).selectExpr(
+        "lower(try_parse_url(url, 'HOST')) h").filter(
+        f"h = '{host}'").count()
+    n_expect = 16 - n_host
+    spark.createDataFrame(
+        [(host, "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string",
+    ).write.parquet(robotsp)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_redaction_job.py"),
+         "--input", inp, "--output", outp, "--metrics", metp,
+         "--run-id", "robots-1", "--robots-txt", robotsp,
+         "--respect-noindex", "--master", "local[2]"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert f"output rows now {n_expect}" in r.stdout
+    urls = [row["url"] for row in spark.read.parquet(outp).collect()]
+    assert len(urls) == n_expect and all(host not in u for u in urls)
