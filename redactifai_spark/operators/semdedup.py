@@ -159,11 +159,20 @@ def drop_semantic_duplicates(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_components: bool = False,
+    cluster_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup end-to-end: cluster, pair within clusters, drop every row
     DOMINATED by a similar row (lower keep-priority loses; priority =
     lowest centroid_sim first, then smallest id). Payload columns pass
-    through; output is the surviving subset of the input rows."""
+    through; output is the surviving subset of the input rows.
+
+    ``exact_components=True`` resolves the pair graph into connected
+    components (dedup.duplicate_clusters, the same machinery the lexical
+    funnel uses) and keeps exactly the best-ranked row per component —
+    strict one-per-group even on non-clique chains, at the cost of the
+    iterative label propagation; ``cluster_checkpoint_dir`` passes through
+    for reliable checkpoints at cluster scale."""
     from .caching import persist_tracked
 
     # persisted + eagerly materialized: the k-means assignment feeds both
@@ -171,12 +180,39 @@ def drop_semantic_duplicates(
     # dedup._featurized; freed via caching.unpersist_tracked()
     clustered = persist_tracked(with_semantic_cluster(
         df, dim, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col))
-    losers = (
-        semantic_pair_verdicts(
+    if exact_components:
+        from .dedup import duplicate_clusters
+
+        pairs = semantic_duplicate_pairs(
             clustered, threshold=threshold, id_col=id_col, vec_col=vec_col)
-        .select(F.col("loser").alias("_sd_loser"))
-        .distinct()
-    )
+        comp = duplicate_clusters(
+            pairs.select("id_a", "id_b"),
+            checkpoint_dir=cluster_checkpoint_dir)
+        ranked = comp.join(
+            clustered.select(
+                F.col(id_col).alias("id"),
+                F.struct(
+                    F.col("centroid_sim").alias("s"),
+                    F.col(id_col).cast("string").alias("i"),
+                ).alias("_sd_rk"),
+            ),
+            on="id",
+        )
+        keepers = ranked.groupBy("cluster_id").agg(
+            F.min_by("id", "_sd_rk").alias("_sd_keep"))
+        losers = (
+            ranked.join(keepers, on="cluster_id")
+            .filter(F.col("id") != F.col("_sd_keep"))
+            .select(F.col("id").alias("_sd_loser"))
+        )
+    else:
+        losers = (
+            semantic_pair_verdicts(
+                clustered, threshold=threshold,
+                id_col=id_col, vec_col=vec_col)
+            .select(F.col("loser").alias("_sd_loser"))
+            .distinct()
+        )
     return df.join(
         losers,
         on=F.col(id_col) == F.col("_sd_loser"),

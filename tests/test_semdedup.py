@@ -123,3 +123,46 @@ def test_on_testdata_embeddings(spark):
     in_ids = {r[id_col] for r in sub.select(id_col).collect()}
     out_ids = {r[id_col] for r in kept.select(id_col).collect()}
     assert out_ids <= in_ids
+
+
+def test_exact_components_vs_greedy_on_chain(spark):
+    """A-B-C chain where A~B and B~C pair but A~C does not: the greedy
+    dominated rule keeps both endpoints (B outranks both, losing twice);
+    exact components collapse the chain to ONE survivor."""
+    import math as m
+
+    phi = m.radians(3.2)  # cos(phi) ~ 0.9984 > theta; cos(2*phi) ~ 0.9938 < theta
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [m.cos(phi), m.sin(phi), 0.0, 0.0]),
+        (3, [m.cos(2 * phi), m.sin(2 * phi), 0.0, 0.0]),
+        # a second, far-away direction so k=2 clustering is stable
+        (10, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    theta = 0.998
+
+    greedy = sorted(r["vec_id"] for r in drop_semantic_duplicates(
+        df, DIM, k=2, threshold=theta, n_iter=3).collect())
+    exact = sorted(r["vec_id"] for r in drop_semantic_duplicates(
+        df, DIM, k=2, threshold=theta, n_iter=3,
+        exact_components=True).collect())
+
+    assert 10 in greedy and 10 in exact
+    assert len([i for i in greedy if i in (1, 2, 3)]) == 2  # V-shape keeps 2
+    assert len([i for i in exact if i in (1, 2, 3)]) == 1   # one per chain
+
+
+def test_exact_components_no_pairs_keeps_all(spark, emb):
+    kept = drop_semantic_duplicates(
+        emb, DIM, k=2, threshold=1.0000001, n_iter=2, exact_components=True)
+    assert kept.count() == emb.count()
+
+
+def test_exact_components_on_clique_matches_greedy(spark, emb):
+    a = sorted(r["vec_id"] for r in drop_semantic_duplicates(
+        emb, DIM, k=2, threshold=0.999, n_iter=4).collect())
+    b = sorted(r["vec_id"] for r in drop_semantic_duplicates(
+        emb, DIM, k=2, threshold=0.999, n_iter=4,
+        exact_components=True).collect())
+    assert a == b  # planted dup groups are cliques: greedy == exact
