@@ -1200,8 +1200,11 @@ def _embeddings_near_pairs(spark, sf_dir):
     # oracle recomputes buckets from the shared hyperplane literals.
     # semdedup: k-means clusters (the shared md5-seeded chain), within-
     # cluster pairs > threshold, per-pair loser/winner by keep_rank =
-    # (centroid_sim, id) — loser lands in id_a, winner in id_b; the oracle
-    # replays clustering, pairing, AND the rank comparison in SQL.
+    # (round(centroid_sim, 9), id) — loser lands in id_a, winner in id_b;
+    # the oracle replays clustering, pairing, AND the rank comparison in
+    # SQL. The 0.3 threshold sits >= 3.9e-4 away from every pair sim at
+    # both driver SFs (measured), so cross-engine ulp drift cannot flip
+    # membership; the rank comparison is quantized by contract.
     from redactifai_spark.operators.semdedup import (
         semantic_pair_verdicts, with_semantic_cluster,
     )
@@ -1654,7 +1657,10 @@ def _semdedup_verdicts_oracle_sql(
         "JOIN e eb ON eb.vec_id = y.vec_id AND eb.i = ea.i "
         f"GROUP BY 1, 2, 3 HAVING SUM(ea.ev * eb.ev) / "
         f"sqrt(SUM(ea.ev * ea.ev) * SUM(eb.ev * eb.ev)) > {threshold})",
-        "sv AS (SELECT p.id_a, p.id_b, p.sim, ca.csim AS sa, cb.csim AS sb "
+        # ROUND(...,9) mirrors the operator's quantized keep_rank contract
+        # (semdedup._keep_rank): ulp-level engine drift can't flip a verdict
+        "sv AS (SELECT p.id_a, p.id_b, p.sim, ROUND(ca.csim, 9) AS sa, "
+        "ROUND(cb.csim, 9) AS sb "
         "FROM pr p JOIN cs ca ON ca.vec_id = p.id_a "
         "JOIN cs cb ON cb.vec_id = p.id_b)",
     ]

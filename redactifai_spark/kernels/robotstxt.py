@@ -69,10 +69,10 @@ def compile_rules(body: str, user_agent: str = "*") -> list[dict]:
             in_ua_run = False
             if cur_uas and val:
                 cur_rules.append((val, key == "allow"))
-        else:
-            # sitemap / crawl-delay / unknown lines end a user-agent header
-            # run (the next user-agent starts a NEW group) but carry no rule
-            in_ua_run = False
+        # sitemap / crawl-delay / unknown lines carry no rule AND do not
+        # interfere with grouping (RFC 9309 §2.2.4: other records MUST NOT
+        # break a group) — a user-agent run interrupted by a Sitemap line
+        # still collects the following user-agent into the same group
     if cur_uas:
         groups.append((cur_uas, cur_rules))
 
@@ -87,7 +87,10 @@ def compile_rules(body: str, user_agent: str = "*") -> list[dict]:
         if (best_token and best_token in uas) or (not best_token and "*" in uas):
             rules.extend(rs)
     compiled = [
-        {"pattern": pattern_regex(p), "plen": len(p), "allow": allow}
+        # plen in OCTETS (RFC 9309 §2.2.2 measures precedence in octets;
+        # non-ASCII rule paths are longer in UTF-8 bytes than in chars)
+        {"pattern": pattern_regex(p), "plen": len(p.encode("utf-8")),
+         "allow": allow}
         for p, allow in rules
     ]
     compiled.sort(key=lambda r: (-r["plen"], r["pattern"], not r["allow"]))

@@ -52,10 +52,14 @@ def split_passages(
         raise ValueError(
             "stride > max_tokens would skip tokens between windows")
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split keeps empty strings at the edges when the text starts/ends with
+    # whitespace, and F.trim strips ONLY ASCII space — filtering empties
+    # out of the split result handles every whitespace flavor (\n, \t,
+    # unicode spaces after textnorm) without shifting token lineage
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     toks = F.when(
-        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
-        F.array().cast("array<string>"),
+        F.col(text_col).isNull(), F.array().cast("array<string>")
     ).otherwise(toks)
 
     out = (

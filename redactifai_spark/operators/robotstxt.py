@@ -72,13 +72,15 @@ def extract_sitemaps(
     host_col: str = "host",
     body_col: str = "robots_txt",
 ) -> DataFrame:
-    """``(host, sitemap)`` — one row per distinct Sitemap URL per host, in
-    file order (crawl-frontier seed list). Sitemap records are
+    """``(host, sitemap)`` — one row per distinct (host, Sitemap URL), the
+    crawl-frontier seed set. Distinctness holds ACROSS rows of one host
+    too (re-fetches, case-variant host spellings), matching
+    parse_robots_rules' one-row-per-host contract. Sitemap records are
     group-independent (RFC 9309 §2.2.4), so no user-agent selection
     applies — which is why this is pure Catalyst (one regexp pass +
-    array_distinct + explode, no UDF) while rule parsing is not. Mirrors
-    kernels.robotstxt.sitemap_urls; fragments/comments truncate at ``#``
-    on both sides."""
+    explode + dedup, no UDF) while rule parsing is not. Mirrors
+    kernels.robotstxt.sitemap_urls per body; fragments/comments truncate
+    at ``#`` on both sides."""
     urls = F.array_distinct(
         F.regexp_extract_all(
             F.col(body_col),
@@ -89,7 +91,7 @@ def extract_sitemaps(
     return robots_df.select(
         F.lower(F.col(host_col)).alias("host"),
         F.explode(urls).alias("sitemap"),
-    )
+    ).dropDuplicates(["host", "sitemap"])
 
 
 def _match_target(url: Column) -> Column:

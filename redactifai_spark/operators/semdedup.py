@@ -107,9 +107,28 @@ def semantic_duplicate_pairs(
         a.join(b, on="cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", cosine(F.col("_va"), F.col("_vb")))
-        .filter(F.col("sim") > F.lit(float(threshold)))
+        # zero-norm guard: cosine() returns NULL for a zero-norm embedding
+        # (try_divide; a raw division would abort under ANSI, and a NaN
+        # under non-ANSI sorts ABOVE every double and would "pair" the zero
+        # vector with its whole cluster) — NULL fails the threshold filter,
+        # and the isnan belt covers any non-ANSI NaN path
+        .filter(~F.isnan(F.coalesce(F.col("sim"), F.lit(0.0)))
+                & (F.col("sim") > F.lit(float(threshold))))
     )
     return pairs.select("id_a", "id_b", "cluster", "sim")
+
+
+def _keep_rank(id_col: str) -> Column:
+    """keep_rank = (round(centroid_sim, 9), id-as-string); the SMALLER rank
+    wins — lowest centroid similarity first (the paper's most-informative
+    representative), then smallest id string. The 9-decimal quantization is
+    part of the CONTRACT (same spirit as the LM gate's micronat integers):
+    it makes the comparison reproducible across engines whose float sums
+    differ in the last ulp, so the DuckDB oracle can replay it."""
+    return F.struct(
+        F.round(F.col("centroid_sim"), 9).alias("s"),
+        F.col(id_col).cast("string").alias("i"),
+    )
 
 
 def semantic_pair_verdicts(
@@ -119,26 +138,29 @@ def semantic_pair_verdicts(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-pair keep verdicts: ``(loser, winner, cluster, sim)`` for every
-    within-cluster pair above ``threshold``. keep_rank = (centroid_sim,
-    id-as-string); the SMALLER rank wins — lowest centroid similarity
-    first (the paper's most-informative representative), then smallest id
-    string for determinism. Input must carry ``cluster`` and
-    ``centroid_sim`` (see with_semantic_cluster)."""
-    pairs = semantic_duplicate_pairs(
-        clustered, threshold=threshold, id_col=id_col, vec_col=vec_col)
-    rank = clustered.select(
-        F.col(id_col).alias("_sd_id"),
-        F.struct(
-            F.col("centroid_sim").alias("s"),
-            F.col(id_col).cast("string").alias("i"),
-        ).alias("_sd_rank"),
+    within-cluster pair above ``threshold`` (NaN-sim pairs from zero-norm
+    vectors excluded, as in semantic_duplicate_pairs). Ranks ride INSIDE
+    the self-join legs — ``clustered`` already carries centroid_sim, so no
+    extra join of the N^2/k pair table is ever needed. Input must carry
+    ``cluster`` and ``centroid_sim`` (see with_semantic_cluster)."""
+    rank = _keep_rank(id_col)
+    a = clustered.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster"),
+        _as_double(F.col(vec_col)).alias("_va"),
+        rank.alias("_ra"),
+    )
+    b = clustered.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster"),
+        _as_double(F.col(vec_col)).alias("_vb"),
+        rank.alias("_rb"),
     )
     ranked = (
-        pairs
-        .join(rank.withColumnRenamed("_sd_id", "id_a")
-                  .withColumnRenamed("_sd_rank", "_ra"), on="id_a")
-        .join(rank.withColumnRenamed("_sd_id", "id_b")
-                  .withColumnRenamed("_sd_rank", "_rb"), on="id_b")
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(~F.isnan("sim") & (F.col("sim") > F.lit(float(threshold))))
     )
     a_loses = F.col("_ra") > F.col("_rb")
     return ranked.select(
@@ -191,10 +213,7 @@ def drop_semantic_duplicates(
         ranked = comp.join(
             clustered.select(
                 F.col(id_col).alias("id"),
-                F.struct(
-                    F.col("centroid_sim").alias("s"),
-                    F.col(id_col).cast("string").alias("i"),
-                ).alias("_sd_rk"),
+                _keep_rank(id_col).alias("_sd_rk"),
             ),
             on="id",
         )

@@ -25,7 +25,10 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+    # try_divide: a zero-norm vector (failed/empty embedder output) yields
+    # NULL, not a DIVIDE_BY_ZERO job abort (ANSI mode) — and NULL fails any
+    # `sim > threshold` filter, so zero vectors never match or pair
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a) * dot(b, b)))
 
 
 def brute_force_topk(

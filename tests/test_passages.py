@@ -101,3 +101,21 @@ def test_no_shuffle_no_python_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_leading_trailing_whitespace_variants(spark):
+    """Newline/tab-led text must not produce empty edge tokens that shift
+    token lineage (F.trim strips only ASCII space)."""
+    df = spark.createDataFrame(
+        [("a", "\nHello world"), ("b", "\t \n"), ("c", "x\ty \n z\n")],
+        "url string, text string")
+    rows = sorted(
+        split_passages(df, max_tokens=8, stride=4).collect(),
+        key=lambda r: r["url"])
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    assert by_url["a"][0]["passage"] == "Hello world"
+    assert by_url["a"][0]["n_tokens"] == 2
+    assert "b" not in by_url          # whitespace-only text: zero rows
+    assert by_url["c"][0]["passage"] == "x y z"

@@ -75,15 +75,31 @@ class TestKernel:
         rules = K.compile_rules(body, "X")
         assert not K.match_path(rules, "/a/b")
 
-    def test_unknown_lines_split_ua_runs(self):
-        # a sitemap line between user-agent headers ends the run: the
-        # second user-agent starts a NEW group with its own rules
+    def test_unknown_lines_do_not_interfere_with_grouping(self):
+        # RFC 9309 §2.2.4: non-group records (Sitemap, crawl-delay) MUST
+        # NOT break a group — a and b still share one group here
         body = (
             "User-agent: a\nSitemap: http://x/s.xml\n"
             "User-agent: b\nDisallow: /b/\n"
         )
-        assert K.compile_rules(body, "a/1") == []
+        assert not K.match_path(K.compile_rules(body, "a/1"), "/b/x")
         assert not K.match_path(K.compile_rules(body, "b/1"), "/b/x")
+        # but a group already carrying RULES is closed: the next
+        # user-agent starts a fresh group
+        body2 = (
+            "User-agent: a\nDisallow: /a/\nCrawl-delay: 5\n"
+            "User-agent: b\nDisallow: /b/\n"
+        )
+        assert not K.match_path(K.compile_rules(body2, "a/1"), "/a/x")
+        assert K.match_path(K.compile_rules(body2, "a/1"), "/b/x")
+
+    def test_plen_precedence_in_octets(self):
+        # RFC 9309 measures precedence in octets: '/café' is 5 chars
+        # but 6 UTF-8 octets, tying the 6-octet disallow — allow wins ties
+        body = "User-agent: *\nAllow: /café\nDisallow: /café*\n"
+        rules = K.compile_rules(body, "X")
+        by_allow = {r["allow"]: r["plen"] for r in rules}
+        assert by_allow[True] == 6 and by_allow[False] == 7
 
     def test_pattern_regex_escapes_metachars(self):
         rules = K.compile_rules("User-agent: *\nDisallow: /a+b(c)", "X")
@@ -211,11 +227,26 @@ class TestSitemaps:
             ("hosta.com", "https://example.com/s2.xml"),
         }
 
-    def test_dataframe_is_pure_catalyst(self, spark):
+    def test_dataframe_is_udf_free(self, spark):
         from redactifai_spark.operators.robotstxt import extract_sitemaps
 
         df = spark.createDataFrame(
             [("h", "x")], "host string, robots_txt string")
         plan = extract_sitemaps(df) \
             ._jdf.queryExecution().executedPlan().toString()
-        assert "ArrowEvalPython" not in plan and "Exchange" not in plan
+        # the cross-row dedup costs one exchange; no Python anywhere
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_cross_row_refetch_and_case_dedup(self, spark):
+        from redactifai_spark.operators.robotstxt import extract_sitemaps
+
+        df = spark.createDataFrame(
+            [("a.com", "Sitemap: http://a.com/s.xml"),
+             ("A.COM", "Sitemap: http://a.com/s.xml"),   # re-fetch, case host
+             ("a.com", "Sitemap: http://a.com/other.xml")],
+            "host string, robots_txt string",
+        )
+        rows = {(r["host"], r["sitemap"]) for r in extract_sitemaps(df).collect()}
+        assert rows == {("a.com", "http://a.com/s.xml"),
+                        ("a.com", "http://a.com/other.xml")}
+        assert extract_sitemaps(df).count() == 2  # no duplicate rows

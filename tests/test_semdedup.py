@@ -166,3 +166,25 @@ def test_exact_components_on_clique_matches_greedy(spark, emb):
         emb, DIM, k=2, threshold=0.999, n_iter=4,
         exact_components=True).collect())
     assert a == b  # planted dup groups are cliques: greedy == exact
+
+
+def test_zero_norm_vector_never_pairs(spark):
+    """A zero embedding (failed/empty doc) yields NaN cosines; Spark orders
+    NaN above every double, so without the isnan guard it would 'pair' with
+    its whole cluster and a component keeper would collapse the cluster."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),   # zero-norm
+        (10, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    clustered = with_semantic_cluster(df, DIM, k=2, n_iter=3)
+    pairs = semantic_duplicate_pairs(clustered, threshold=0.9).collect()
+    assert all(3 not in (r["id_a"], r["id_b"]) for r in pairs)
+    for mode in (False, True):
+        kept = sorted(r["vec_id"] for r in drop_semantic_duplicates(
+            df, DIM, k=2, threshold=0.9, n_iter=3,
+            exact_components=mode).collect())
+        assert 3 in kept and 10 in kept          # zero vector survives
+        assert len([i for i in kept if i in (1, 2)]) == 1
