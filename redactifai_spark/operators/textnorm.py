@@ -28,7 +28,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["clean_text", "with_clean_text", "MOJIBAKE_TABLE"]
+__all__ = [
+    "clean_text", "with_clean_text", "with_clean_pages", "MOJIBAKE_TABLE",
+]
 
 # Zero-width & BOM code points plus soft hyphen: dropped outright.
 _DROP = (
@@ -103,6 +105,38 @@ def clean_text(
     if collapse_whitespace:
         out = F.regexp_replace(out, "[ \t]+", " ")
         out = F.regexp_replace(out, "(?m)^ | $", "")
+    return out
+
+
+def with_clean_pages(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+    fix_mojibake: bool = True,
+) -> DataFrame:
+    """Normalize a PAGES table BEFORE the pipeline: cleans the ``html``
+    bytes (permissive decode -> clean_text -> UTF-8 re-encode; undecodable
+    bytes become U+FFFD, i.e. the input is canonicalized to UTF-8) and the
+    ``text`` fallback column. This is the ORDER-SAFE place to clean:
+    detection then runs on normalized text, so zero-width characters or
+    mojibake inside a PII string can no longer hide it from the detectors
+    (cleaning only the OUTPUT after redaction would un-hide such strings
+    un-redacted). Opt-in, because cleaned html no longer byte-matches the
+    raw crawl — run it when building corpora, not when validating
+    byte-identity against a reference extraction. Pure Catalyst."""
+    out = df
+    if html_col in df.columns:
+        cleaned = clean_text(
+            F.col(html_col).cast("string"), fix_mojibake=fix_mojibake)
+        out = out.withColumn(
+            html_col,
+            F.when(F.col(html_col).isNotNull(),
+                   F.encode(cleaned, "UTF-8"))
+            .otherwise(F.lit(None).cast("binary")),
+        )
+    if text_col in df.columns:
+        out = with_clean_text(
+            out, text_col=text_col, fix_mojibake=fix_mojibake)
     return out
 
 

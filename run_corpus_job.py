@@ -111,7 +111,20 @@ def main(argv: list[str] | None = None) -> int:
                         "width strip, NBSP mapping, cp1252 mojibake repair "
                         "— pure Catalyst); runs after redaction so the "
                         "byte-identity contract of the redaction pass "
-                        "itself is untouched")
+                        "itself is untouched. CAUTION: output-side cleanup "
+                        "cannot redact PII that the removed artifacts were "
+                        "hiding from the detectors (a zero-width char "
+                        "inside an email defeats the regex, then the strip "
+                        "exposes it clean) — use --clean-text-input when "
+                        "crawl sources may carry such obfuscation")
+    p.add_argument("--clean-text-input", action="store_true",
+                   help="normalize the INPUT pages (html bytes + text "
+                        "fallback) BEFORE the pipeline, so detection runs "
+                        "on normalized text and obfuscated PII cannot "
+                        "survive; canonicalizes html to UTF-8 and "
+                        "therefore trades away byte-identity with the raw "
+                        "crawl (corpus builds want this; byte-parity "
+                        "validation runs do not)")
     p.add_argument("--assume-unique-urls", action="store_true",
                    help="skip the duplicate-url probe that guards the "
                         "boilerplate/LM stages (input already deduped)")
@@ -184,6 +197,10 @@ def main(argv: list[str] | None = None) -> int:
             _read_target(spark, args.robots_txt),
             user_agent=args.robots_user_agent)
         pages = filter_robots_disallowed(pages, rules)
+    if args.clean_text_input:
+        from redactifai_spark.operators.textnorm import with_clean_pages
+
+        pages = with_clean_pages(pages)
     if args.canonicalize_urls:
         # collapses crawl variants AND keeps one row per canonical url
         # (deterministic min-content keeper): the funnel's boilerplate strip

@@ -228,7 +228,8 @@ def test_corpus_job_robots_txt_and_clean_text_flags(spark, tmp_path):
         [sys.executable, os.path.join(REPO, "run_corpus_job.py"),
          "--input", inp, "--output", outp, "--stats", statsp,
          "--quality-min", "0.0", "--langs", "en,und",
-         "--robots-txt", robotsp, "--clean-text", "--master", "local[2]"],
+         "--robots-txt", robotsp, "--clean-text", "--clean-text-input",
+         "--master", "local[2]"],
         capture_output=True, text=True, env=env, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]

@@ -98,3 +98,38 @@ def test_idempotent(spark):
     df = spark.createDataFrame([(once,)], "text string")
     twice = df.select(clean_text("text").alias("t")).first()["t"]
     assert once == twice
+
+
+def test_with_clean_pages_unhides_obfuscated_pii(spark):
+    """The order-safe input cleaning: a zero-width char inside an email
+    defeats the detector on raw html, but with_clean_pages normalizes the
+    BYTES before extraction, so the pipeline redacts it."""
+    from redactifai_spark.operators.pipeline import run_pipeline
+    from redactifai_spark.operators.textnorm import with_clean_pages
+
+    import datetime
+
+    html = ("<html><body><p>Contact joe​@example.com now"
+            "</p></body></html>").encode()
+    pages = spark.createDataFrame(
+        [("http://h/x", datetime.datetime(2026, 1, 1), html, None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+
+    raw = run_pipeline(pages).first()["redacted_text"]
+    assert "joe​@example.com" in raw      # detector blind on raw bytes
+
+    cleaned = run_pipeline(with_clean_pages(pages)).first()["redacted_text"]
+    assert "example.com" not in cleaned        # redacted after cleaning
+    assert "█" in cleaned
+
+
+def test_with_clean_pages_null_html_and_text_fallback(spark):
+    from redactifai_spark.operators.textnorm import with_clean_pages
+
+    pages = spark.createDataFrame(
+        [("u1", None, "a\x00b"), ("u2", b"<p>x\x07y</p>", None)],
+        "url string, html binary, text string")
+    out = {r["url"]: r for r in with_clean_pages(pages).collect()}
+    assert out["u1"]["html"] is None and out["u1"]["text"] == "ab"
+    assert out["u2"]["html"] == b"<p>xy</p>" and out["u2"]["text"] is None
