@@ -1,0 +1,273 @@
+"""DSIR-style hashed n-gram importance resampling — select raw-crawl
+documents that LOOK LIKE a small trusted target corpus (Wikipedia, books,
+a curated eval mix) by importance weighting in a hashed n-gram feature
+space (Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling").
+
+Why this shape scales to 10^12 docs: the feature space is a FIXED number of
+hash buckets (default 2^16), so the whole "model" — per-bucket log ratio of
+target vs raw probability — is one dense, broadcastable table regardless of
+corpus size. Scoring a document is: tokenize → hash n-grams → groupBy
+(doc, bucket) with map-side combine → broadcast-join the ratio table → sum.
+The corpus is never shuffled by anything wider than its own (doc, bucket)
+multiplicity aggregation, and the target corpus (small by construction)
+is scanned once to build its bucket histogram.
+
+Integer-exact contract (micronat trick, shared with ``operators.lm``): each
+bucket's log-ratio is quantized to micronats — ``CAST(round(lr * 1e6, 0) AS
+BIGINT)`` — so a document's importance weight is an exact integer sum,
+order-independent under Spark's unordered aggregation and replayable
+bit-for-bit by any engine that agrees on the counts.
+
+Selection is Gumbel-top-frac (the paper's "sampling without replacement"):
+key = weight/temperature + Gumbel(noise seeded per doc id), thresholded via
+``percentile_approx`` — no global sort, deterministic given (input, seed).
+
+Complements the existing gates: ``classifier`` learns a supervised
+quality boundary, ``lm`` scores fluency under the corpus's own bigram LM;
+this module TARGETS a distribution — "more like Wikipedia" — which is the
+knob pretraining mixes actually want.
+
+Reference parity: RedactifAI has no corpus-selection surface (it is a
+document redactor); this extends the engine along the training-data-
+pipeline axis the graft brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textstats import tokens_of
+
+__all__ = [
+    "hashed_ngram_multiplicities",
+    "ngram_bucket_counts",
+    "bucket_log_ratios",
+    "importance_weights",
+    "resample_by_importance",
+]
+
+_MICRO = 1_000_000
+
+
+def _ngram_buckets(text_col: str, n_buckets: int, include_bigrams: bool) -> Column:
+    """array<bigint> of hashed n-gram buckets for one row: every non-empty
+    lowercase whitespace token, plus (optionally) every adjacent-pair
+    bigram joined by a single space — both hashed into the same bucket
+    space, exactly as DSIR does. Uses the codebase's canonical tokenizer
+    (``textstats.tokens_of``) so bucketing can never diverge from the other
+    token-based operators."""
+    toks = F.filter(tokens_of(text_col), lambda t: t != "")
+    if include_bigrams:
+        idx = F.when(
+            F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        bigrams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i.cast("int")),
+                F.element_at(toks, (i + 1).cast("int")),
+            ),
+        )
+        grams = F.concat(toks, bigrams)
+    else:
+        grams = toks
+    return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)))
+
+
+def hashed_ngram_multiplicities(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1 << 16,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """(id, bucket, m): per-document hashed n-gram occurrence counts.
+    Blank docs contribute no rows. The groupBy's map-side combine collapses
+    repeated n-grams before any exchange — a page that says "click here"
+    ten thousand times costs one row, not ten thousand."""
+    d = df.select(F.col(id_col).alias("_iw_id"), F.col(text_col).alias("_iw_text"))
+    # bind the bucket array to a column before exploding: an inlined
+    # tokenize+hash chain gets re-evaluated per element by CollapseProject
+    d = d.withColumn(
+        "_iw_buckets", _ngram_buckets("_iw_text", n_buckets, include_bigrams)
+    )
+    return (
+        d.select("_iw_id", F.explode("_iw_buckets").alias("bucket"))
+        .groupBy("_iw_id", "bucket")
+        .agg(F.count("*").alias("m"))
+    )
+
+
+def ngram_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int = 1 << 16,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Corpus-level (bucket, c) histogram — persist this for the target
+    corpus (and optionally a reference raw sample) so repeated scoring
+    batches never re-scan the target text, mirroring
+    ``near_duplicates_against(corpus_features=...)``."""
+    b = _ngram_buckets(text_col, n_buckets, include_bigrams)
+    d = df.select(b.alias("_iw_buckets"))
+    return (
+        d.select(F.explode("_iw_buckets").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def bucket_log_ratios(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int = 1 << 16,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DENSE per-bucket log ratio table: one row for EVERY bucket in
+    [0, n_buckets), ``(bucket, lr_micro)`` with
+
+        lr(b) = ln((t_c + alpha) / (T + alpha*B))
+              - ln((r_c + alpha) / (R + alpha*B))
+
+    quantized to micronats. Dense on purpose: scoring joins never have a
+    missing-key case, and at the default B = 2^16 the whole table is a few
+    hundred KB — broadcast it, persist it, reuse it across batches."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if alpha <= 0.0:
+        raise ValueError(f"alpha must be positive (smoothing), got {alpha}")
+    spark = target_counts.sparkSession
+    base = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    t = target_counts.select("bucket", F.col("c").alias("_t_c"))
+    r = raw_counts.select("bucket", F.col("c").alias("_r_c"))
+    tot = (
+        t.agg(F.coalesce(F.sum("_t_c"), F.lit(0)).alias("_t_tot"))
+        .crossJoin(r.agg(F.coalesce(F.sum("_r_c"), F.lit(0)).alias("_r_tot")))
+    )
+    dense = (
+        base.join(t, "bucket", "left")
+        .join(r, "bucket", "left")
+        .crossJoin(tot)
+        .select(
+            "bucket",
+            F.coalesce(F.col("_t_c"), F.lit(0)).alias("_t_c"),
+            F.coalesce(F.col("_r_c"), F.lit(0)).alias("_r_c"),
+            "_t_tot",
+            "_r_tot",
+        )
+    )
+    ab = float(alpha) * n_buckets
+    lr = (
+        F.log((F.col("_t_c") + F.lit(float(alpha))) / (F.col("_t_tot") + F.lit(ab)))
+        - F.log((F.col("_r_c") + F.lit(float(alpha))) / (F.col("_r_tot") + F.lit(ab)))
+    )
+    return dense.select(
+        "bucket",
+        F.round(lr * _MICRO, 0).cast("bigint").alias("lr_micro"),
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame | None = None,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_buckets: int = 1 << 16,
+    alpha: float = 1.0,
+    include_bigrams: bool = True,
+    target_counts: DataFrame | None = None,
+    raw_counts: DataFrame | None = None,
+    ratios: DataFrame | None = None,
+) -> DataFrame:
+    """Adds ``(n_ngrams, iw_micro_sum, importance_weight)`` per document.
+
+    Pass ONE of:
+      - ``target`` (a DataFrame of target-domain docs with ``text_col``) —
+        its bucket histogram is built here; the raw histogram defaults to
+        ``df``'s own (the paper's setup) unless ``raw_counts`` is given;
+      - ``target_counts`` (+ optional ``raw_counts``) — precomputed
+        histograms from :func:`ngram_bucket_counts`;
+      - ``ratios`` — a fully precomputed :func:`bucket_log_ratios` table
+        (the persisted, incremental-ingest shape). ``n_buckets`` and
+        ``include_bigrams`` STILL bucket the scored docs, so they must
+        equal the values the ratio table was built with; ``alpha`` is
+        baked into the table and ignored here.
+
+    ``iw_micro_sum`` is the exact integer micronat sum (0 for empty docs);
+    ``importance_weight`` is the float nats view of it. Weights are sums,
+    not means — DSIR's estimator — so longer on-target docs score higher."""
+    if ratios is None:
+        if target_counts is None:
+            if target is None:
+                raise ValueError(
+                    "pass one of target / target_counts / ratios")
+            target_counts = ngram_bucket_counts(
+                target, text_col, n_buckets, include_bigrams)
+        if raw_counts is None:
+            raw_counts = ngram_bucket_counts(
+                df, text_col, n_buckets, include_bigrams)
+        ratios = bucket_log_ratios(target_counts, raw_counts, n_buckets, alpha)
+    mult = hashed_ngram_multiplicities(
+        df, id_col, text_col, n_buckets, include_bigrams)
+    # ratio table is bounded by n_buckets rows — broadcast by construction,
+    # so the (doc, bucket) frame never shuffles for the join
+    scored = (
+        mult.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy("_iw_id")
+        .agg(
+            F.sum("m").alias("n_ngrams"),
+            F.sum(F.col("m") * F.col("lr_micro")).alias("iw_micro_sum"),
+        )
+    )
+    out = df.join(
+        scored.withColumnRenamed("_iw_id", id_col), id_col, "left")
+    return out.select(
+        *df.columns,
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+        F.coalesce(F.col("iw_micro_sum"), F.lit(0)).alias("iw_micro_sum"),
+        (F.coalesce(F.col("iw_micro_sum"), F.lit(0)) / F.lit(float(_MICRO))
+         ).alias("importance_weight"),
+    )
+
+
+def resample_by_importance(
+    df: DataFrame,
+    frac: float,
+    weight_col: str = "importance_weight",
+    id_col: str = "url",
+    temperature: float = 1.0,
+    seed: int = 0,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Gumbel-top-frac selection: keep ~``frac`` of rows sampled without
+    replacement with probability ∝ exp(weight / temperature).
+
+    key(doc) = weight/temperature + Gumbel(u(doc)), with u derived from
+    ``xxhash64(id, seed)`` — fully deterministic given (input, seed), no
+    RNG state, repartition-invariant. ``temperature → 0`` degenerates to
+    exact top-frac by weight; large temperature approaches uniform.
+
+    The cut is a ``percentile_approx`` threshold (one t-digest aggregation,
+    1-row cross join) — no global sort, the corpus is filtered in one
+    narrow pass; ties at the threshold all pass, like ``sampling``."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    # u in (0, 1): 53-bit mantissa-safe, never exactly 0 or 1
+    denom = float((1 << 53) + 2)
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 53))
+         .cast("double") + F.lit(1.0)) / F.lit(denom)
+    gumbel = -F.log(-F.log(u))
+    key = F.col(weight_col) / F.lit(float(temperature)) + gumbel
+    keyed = df.withColumn("_iw_key", key)
+    th = keyed.agg(
+        F.percentile_approx("_iw_key", F.lit(1.0 - frac), F.lit(accuracy))
+        .alias("_iw_threshold"))
+    return (
+        keyed.crossJoin(th)
+        .filter(F.col("_iw_key") >= F.col("_iw_threshold"))
+        .drop("_iw_key", "_iw_threshold")
+    )

@@ -1,0 +1,167 @@
+"""Common-Crawl CDX(J) index ingest — the OTHER half of crawl tooling next
+to ``sources.warc``: the per-crawl url index that tells you WHERE in which
+WARC each capture lives, before you fetch a single page byte.
+
+Format (CDXJ, as published by Common Crawl's cc-index): one line per
+capture —
+
+    com,example)/path?q=1 20240101123456 {"url": "https://example.com/...",
+        "status": "200", "mime": "text/html", "digest": "SHA1…",
+        "length": "1234", "offset": "5678", "filename": "…warc.gz"}
+
+i.e. a SURT-sorted key, a 14-digit UTC timestamp, and a JSON payload.
+
+Scale shape: the index is plain text — ``spark.read.text`` splits
+uncompressed shards across tasks and assigns one task per ``.gz`` shard
+(Common Crawl publishes 300 ~1 GB gzip shards per crawl; file-parallel is
+the right grain). Parsing is pure Catalyst: one anchored ``regexp_extract``
+per field plus ``from_json`` — no Python in the row path, and because the
+key/timestamp prefix is byte-ordered, a ``surt_key`` range filter prunes
+partitions of a sorted/bucketed materialization.
+
+Malformed lines follow the warc.py convention: never dropped silently —
+they come back with ``parse_error`` set and every parsed field NULL, with
+the source line preserved for lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+__all__ = [
+    "CDX_PAYLOAD_SCHEMA",
+    "read_cdxj",
+    "parse_cdxj_lines",
+    "cdx_parse_errors",
+    "surt_key",
+    "latest_captures",
+]
+
+# Common Crawl cc-index payload fields (all serialized as JSON strings;
+# numeric casts happen after from_json so a junk value NULLs one column,
+# not the row)
+CDX_PAYLOAD_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("mime-detected", T.StringType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("length", T.StringType()),
+    T.StructField("offset", T.StringType()),
+    T.StructField("filename", T.StringType()),
+    T.StructField("languages", T.StringType()),
+    T.StructField("encoding", T.StringType()),
+    T.StructField("redirect", T.StringType()),
+])
+
+# envelope only checks key + 14-digit ts + a payload that STARTS like a
+# JSON object; whether it IS one is from_json's call (truncated payloads
+# are a payload error, not an envelope error)
+_LINE_RE = r"^(\S+) (\d{14}) (\{.*)$"
+
+
+def parse_cdxj_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """Parse a DataFrame of raw CDXJ lines into typed capture rows.
+
+    Output columns: ``surt_key, ts, url, status, mime, mime_detected,
+    digest, length, offset, filename, languages, encoding, redirect,
+    parse_error, raw_line``. A line that fails the envelope regex or whose
+    payload is not a JSON object yields ``parse_error`` non-NULL and NULL
+    fields — count them with :func:`cdx_parse_errors`."""
+    line = F.col(line_col)
+    key = F.regexp_extract(line, _LINE_RE, 1)
+    ts_raw = F.regexp_extract(line, _LINE_RE, 2)
+    payload = F.regexp_extract(line, _LINE_RE, 3)
+    envelope_ok = ts_raw != ""
+    d = lines.select(
+        F.when(envelope_ok, key).alias("surt_key"),
+        F.when(envelope_ok, ts_raw).alias("_ts_raw"),
+        F.when(envelope_ok, payload).alias("_payload"),
+        line.alias("raw_line"),
+    ).withColumn("_j", F.from_json("_payload", CDX_PAYLOAD_SCHEMA))
+    j = F.col("_j")
+    # from_json is permissive: junk → NULL struct; envelope failures keep
+    # _payload NULL so the two error modes stay distinguishable
+    parse_error = (
+        F.when(F.col("_ts_raw").isNull(), F.lit("bad cdxj envelope"))
+        .when(j.isNull() | j["url"].isNull(),
+              F.lit("bad cdxj json payload"))
+    )
+    ok = parse_error.isNull()
+    return d.select(
+        F.when(ok, F.col("surt_key")).alias("surt_key"),
+        F.when(ok, F.try_to_timestamp(
+            F.col("_ts_raw"), F.lit("yyyyMMddHHmmss"))).alias("ts"),
+        F.when(ok, j["url"]).alias("url"),
+        F.when(ok, j["status"].cast("int")).alias("status"),
+        F.when(ok, j["mime"]).alias("mime"),
+        F.when(ok, j["mime-detected"]).alias("mime_detected"),
+        F.when(ok, j["digest"]).alias("digest"),
+        F.when(ok, j["length"].cast("long")).alias("length"),
+        F.when(ok, j["offset"].cast("long")).alias("offset"),
+        F.when(ok, j["filename"]).alias("filename"),
+        F.when(ok, j["languages"]).alias("languages"),
+        F.when(ok, j["encoding"]).alias("encoding"),
+        F.when(ok, j["redirect"]).alias("redirect"),
+        parse_error.alias("parse_error"),
+        "raw_line",
+    )
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """Read CDXJ shard(s) at ``path`` (file, directory, or glob; plain or
+    ``.gz``) into typed capture rows. Text splitting handles parallelism:
+    uncompressed shards split by range, gzip shards one task per file."""
+    return parse_cdxj_lines(spark.read.text(path))
+
+
+def cdx_parse_errors(df: DataFrame) -> DataFrame:
+    """The failed-line sidecar: (parse_error, raw_line) rows only."""
+    return df.filter(F.col("parse_error").isNotNull()).select(
+        "parse_error", "raw_line")
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT form of a url as a Column — the sort-friendly key CDX files are
+    ordered by: lowercased, scheme dropped, leading "www." dropped, host
+    reversed dot-wise with commas, then ")" + path (+ "?query").
+
+    Conservative subset of the canonical SURT spec (no per-param sorting —
+    pair with ``urlnorm.canonicalize_url`` upstream for param-order
+    invariance); NULL for urls ``try_parse_url`` cannot parse, so a junk
+    url can never collide with a real key. Lets fetched/extracted page
+    tables join straight onto the crawl index."""
+    col = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit("")))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.lower(F.coalesce(F.try_parse_url(col, F.lit("QUERY")), F.lit("")))
+    tail = F.when(query == "", path).otherwise(
+        F.concat(path, F.lit("?"), query))
+    return F.when(
+        host.isNotNull() & (host != ""),
+        F.concat(rev, F.lit(")"), tail),
+    )
+
+
+def latest_captures(df: DataFrame, status_ok_only: bool = True) -> DataFrame:
+    """One row per ``surt_key``: the most recent capture (max ``ts``,
+    digest as the deterministic tiebreak for same-second recrawls). The
+    recrawl-dedup step before fetching bodies — at Common-Crawl scale the
+    same page appears in dozens of snapshots and fetching every copy
+    multiplies the WARC read bill.
+
+    One map-side-combining aggregation on ``surt_key`` (uniform hash key);
+    no window, no sort."""
+    d = df.filter(F.col("parse_error").isNull())
+    if status_ok_only:
+        d = d.filter(F.col("status") == 200)
+    payload = F.struct(*[F.col(c) for c in d.columns if c != "surt_key"])
+    order = F.struct(F.col("ts"), F.col("digest"))
+    return (
+        d.groupBy("surt_key")
+        .agg(F.max_by(payload, order).alias("_best"))
+        .select("surt_key", "_best.*")
+    )

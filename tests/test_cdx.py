@@ -1,0 +1,95 @@
+"""CDX(J) crawl-index ingest (sources/cdx.py)."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.sources.cdx import (
+    cdx_parse_errors,
+    latest_captures,
+    parse_cdxj_lines,
+    read_cdxj,
+    surt_key,
+)
+
+GOOD_1 = ('com,example)/a 20240101120000 '
+          '{"url": "https://example.com/a", "status": "200", '
+          '"mime": "text/html", "digest": "AAA", "length": "120", '
+          '"offset": "0", "filename": "crawl/x.warc.gz"}')
+GOOD_2 = ('com,example)/a 20240301120000 '
+          '{"url": "https://example.com/a", "status": "200", '
+          '"mime": "text/html", "digest": "BBB", "length": "130", '
+          '"offset": "99", "filename": "crawl/y.warc.gz"}')
+GOOD_404 = ('org,site)/gone 20240101120000 '
+            '{"url": "http://site.org/gone", "status": "404", '
+            '"digest": "CCC", "filename": "crawl/z.warc.gz"}')
+BAD_ENVELOPE = "this is not a cdx line"
+BAD_JSON = "com,example)/b 20240101120000 {not json at all"
+
+
+def _parsed(spark, lines):
+    return parse_cdxj_lines(
+        spark.createDataFrame([(l,) for l in lines], ["value"]))
+
+
+def test_good_line_fields(spark):
+    row = _parsed(spark, [GOOD_1]).collect()[0]
+    assert row["surt_key"] == "com,example)/a"
+    assert row["url"] == "https://example.com/a"
+    assert row["status"] == 200
+    assert row["length"] == 120 and row["offset"] == 0
+    assert row["filename"] == "crawl/x.warc.gz"
+    assert row["parse_error"] is None
+    assert row["ts"].year == 2024 and row["ts"].month == 1
+
+
+def test_error_rows_preserved_with_lineage(spark):
+    df = _parsed(spark, [GOOD_1, BAD_ENVELOPE, BAD_JSON])
+    errs = {r["raw_line"]: r["parse_error"]
+            for r in cdx_parse_errors(df).collect()}
+    assert errs[BAD_ENVELOPE] == "bad cdxj envelope"
+    assert errs[BAD_JSON] == "bad cdxj json payload"
+    # failed rows NULL every parsed field; no row is dropped
+    assert df.count() == 3
+    bad = df.filter(F.col("parse_error").isNotNull())
+    assert bad.filter(F.col("url").isNotNull()).count() == 0
+
+
+def test_latest_captures_picks_max_ts(spark):
+    df = _parsed(spark, [GOOD_1, GOOD_2, GOOD_404])
+    latest = latest_captures(df).collect()
+    assert len(latest) == 1  # 404 filtered, duplicate key collapsed
+    assert latest[0]["digest"] == "BBB" and latest[0]["offset"] == 99
+    with_404 = latest_captures(df, status_ok_only=False)
+    assert with_404.count() == 2
+
+
+def test_read_cdxj_gzip(spark, tmp_path):
+    p = tmp_path / "cdx-00000.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(GOOD_1 + "\n" + GOOD_404 + "\n")
+    df = read_cdxj(spark, str(p))
+    assert df.count() == 2
+    assert cdx_parse_errors(df).count() == 0
+
+
+def test_surt_key_matches_index_key(spark):
+    urls = [
+        ("https://www.Example.com/a", "com,example)/a"),
+        ("http://sub.site.org/Path/X?Q=1", "org,site,sub)/path/x?q=1"),
+        ("https://example.com", "com,example)/"),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame(urls, ["url", "expect"])
+    rows = df.select(surt_key("url").alias("got"), "expect").collect()
+    for r in rows:
+        assert r["got"] == r["expect"]
+
+
+def test_surt_key_joins_pages_to_index(spark):
+    idx = _parsed(spark, [GOOD_1])
+    pages = spark.createDataFrame(
+        [("https://WWW.example.com/a", "body")], ["url", "text"])
+    joined = pages.withColumn("surt_key", surt_key("url")).join(
+        idx.select("surt_key", "filename"), "surt_key")
+    assert joined.count() == 1

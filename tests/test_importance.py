@@ -1,0 +1,176 @@
+"""DSIR-style importance resampling (operators/importance.py).
+
+The arithmetic cross-check fetches the small frames Spark actually built
+(bucket histograms, the dense ratio table, per-doc multiplicities) and
+replays the log-ratio quantization and the per-doc integer sums in pure
+Python — verifying the micronat contract end-to-end without reimplementing
+xxhash64.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.importance import (
+    bucket_log_ratios,
+    hashed_ngram_multiplicities,
+    importance_weights,
+    ngram_bucket_counts,
+    resample_by_importance,
+)
+
+B = 1 << 12  # small dense table keeps the test fast
+
+
+def _docs(spark):
+    rows = [
+        ("a", "the encyclopedia article discusses the theory of relativity"),
+        ("b", "click here buy now click here buy now free offer"),
+        ("c", "the article explains the theory clearly"),
+        ("d", ""),
+    ]
+    return spark.createDataFrame(rows, ["url", "text"])
+
+
+def _target(spark):
+    rows = [
+        ("t1", "the encyclopedia article presents the theory of gravity"),
+        ("t2", "an article about the history of the encyclopedia"),
+    ]
+    return spark.createDataFrame(rows, ["url", "text"])
+
+
+def test_multiplicities_count_ngrams(spark):
+    df = spark.createDataFrame([("x", "a b a")], ["url", "text"])
+    m = hashed_ngram_multiplicities(df, "url", "text", n_buckets=B)
+    # unigrams a,b,a + bigrams "a b","b a" = 5 occurrences
+    assert m.agg(F.sum("m")).collect()[0][0] == 5
+    uni = hashed_ngram_multiplicities(
+        df, "url", "text", n_buckets=B, include_bigrams=False)
+    assert uni.agg(F.sum("m")).collect()[0][0] == 3
+
+
+def test_blank_doc_contributes_nothing(spark):
+    df = _docs(spark)
+    m = hashed_ngram_multiplicities(df, "url", "text", n_buckets=B)
+    assert m.filter(F.col("_iw_id") == "d").count() == 0
+
+
+def test_on_target_doc_outweighs_spam(spark):
+    df = _docs(spark)
+    out = importance_weights(
+        df, target=_target(spark), n_buckets=B).collect()
+    w = {r["url"]: r["importance_weight"] for r in out}
+    n = {r["url"]: r["n_ngrams"] for r in out}
+    # wiki-like docs share target n-grams; spam shares none
+    assert w["a"] > w["b"] and w["c"] > w["b"]
+    assert n["d"] == 0 and w["d"] == 0.0
+    # exact integer view consistent with the float view
+    for r in out:
+        assert r["importance_weight"] == pytest.approx(
+            r["iw_micro_sum"] / 1e6)
+
+
+def test_micronat_sum_replayed_in_python(spark):
+    df = _docs(spark)
+    target = _target(spark)
+    tc = ngram_bucket_counts(target, "text", n_buckets=B)
+    rc = ngram_bucket_counts(df, "text", n_buckets=B)
+    ratios = bucket_log_ratios(tc, rc, n_buckets=B, alpha=1.0)
+
+    t = dict(tc.collect())
+    r = dict(rc.collect())
+    T, R = sum(t.values()), sum(r.values())
+    lr = dict(ratios.collect())
+    assert len(lr) == B  # dense by contract
+    for b in set(t) | set(r):
+        expect = round(
+            (math.log((t.get(b, 0) + 1.0) / (T + B))
+             - math.log((r.get(b, 0) + 1.0) / (R + B))) * 1e6)
+        assert lr[b] == int(expect)
+
+    mult = {}
+    for row in hashed_ngram_multiplicities(df, "url", "text", n_buckets=B).collect():
+        mult.setdefault(row["_iw_id"], []).append((row["bucket"], row["m"]))
+    out = importance_weights(df, target_counts=tc, raw_counts=rc, n_buckets=B)
+    for row in out.collect():
+        expect = sum(m * lr[b] for b, m in mult.get(row["url"], []))
+        assert row["iw_micro_sum"] == expect
+
+
+def test_weights_repartition_invariant(spark):
+    df = _docs(spark)
+    tc = ngram_bucket_counts(_target(spark), "text", n_buckets=B)
+    a = importance_weights(
+        df.repartition(7), target_counts=tc, n_buckets=B
+    ).orderBy("url").collect()
+    b = importance_weights(
+        df.coalesce(1), target_counts=tc, n_buckets=B
+    ).orderBy("url").collect()
+    assert [r["iw_micro_sum"] for r in a] == [r["iw_micro_sum"] for r in b]
+
+
+def test_precomputed_ratio_table_reused(spark):
+    df = _docs(spark)
+    tc = ngram_bucket_counts(_target(spark), "text", n_buckets=B)
+    rc = ngram_bucket_counts(df, "text", n_buckets=B)
+    ratios = bucket_log_ratios(tc, rc, n_buckets=B)
+    via_ratios = importance_weights(
+        df, ratios=ratios, n_buckets=B).orderBy("url").collect()
+    via_counts = importance_weights(
+        df, target_counts=tc, raw_counts=rc, n_buckets=B
+    ).orderBy("url").collect()
+    assert [r["iw_micro_sum"] for r in via_ratios] == [
+        r["iw_micro_sum"] for r in via_counts]
+
+
+def test_resample_deterministic_and_seeded(spark):
+    df = spark.range(200).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        (F.col("id") % 7).cast("double").alias("importance_weight"),
+    )
+    a = {r["url"] for r in resample_by_importance(df, 0.3, seed=1).collect()}
+    b = {r["url"] for r in resample_by_importance(df, 0.3, seed=1).collect()}
+    c = {r["url"] for r in resample_by_importance(df, 0.3, seed=2).collect()}
+    assert a == b
+    assert a != c
+    assert 0.15 <= len(a) / 200 <= 0.45  # approx cut, generous band
+
+
+def test_resample_cold_temperature_is_top_frac(spark):
+    df = spark.range(100).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.col("id").cast("double").alias("importance_weight"),
+    )
+    kept = resample_by_importance(df, 0.2, temperature=1e-9, seed=5).collect()
+    ids = sorted(int(r["url"][1:]) for r in kept)
+    # weight/T dwarfs the Gumbel noise: exactly the top ids survive
+    assert min(ids) >= 100 - len(ids) - 1  # approx threshold slack of 1
+
+
+def test_resample_validation(spark):
+    df = spark.range(3).select(
+        F.col("id").cast("string").alias("url"),
+        F.lit(1.0).alias("importance_weight"))
+    with pytest.raises(ValueError):
+        resample_by_importance(df, 0.0)
+    with pytest.raises(ValueError):
+        resample_by_importance(df, 0.5, temperature=0.0)
+    with pytest.raises(ValueError):
+        bucket_log_ratios(
+            ngram_bucket_counts(df.withColumn("text", F.lit("x")), "text", 8),
+            ngram_bucket_counts(df.withColumn("text", F.lit("x")), "text", 8),
+            n_buckets=8, alpha=0.0)
+
+
+def test_importance_weights_requires_a_model(spark):
+    with pytest.raises(ValueError):
+        importance_weights(_docs(spark))
+
+
+def test_payload_columns_survive(spark):
+    df = _docs(spark).withColumn("lang", F.lit("en"))
+    out = importance_weights(df, target=_target(spark), n_buckets=B)
+    assert set(df.columns).issubset(set(out.columns))
+    assert out.count() == df.count()
