@@ -148,8 +148,27 @@ def main(argv: list[str] | None = None) -> int:
                         "of one page share a dedup/host key")
     p.add_argument("--repartition", type=int, default=None,
                    help="xxhash64(url) re-balance before the pipeline")
+    p.add_argument("--importance-target", default=None, metavar="PATH",
+                   help="parquet dir/table of TARGET-domain docs (DSIR): "
+                        "after the funnel, keep ~--importance-frac of the "
+                        "corpus sampled toward this target's hashed n-gram "
+                        "distribution (operators/importance.py)")
+    p.add_argument("--importance-frac", type=float, default=None,
+                   help="fraction of the corpus the importance resampler "
+                        "keeps (requires --importance-target)")
+    p.add_argument("--importance-target-text-col", default="text",
+                   help="text column of the --importance-target table")
+    p.add_argument("--importance-temperature", type=float, default=1.0,
+                   help="Gumbel-sampling temperature: ->0 = exact top-frac "
+                        "by weight, large = uniform")
+    p.add_argument("--importance-n-buckets", type=int, default=1 << 16)
+    p.add_argument("--importance-seed", type=int, default=0)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    if bool(args.importance_target) != (args.importance_frac is not None):
+        # half-configured gates must fail fast, not silently no-op (the
+        # classifier flags learned this the hard way)
+        p.error("--importance-target and --importance-frac go together")
     if args.classifier_weights and args.classifier_score_min is None:
         # the inverse misconfiguration (min without weights) fails fast in
         # prepare_training_corpus; this direction must too — otherwise the
@@ -247,6 +266,23 @@ def main(argv: list[str] | None = None) -> int:
             corpus, _read_target(spark, args.decontaminate_eval),
             "url", "redacted_text", n=args.decontaminate_ngram,
             eval_text_col="text",
+        )
+    if args.importance_target:
+        from redactifai_spark.operators.importance import (
+            importance_weights, resample_by_importance)
+
+        target = _read_target(spark, args.importance_target)
+        if args.importance_target_text_col != "redacted_text":
+            target = target.withColumnRenamed(
+                args.importance_target_text_col, "redacted_text")
+        corpus = resample_by_importance(
+            importance_weights(
+                corpus, target=target, id_col="url",
+                text_col="redacted_text",
+                n_buckets=args.importance_n_buckets),
+            args.importance_frac, id_col="url",
+            temperature=args.importance_temperature,
+            seed=args.importance_seed,
         )
     if args.clean_text:
         from redactifai_spark.operators.textnorm import with_clean_text

@@ -272,3 +272,44 @@ def test_redaction_job_robots_gates(spark, tmp_path):
     assert f"output rows now {n_expect}" in r.stdout
     urls = [row["url"] for row in spark.read.parquet(outp).collect()]
     assert len(urls) == n_expect and all(host not in u for u in urls)
+
+
+def test_corpus_job_importance_flags(spark, tmp_path):
+    # --importance-target/--importance-frac: post-funnel DSIR selection keeps
+    # roughly the requested fraction, deterministically for a fixed seed
+    from redactifai_spark.sources.pages import generate_pages
+
+    inp = str(tmp_path / "in")
+    outp, statsp = str(tmp_path / "corpus"), str(tmp_path / "stats")
+    targetp = str(tmp_path / "target")
+    generate_pages(spark, 30, n_partitions=2).write.parquet(inp)
+    spark.createDataFrame(
+        [(1, "Report number 3 from the field Our correspondent filed")],
+        "tid long, text string").write.parquet(targetp)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    base = [sys.executable, os.path.join(REPO, "run_corpus_job.py"),
+            "--input", inp, "--output", outp, "--stats", statsp,
+            "--quality-min", "0.0", "--langs", "en,und",
+            "--importance-target", targetp, "--importance-frac", "0.5",
+            "--importance-seed", "7", "--master", "local[2]"]
+    r = subprocess.run(base, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept1 = {row["url"] for row in spark.read.parquet(outp).collect()}
+    assert 0 < len(kept1) < 30  # a real cut happened
+
+    r2 = subprocess.run(base, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    kept2 = {row["url"] for row in spark.read.parquet(outp).collect()}
+    assert kept1 == kept2  # deterministic given (input, seed)
+
+    # half-configured gate fails fast
+    r3 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_corpus_job.py"),
+         "--input", inp, "--output", outp, "--stats", statsp,
+         "--importance-frac", "0.5", "--master", "local[2]"],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert r3.returncode != 0
+    assert "--importance-target" in r3.stderr
