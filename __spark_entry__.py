@@ -494,16 +494,35 @@ def _orders_top_revenue(spark, sf_dir):
     )
 
 
-def _part_brand_stats(spark, sf_dir):
-    # dimension-table rollup with decimal-exact money aggregation
+def _dim_table_rollup(spark, sf_dir):
+    # dimension-table rollups with decimal-exact money aggregation, unioned
+    # with a grp tag (registry-cap merge of the former part_brand_stats +
+    # supplier_balance_by_nation rows — the established sibling-merge
+    # pattern, like region_rollup)
     p = _t(spark, sf_dir, "part")
-    return p.groupBy("p_brand").agg(
-        F.count("*").alias("n_parts"),
+    part_side = p.groupBy(F.col("p_brand").alias("key")).agg(
+        F.count("*").alias("n_rows"),
         F.min("p_size").alias("min_size"),
         F.max("p_size").alias("max_size"),
         (F.sum(F.col("p_retailprice").cast("decimal(18,2)")) * 100)
-        .cast("long").alias("retail_cents"),
+        .cast("long").alias("cents"),
+    ).withColumn("grp", F.lit("part_brand"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    supp_side = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("key"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum(F.col("s_acctbal").cast("decimal(18,2)")) * 100)
+            .cast("long").alias("cents"),
+        )
+        .withColumn("min_size", F.lit(None).cast("int"))
+        .withColumn("max_size", F.lit(None).cast("int"))
+        .withColumn("grp", F.lit("supplier_nation"))
     )
+    cols = ["grp", "key", "n_rows", "min_size", "max_size", "cents"]
+    return part_side.select(*cols).unionByName(supp_side.select(*cols))
 
 
 def _lineitem_pricing_summary(spark, sf_dir):
@@ -737,19 +756,24 @@ def _events_sessionization(spark, sf_dir):
     )
 
 
-def _supplier_balance_by_nation(spark, sf_dir):
-    # broadcast dim join + decimal-exact money rollup (completes per-table
-    # coverage: every registered table now feeds at least one oracled query)
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
+def _docs_importance_weights(spark, sf_dir):
+    # DSIR hashed-n-gram importance weighting (operators/importance.py):
+    # target = every 13th doc, raw = the corpus itself, collision-free
+    # bucket space (B = 2^40; verified: 947 distinct n-grams -> 947 distinct
+    # buckets at both rehearsal SFs), so the DuckDB twin can replay the
+    # whole chain on n-gram STRINGS — the same zero-collision equivalence
+    # argument as LSH==bruteforce at 64 hashes. Weights are exact integer
+    # micronat sums (the lm.py trick), so the hash replay is bit-for-bit.
+    from redactifai_spark.operators.importance import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 13 == 0)
     return (
-        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.count("*").alias("n_suppliers"),
-            (F.sum(F.col("s_acctbal").cast("decimal(18,2)")) * 100)
-            .cast("long").alias("acctbal_cents"),
+        importance_weights(
+            docs, target=target, id_col="doc_id", text_col="text",
+            n_buckets=1 << 40, dense_ratios=False,
         )
+        .select("doc_id", "n_ngrams", "iw_micro_sum")
     )
 
 
@@ -1350,11 +1374,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_props_json": _events_props_json,
         "docs_lm_logprob": _docs_lm_logprob,
         "region_rollup": _region_rollup,
-        "part_brand_stats": _part_brand_stats,
+        "dim_table_rollup": _dim_table_rollup,
         "orders_top_revenue": _orders_top_revenue,
         "docs_token_packing": _docs_token_packing,
         "docs_train_eval_split": _docs_train_eval_split,
-        "supplier_balance_by_nation": _supplier_balance_by_nation,
+        "docs_importance_weights": _docs_importance_weights,
         "docs_top_bigrams": _docs_top_bigrams,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "events_hourly_windows": _events_hourly_windows,
@@ -2165,17 +2189,44 @@ def oracle_sql() -> dict[str, str]:
             "strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_shipdate_s "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
-        "part_brand_stats": (
-            "SELECT p_brand, COUNT(*) AS n_parts, MIN(p_size) AS min_size, "
-            "MAX(p_size) AS max_size, "
+        "dim_table_rollup": (
+            "SELECT 'part_brand' AS grp, p_brand AS key, COUNT(*) AS n_rows, "
+            "MIN(p_size) AS min_size, MAX(p_size) AS max_size, "
             "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
-            "AS retail_cents FROM part GROUP BY p_brand"
-        ),
-        "supplier_balance_by_nation": (
-            "SELECT n_name AS nation, COUNT(*) AS n_suppliers, "
+            "AS cents FROM part GROUP BY p_brand "
+            "UNION ALL "
+            "SELECT 'supplier_nation', n_name, COUNT(*), "
+            "CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
             "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) "
-            "AS acctbal_cents FROM supplier "
-            "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        # full string-n-gram replay of the hashed importance-weight chain:
+        # bucketing is collision-free at B = 2^40 on this corpus (947
+        # distinct n-grams, verified bucket count equal), so grouping by the
+        # n-gram STRING reproduces the hashed counts exactly, and micronat
+        # quantization makes the per-doc sums integer-exact on both engines
+        "docs_importance_weights": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(lower(text)), "
+            "'\\S+') AS t FROM documents), "
+            "grams AS (SELECT doc_id, unnest(t || list_transform(range(1, len(t)), "
+            "i -> t[i] || ' ' || t[i + 1])) AS g FROM toks), "
+            "mult AS (SELECT doc_id, g, COUNT(*) AS m FROM grams GROUP BY doc_id, g), "
+            "rawc AS (SELECT g, CAST(SUM(m) AS BIGINT) AS rc FROM mult GROUP BY g), "
+            "tgtc AS (SELECT g, CAST(SUM(m) AS BIGINT) AS tc FROM mult "
+            "WHERE doc_id % 13 = 0 GROUP BY g), "
+            "tot AS (SELECT (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) FROM tgtc) AS tt, "
+            "(SELECT CAST(COALESCE(SUM(rc), 0) AS BIGINT) FROM rawc) AS rt), "
+            "ratio AS (SELECT r.g, CAST(round((ln((COALESCE(t.tc, 0) + 1.0) / "
+            "(tot.tt + 1099511627776.0)) - ln((r.rc + 1.0) / "
+            "(tot.rt + 1099511627776.0))) * 1e6, 0) AS BIGINT) AS lr "
+            "FROM rawc r LEFT JOIN tgtc t USING (g), tot), "
+            "sums AS (SELECT m.doc_id, CAST(SUM(m.m) AS BIGINT) AS n_ngrams, "
+            "CAST(SUM(m.m * ratio.lr) AS BIGINT) AS s "
+            "FROM mult m JOIN ratio USING (g) GROUP BY m.doc_id) "
+            "SELECT d.doc_id, COALESCE(sums.n_ngrams, 0) AS n_ngrams, "
+            "COALESCE(sums.s, 0) AS iw_micro_sum "
+            "FROM documents d LEFT JOIN sums USING (doc_id)"
         ),
         "docs_top_bigrams": (
             "WITH t AS (SELECT regexp_extract_all(trim(text), '\\S+') AS toks "

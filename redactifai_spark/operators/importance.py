@@ -124,46 +124,55 @@ def bucket_log_ratios(
     raw_counts: DataFrame,
     n_buckets: int = 1 << 16,
     alpha: float = 1.0,
+    dense: bool = True,
 ) -> DataFrame:
-    """DENSE per-bucket log ratio table: one row for EVERY bucket in
-    [0, n_buckets), ``(bucket, lr_micro)`` with
+    """Per-bucket log ratio table ``(bucket, lr_micro)`` with
 
         lr(b) = ln((t_c + alpha) / (T + alpha*B))
               - ln((r_c + alpha) / (R + alpha*B))
 
-    quantized to micronats. Dense on purpose: scoring joins never have a
-    missing-key case, and at the default B = 2^16 the whole table is a few
-    hundred KB — broadcast it, persist it, reuse it across batches."""
+    quantized to micronats.
+
+    ``dense=True`` (default): one row for EVERY bucket in [0, n_buckets) —
+    scoring joins never have a missing-key case, and at the default
+    B = 2^16 the whole table is a few hundred KB: broadcast it, persist
+    it, reuse it across batches.
+
+    ``dense=False``: rows only for buckets seen in target ∪ raw — required
+    when B is astronomically large (collision-free hashing). A doc bucket
+    can then be missing from the table ONLY if the raw histogram did not
+    come from the scored frame itself; :func:`importance_weights` counts
+    such occurrences as 0 contribution, not the smoothing default, so pass
+    external ``raw_counts`` only with ``dense=True``."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     if alpha <= 0.0:
         raise ValueError(f"alpha must be positive (smoothing), got {alpha}")
-    spark = target_counts.sparkSession
-    base = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     t = target_counts.select("bucket", F.col("c").alias("_t_c"))
     r = raw_counts.select("bucket", F.col("c").alias("_r_c"))
     tot = (
         t.agg(F.coalesce(F.sum("_t_c"), F.lit(0)).alias("_t_tot"))
         .crossJoin(r.agg(F.coalesce(F.sum("_r_c"), F.lit(0)).alias("_r_tot")))
     )
-    dense = (
-        base.join(t, "bucket", "left")
-        .join(r, "bucket", "left")
-        .crossJoin(tot)
-        .select(
-            "bucket",
-            F.coalesce(F.col("_t_c"), F.lit(0)).alias("_t_c"),
-            F.coalesce(F.col("_r_c"), F.lit(0)).alias("_r_c"),
-            "_t_tot",
-            "_r_tot",
-        )
+    if dense:
+        spark = target_counts.sparkSession
+        base = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+        joined = base.join(t, "bucket", "left").join(r, "bucket", "left")
+    else:
+        joined = t.join(r, "bucket", "full")
+    counts = joined.crossJoin(tot).select(
+        "bucket",
+        F.coalesce(F.col("_t_c"), F.lit(0)).alias("_t_c"),
+        F.coalesce(F.col("_r_c"), F.lit(0)).alias("_r_c"),
+        "_t_tot",
+        "_r_tot",
     )
     ab = float(alpha) * n_buckets
     lr = (
         F.log((F.col("_t_c") + F.lit(float(alpha))) / (F.col("_t_tot") + F.lit(ab)))
         - F.log((F.col("_r_c") + F.lit(float(alpha))) / (F.col("_r_tot") + F.lit(ab)))
     )
-    return dense.select(
+    return counts.select(
         "bucket",
         F.round(lr * _MICRO, 0).cast("bigint").alias("lr_micro"),
     )
@@ -180,6 +189,7 @@ def importance_weights(
     target_counts: DataFrame | None = None,
     raw_counts: DataFrame | None = None,
     ratios: DataFrame | None = None,
+    dense_ratios: bool = True,
 ) -> DataFrame:
     """Adds ``(n_ngrams, iw_micro_sum, importance_weight)`` per document.
 
@@ -208,17 +218,27 @@ def importance_weights(
         if raw_counts is None:
             raw_counts = ngram_bucket_counts(
                 df, text_col, n_buckets, include_bigrams)
-        ratios = bucket_log_ratios(target_counts, raw_counts, n_buckets, alpha)
+        ratios = bucket_log_ratios(
+            target_counts, raw_counts, n_buckets, alpha, dense=dense_ratios)
     mult = hashed_ngram_multiplicities(
         df, id_col, text_col, n_buckets, include_bigrams)
-    # ratio table is bounded by n_buckets rows — broadcast by construction,
-    # so the (doc, bucket) frame never shuffles for the join
+    # a DENSE ratio table is bounded by n_buckets rows — broadcast by
+    # construction, so the (doc, bucket) frame never shuffles for the join.
+    # A SPARSE one grows with the corpus's distinct-n-gram count (billions
+    # at crawl scale): forcing broadcast there is the boilerplate-strip
+    # OOM mistake — leave the strategy to AQE (both sides uniform-keyed).
+    ratio_side = (
+        F.broadcast(ratios)
+        if dense_ratios and n_buckets <= (1 << 24) else ratios)
     scored = (
-        mult.join(F.broadcast(ratios), "bucket", "left")
+        mult.join(ratio_side, "bucket", "left")
         .groupBy("_iw_id")
         .agg(
             F.sum("m").alias("n_ngrams"),
-            F.sum(F.col("m") * F.col("lr_micro")).alias("iw_micro_sum"),
+            # coalesce: a bucket missing from a SPARSE ratio table (see
+            # bucket_log_ratios) contributes 0, never NULLs the doc
+            F.sum(F.col("m") * F.coalesce(F.col("lr_micro"), F.lit(0)))
+            .alias("iw_micro_sum"),
         )
     )
     out = df.join(

@@ -174,3 +174,29 @@ def test_payload_columns_survive(spark):
     out = importance_weights(df, target=_target(spark), n_buckets=B)
     assert set(df.columns).issubset(set(out.columns))
     assert out.count() == df.count()
+
+
+def test_sparse_ratio_table_matches_dense(spark):
+    df = _docs(spark)
+    tc = ngram_bucket_counts(_target(spark), "text", n_buckets=B)
+    rc = ngram_bucket_counts(df, "text", n_buckets=B)
+    dense = importance_weights(
+        df, target_counts=tc, raw_counts=rc, n_buckets=B
+    ).orderBy("url").collect()
+    sparse = importance_weights(
+        df, target_counts=tc, raw_counts=rc, n_buckets=B, dense_ratios=False
+    ).orderBy("url").collect()
+    # raw histogram comes from the scored frame itself, so sparse covers
+    # every doc bucket and the two must agree exactly
+    assert [r["iw_micro_sum"] for r in dense] == [
+        r["iw_micro_sum"] for r in sparse]
+
+
+def test_sparse_supports_collision_free_bucket_space(spark):
+    # B = 2^40: dense would materialize a trillion-row range; sparse runs
+    df = _docs(spark)
+    out = importance_weights(
+        df, target=_target(spark), n_buckets=1 << 40, dense_ratios=False
+    ).collect()
+    w = {r["url"]: r["importance_weight"] for r in out}
+    assert w["a"] > w["b"] and w["c"] > w["b"]
