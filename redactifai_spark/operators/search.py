@@ -1,0 +1,111 @@
+"""BM25 full-text scoring over the curated corpus — the retrieval surface a
+training-data pipeline grows next: "show me the docs most like this query"
+for curation spot-checks, eval-set mining, and near-target sampling (a
+lexical complement to ``similarity``'s embedding ANN and ``importance``'s
+distribution-level selection).
+
+Okapi BM25 with Lucene's non-negative idf:
+
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(d, q) = sum over t in q of
+                  idf(t) * tf_td * (k1 + 1) / (tf_td + k1 * (1 - b + b * len_d / avgdl))
+
+Scale shape: the index is two tables — postings ``(term, doc, tf)`` and
+doc lengths ``(doc, dl)`` — both built by one tokenize+explode+groupBy pass
+(map-side combine collapses repeats). A query touches only its own terms'
+postings: the term filter is an ``isin`` over a handful of literals, so a
+postings table bucketed/partitioned by term prunes everything else. Corpus
+constants (N, avgdl) are a 1-row aggregate cross-joined in; df_t lives one
+row per term. Scoring is narrow arithmetic; top-k is ``orderBy().limit(k)``
+(TakeOrderedAndProject — per-partition heaps, no global sort).
+
+Everything is Catalyst; no Python in any row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import tokens_of
+
+__all__ = ["build_bm25_index", "bm25_topk"]
+
+
+def build_bm25_index(
+    df: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(postings, doc_lens)``:
+
+    - postings: ``(term, id, tf)`` — lowercase whitespace terms, one row per
+      (term, doc);
+    - doc_lens: ``(id, dl)`` — token count per doc (0 for blank docs, which
+      therefore score 0 against every query).
+
+    Persist both (parquet, ideally bucketed by ``term``) and reuse across
+    queries — the incremental-ingest shape shared with
+    ``near_duplicates_against`` and ``importance_weights(ratios=...)``."""
+    d = df.select(F.col(id_col).alias("id"),
+                  F.col(text_col).alias("_bm_text"))
+    d = d.withColumn(
+        "_toks", F.filter(tokens_of("_bm_text"), lambda t: t != ""))
+    doc_lens = d.select("id", F.size("_toks").cast("long").alias("dl"))
+    postings = (
+        d.select("id", F.explode("_toks").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return postings, doc_lens
+
+
+def bm25_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` docs for ``query`` by BM25: ``(id, score, n_terms_hit)``,
+    ties broken by id so the cut is deterministic.
+
+    Repeated query terms count once (standard bag-of-terms query handling —
+    BM25's term saturation lives on the DOCUMENT side). The plan only reads
+    postings of the query's own terms (isin over literals → pushable
+    predicate), never the whole index."""
+    terms = sorted({t for t in query.strip().lower().split() if t})
+    if not terms:
+        raise ValueError("bm25_topk: query has no terms")
+    if k <= 0:
+        raise ValueError(f"bm25_topk: k must be positive, got {k}")
+
+    consts = doc_lens.agg(
+        F.count("*").alias("_n_docs"),
+        F.coalesce(F.avg("dl"), F.lit(0.0)).alias("_avgdl"),
+    )
+    hit = postings.filter(F.col("term").isin(terms))
+    df_t = hit.groupBy("term").agg(F.count("*").alias("_df"))
+    scored = (
+        hit.join(F.broadcast(df_t), "term")
+        .join(doc_lens, "id")
+        .crossJoin(consts)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    # avgdl == 0 only when every doc is blank; no postings exist then, so
+    # the division is never reached on a live row
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
+    return (
+        scored.select("id", "term", contrib.alias("_c"))
+        .groupBy("id")
+        .agg(
+            F.sum("_c").alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )

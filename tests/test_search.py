@@ -1,0 +1,110 @@
+"""BM25 search (operators/search.py) — scores cross-checked against a pure
+Python replay of the same formula."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.search import bm25_topk, build_bm25_index
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "the fox and the hound"),
+    ("d3", "quick quick quick brown delivery service"),
+    ("d4", "completely unrelated text about spark joins"),
+    ("d5", ""),
+]
+
+
+def _index(spark):
+    df = spark.createDataFrame(DOCS, ["url", "text"])
+    return build_bm25_index(df, "url", "text")
+
+
+def _python_bm25(query, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    terms = sorted(set(query.lower().split()))
+    scores = {}
+    for t in terms:
+        df_t = sum(1 for v in toks.values() if t in v)
+        if not df_t:
+            continue
+        idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+        for i, v in toks.items():
+            tf = v.count(t)
+            if tf:
+                norm = k1 * (1 - b + b * len(v) / avgdl)
+                scores[i] = scores.get(i, 0.0) + idf * tf * (k1 + 1) / (tf + norm)
+    return scores
+
+
+def test_scores_match_python_replay(spark):
+    postings, doc_lens = _index(spark)
+    got = {r["id"]: r["score"]
+           for r in bm25_topk(postings, doc_lens, "quick fox", k=10).collect()}
+    expect = _python_bm25("quick fox")
+    assert set(got) == set(expect)
+    for i in got:
+        assert got[i] == pytest.approx(expect[i], rel=1e-12)
+
+
+def test_topk_order_and_cut(spark):
+    postings, doc_lens = _index(spark)
+    rows = bm25_topk(postings, doc_lens, "quick fox", k=2).collect()
+    expect = sorted(_python_bm25("quick fox").items(),
+                    key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r["id"], ) for r in rows] == [(i, ) for i, _ in expect]
+    assert rows[0]["score"] >= rows[1]["score"]
+
+
+def test_term_saturation_is_sublinear(spark):
+    # d3 has tf=3 for "quick"; its contribution must be < 3x the tf=1 doc's
+    postings, doc_lens = _index(spark)
+    got = {r["id"]: r["score"]
+           for r in bm25_topk(postings, doc_lens, "quick", k=10).collect()}
+    assert got["d3"] > got["d1"]  # more occurrences still rank higher
+    assert got["d3"] < 3 * got["d1"] * 1.5  # but saturated well below linear
+
+
+def test_repeated_query_terms_count_once(spark):
+    postings, doc_lens = _index(spark)
+    a = {(r["id"], r["score"])
+         for r in bm25_topk(postings, doc_lens, "fox fox fox", k=10).collect()}
+    b = {(r["id"], r["score"])
+         for r in bm25_topk(postings, doc_lens, "fox", k=10).collect()}
+    assert a == b
+
+
+def test_unknown_terms_and_blank_docs(spark):
+    postings, doc_lens = _index(spark)
+    assert bm25_topk(postings, doc_lens, "zzzunknown", k=5).count() == 0
+    got = {r["id"] for r in
+           bm25_topk(postings, doc_lens, "the quick", k=10).collect()}
+    assert "d5" not in got  # blank doc never scores
+
+
+def test_n_terms_hit(spark):
+    postings, doc_lens = _index(spark)
+    got = {r["id"]: r["n_terms_hit"] for r in
+           bm25_topk(postings, doc_lens, "quick fox", k=10).collect()}
+    assert got["d1"] == 2 and got["d2"] == 1 and got["d3"] == 1
+
+
+def test_validation(spark):
+    postings, doc_lens = _index(spark)
+    with pytest.raises(ValueError):
+        bm25_topk(postings, doc_lens, "   ")
+    with pytest.raises(ValueError):
+        bm25_topk(postings, doc_lens, "fox", k=0)
+
+
+def test_postings_prune_to_query_terms(spark):
+    # the scoring plan must filter postings on the query's term literals —
+    # the predicate that lets a term-partitioned index skip everything else
+    postings, doc_lens = _index(spark)
+    plan = bm25_topk(postings, doc_lens, "quick fox", k=3) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "quick" in plan and "fox" in plan
