@@ -200,3 +200,28 @@ def test_sparse_supports_collision_free_bucket_space(spark):
     ).collect()
     w = {r["url"]: r["importance_weight"] for r in out}
     assert w["a"] > w["b"] and w["c"] > w["b"]
+
+
+def test_join_strategy_dense_broadcasts_sparse_does_not(spark):
+    # the dense ratio table is bounded by n_buckets rows -> broadcast by
+    # construction; a SPARSE table grows with the corpus's distinct-n-gram
+    # count, so forcing broadcast there is the strip_boilerplate OOM
+    # mistake — with auto-broadcast disabled the planner must stay free to
+    # shuffle-join it
+    from redactifai_spark.plans.inspect import formatted_plan
+
+    df = _docs(spark)
+    tc = ngram_bucket_counts(_target(spark), "text", n_buckets=B)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dense_plan = formatted_plan(
+            importance_weights(df, target_counts=tc, n_buckets=B))
+        assert "BroadcastHashJoin" in dense_plan
+        # no join in the sparse plan is hinted, so with auto-broadcast off
+        # the whole plan must be broadcast-free
+        sparse_plan = formatted_plan(importance_weights(
+            df, target_counts=tc, n_buckets=B, dense_ratios=False))
+        assert "BroadcastHashJoin" not in sparse_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
