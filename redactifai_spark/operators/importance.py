@@ -189,7 +189,7 @@ def importance_weights(
     target_counts: DataFrame | None = None,
     raw_counts: DataFrame | None = None,
     ratios: DataFrame | None = None,
-    dense_ratios: bool = True,
+    dense_ratios: bool | None = None,
 ) -> DataFrame:
     """Adds ``(n_ngrams, iw_micro_sum, importance_weight)`` per document.
 
@@ -207,7 +207,14 @@ def importance_weights(
 
     ``iw_micro_sum`` is the exact integer micronat sum (0 for empty docs);
     ``importance_weight`` is the float nats view of it. Weights are sums,
-    not means — DSIR's estimator — so longer on-target docs score higher."""
+    not means — DSIR's estimator — so longer on-target docs score higher.
+
+    ``dense_ratios``: None (default) auto-selects — dense up to 2^24
+    buckets, sparse beyond (a dense ``spark.range(2^40)`` materializes a
+    trillion-row table; the collision-free giant-B setting must never do
+    that just because the caller forgot the flag)."""
+    if dense_ratios is None:
+        dense_ratios = n_buckets <= (1 << 24)
     if ratios is None:
         if target_counts is None:
             if target is None:
@@ -265,13 +272,19 @@ def resample_by_importance(
     replacement with probability ∝ exp(weight / temperature).
 
     key(doc) = weight/temperature + Gumbel(u(doc)), with u derived from
-    ``xxhash64(id, seed)`` — fully deterministic given (input, seed), no
-    RNG state, repartition-invariant. ``temperature → 0`` degenerates to
-    exact top-frac by weight; large temperature approaches uniform.
+    ``xxhash64(id, seed)`` — per-doc noise has no RNG state and is
+    repartition-invariant. ``temperature → 0`` degenerates to exact
+    top-frac by weight; large temperature approaches uniform.
 
-    The cut is a ``percentile_approx`` threshold (one t-digest aggregation,
+    The cut is a ``percentile_approx`` threshold (one sketch aggregation,
     1-row cross join) — no global sort, the corpus is filtered in one
-    narrow pass; ties at the threshold all pass, like ``sampling``."""
+    narrow pass; ties at the threshold all pass, like ``sampling``.
+    Determinism caveat: each doc's KEY is exactly reproducible, but the
+    THRESHOLD is a quantile-sketch estimate whose partial-merge order is
+    runtime-dependent, so on a multi-executor cluster the cut can shift by
+    a sketch bin between otherwise-identical runs (single-process runs are
+    stable). For a byte-stable selection, persist the threshold from one
+    run and filter on it explicitly."""
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
     if temperature <= 0.0:

@@ -10,16 +10,22 @@ Okapi BM25 with Lucene's non-negative idf:
     score(d, q) = sum over t in q of
                   idf(t) * tf_td * (k1 + 1) / (tf_td + k1 * (1 - b + b * len_d / avgdl))
 
-Scale shape: the index is two tables — postings ``(term, doc, tf)`` and
-doc lengths ``(doc, dl)`` — both built by one tokenize+explode+groupBy pass
-(map-side combine collapses repeats). A query touches only its own terms'
-postings: the term filter is an ``isin`` over a handful of literals, so a
-postings table bucketed/partitioned by term prunes everything else. Corpus
-constants (N, avgdl) are a 1-row aggregate cross-joined in; df_t lives one
-row per term. Scoring is narrow arithmetic; top-k is ``orderBy().limit(k)``
-(TakeOrderedAndProject — per-partition heaps, no global sort).
+Scale shape: the index is one postings table ``(term, id, tf, dl)`` — the
+doc length is DENORMALIZED onto every posting at build time so query-time
+cost is proportional to the HIT count, never the corpus size (a separate
+doc-lengths table would re-join the whole corpus per query) — plus a 1-row
+corpus-stats frame (N, avgdl) computed once at build time. A query touches
+only its own terms' postings: the term filter is an ``isin`` over a handful
+of literals, so a postings table bucketed/partitioned by term prunes
+everything else. Top-k is ``orderBy().limit(k)`` (TakeOrderedAndProject —
+per-partition heaps, no global sort).
 
-Everything is Catalyst; no Python in any row path.
+Everything is Catalyst; no Python in any row path. Query text is tokenized
+by the SAME Catalyst expression as the index (run on a 1-row frame), so
+query and index can never disagree on token boundaries or casing (Python's
+``str.split``/``str.lower`` are Unicode-aware where the JVM tokenizer is
+not — a non-breaking space would silently split the query but not the
+indexed doc).
 """
 
 from __future__ import annotations
@@ -34,32 +40,51 @@ __all__ = ["build_bm25_index", "bm25_topk"]
 def build_bm25_index(
     df: DataFrame, id_col: str = "url", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns ``(postings, doc_lens)``:
+    """Returns ``(postings, stats)``:
 
-    - postings: ``(term, id, tf)`` — lowercase whitespace terms, one row per
-      (term, doc);
-    - doc_lens: ``(id, dl)`` — token count per doc (0 for blank docs, which
-      therefore score 0 against every query).
+    - postings: ``(term, id, tf, dl)`` — lowercase whitespace terms, one
+      row per (term, doc), each carrying its doc's token count;
+    - stats: one row ``(n_docs, avgdl)`` — blank docs count toward both
+      (they have no postings, so they simply never score).
 
-    Persist both (parquet, ideally bucketed by ``term``) and reuse across
+    ``id_col`` must be unique per document (the codebase-wide doc-id
+    contract — see ``urlnorm.dedupe_by_canonical_url``); duplicate ids
+    would merge two documents' term counts into one corrupted posting.
+
+    Persist both (postings ideally bucketed by ``term``) and reuse across
     queries — the incremental-ingest shape shared with
     ``near_duplicates_against`` and ``importance_weights(ratios=...)``."""
     d = df.select(F.col(id_col).alias("id"),
                   F.col(text_col).alias("_bm_text"))
     d = d.withColumn(
         "_toks", F.filter(tokens_of("_bm_text"), lambda t: t != ""))
-    doc_lens = d.select("id", F.size("_toks").cast("long").alias("dl"))
+    d = d.withColumn("dl", F.size("_toks").cast("long"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.avg("dl"), F.lit(0.0)).alias("avgdl"),
+    )
     postings = (
-        d.select("id", F.explode("_toks").alias("term"))
-        .groupBy("term", "id")
+        d.select("id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", "id", "dl")
         .agg(F.count("*").alias("tf"))
     )
-    return postings, doc_lens
+    return postings, stats
+
+
+def _query_terms(spark, query: str) -> list[str]:
+    """Tokenize the query with the index's own Catalyst tokenizer (1-row
+    local job) — exact parity with what build_bm25_index stored."""
+    row = (
+        spark.createDataFrame([(query,)], ["q"])
+        .select(F.filter(tokens_of("q"), lambda t: t != "").alias("t"))
+        .first()
+    )
+    return sorted(set(row["t"]))
 
 
 def bm25_topk(
     postings: DataFrame,
-    doc_lens: DataFrame,
+    stats: DataFrame,
     query: str,
     k: int = 10,
     k1: float = 1.2,
@@ -71,23 +96,20 @@ def bm25_topk(
     Repeated query terms count once (standard bag-of-terms query handling —
     BM25's term saturation lives on the DOCUMENT side). The plan only reads
     postings of the query's own terms (isin over literals → pushable
-    predicate), never the whole index."""
-    terms = sorted({t for t in query.strip().lower().split() if t})
-    if not terms:
-        raise ValueError("bm25_topk: query has no terms")
+    predicate), never the whole index, and joins nothing corpus-sized."""
     if k <= 0:
         raise ValueError(f"bm25_topk: k must be positive, got {k}")
+    terms = _query_terms(postings.sparkSession, query)
+    if not terms:
+        raise ValueError("bm25_topk: query has no terms")
 
-    consts = doc_lens.agg(
-        F.count("*").alias("_n_docs"),
-        F.coalesce(F.avg("dl"), F.lit(0.0)).alias("_avgdl"),
-    )
     hit = postings.filter(F.col("term").isin(terms))
     df_t = hit.groupBy("term").agg(F.count("*").alias("_df"))
     scored = (
         hit.join(F.broadcast(df_t), "term")
-        .join(doc_lens, "id")
-        .crossJoin(consts)
+        .crossJoin(stats.select(
+            F.col("n_docs").alias("_n_docs"),
+            F.col("avgdl").alias("_avgdl")))
     )
     idf = F.log(
         F.lit(1.0)

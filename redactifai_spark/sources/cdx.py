@@ -78,20 +78,25 @@ def parse_cdxj_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
         F.when(envelope_ok, ts_raw).alias("_ts_raw"),
         F.when(envelope_ok, payload).alias("_payload"),
         line.alias("raw_line"),
-    ).withColumn("_j", F.from_json("_payload", CDX_PAYLOAD_SCHEMA))
+    ).withColumn("_j", F.from_json("_payload", CDX_PAYLOAD_SCHEMA)) \
+     .withColumn("_ts", F.try_to_timestamp(
+         F.col("_ts_raw"), F.lit("yyyyMMddHHmmss")))
     j = F.col("_j")
     # from_json is permissive: junk → NULL struct; envelope failures keep
-    # _payload NULL so the two error modes stay distinguishable
+    # _payload NULL so the error modes stay distinguishable. A 14-digit
+    # ts that is not a real instant (month 13) is its own error mode —
+    # a "good" row with a silently NULL ts would corrupt latest_captures'
+    # recency ranking instead of surfacing in cdx_parse_errors.
     parse_error = (
         F.when(F.col("_ts_raw").isNull(), F.lit("bad cdxj envelope"))
+        .when(F.col("_ts").isNull(), F.lit("bad cdxj timestamp"))
         .when(j.isNull() | j["url"].isNull(),
               F.lit("bad cdxj json payload"))
     )
     ok = parse_error.isNull()
     return d.select(
         F.when(ok, F.col("surt_key")).alias("surt_key"),
-        F.when(ok, F.try_to_timestamp(
-            F.col("_ts_raw"), F.lit("yyyyMMddHHmmss"))).alias("ts"),
+        F.when(ok, F.col("_ts")).alias("ts"),
         F.when(ok, j["url"]).alias("url"),
         F.when(ok, j["status"].cast("int")).alias("status"),
         F.when(ok, j["mime"]).alias("mime"),
@@ -124,7 +129,9 @@ def cdx_parse_errors(df: DataFrame) -> DataFrame:
 def surt_key(url: Column | str) -> Column:
     """SURT form of a url as a Column — the sort-friendly key CDX files are
     ordered by: lowercased, scheme dropped, leading "www." dropped, host
-    reversed dot-wise with commas, then ")" + path (+ "?query").
+    reversed dot-wise with commas, non-default explicit port kept as
+    ":port" (numerically normalized, like ``urlnorm``), then ")" + path
+    (+ "?query") — e.g. ``com,example:8080)/path``.
 
     Conservative subset of the canonical SURT spec (no per-param sorting —
     pair with ``urlnorm.canonicalize_url`` upstream for param-order
@@ -132,9 +139,25 @@ def surt_key(url: Column | str) -> Column:
     url can never collide with a real key. Lets fetched/extracted page
     tables join straight onto the crawl index."""
     col = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
     host = F.lower(F.try_parse_url(col, F.lit("HOST")))
     host = F.regexp_replace(host, r"^www\.", "")
-    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    # non-default explicit port survives into the key (cc-index keys carry
+    # it: dropping it would merge a :8080 capture into the :80 one)
+    authority = F.try_parse_url(col, F.lit("AUTHORITY"))
+    port_num = F.nullif(
+        F.regexp_extract(authority, r":(\d+)$", 1), F.lit("")
+    ).try_cast("long")
+    default_port = (
+        ((proto == "http") & (port_num == 80))
+        | ((proto == "https") & (port_num == 443))
+    )
+    port_part = F.when(
+        port_num.isNotNull() & ~default_port,
+        F.concat(F.lit(":"), port_num.cast("string")),
+    ).otherwise(F.lit(""))
+    rev = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","), port_part)
     path = F.lower(F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit("")))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.lower(F.coalesce(F.try_parse_url(col, F.lit("QUERY")), F.lit("")))
@@ -154,8 +177,12 @@ def latest_captures(df: DataFrame, status_ok_only: bool = True) -> DataFrame:
     multiplies the WARC read bill.
 
     One map-side-combining aggregation on ``surt_key`` (uniform hash key);
-    no window, no sort."""
-    d = df.filter(F.col("parse_error").isNull())
+    no window, no sort. ``raw_line``/``parse_error`` are dropped first —
+    after the error filter they are pure lineage noise, and carrying the
+    full original index line through the shuffle would roughly double the
+    aggregation's bytes at crawl scale."""
+    d = df.filter(F.col("parse_error").isNull()).drop(
+        "raw_line", "parse_error")
     if status_ok_only:
         d = d.filter(F.col("status") == 200)
     payload = F.struct(*[F.col(c) for c in d.columns if c != "surt_key"])

@@ -271,10 +271,14 @@ def main(argv: list[str] | None = None) -> int:
         from redactifai_spark.operators.importance import (
             importance_weights, resample_by_importance)
 
-        target = _read_target(spark, args.importance_target)
-        if args.importance_target_text_col != "redacted_text":
-            target = target.withColumnRenamed(
-                args.importance_target_text_col, "redacted_text")
+        from pyspark.sql import functions as F
+
+        # select-with-alias, not withColumnRenamed: a typo'd column name
+        # must fail loudly here, not silently score against whatever
+        # 'redacted_text' the target happens to carry (and a target that
+        # already has redacted_text must not end up with two of them)
+        target = _read_target(spark, args.importance_target).select(
+            F.col(args.importance_target_text_col).alias("redacted_text"))
         corpus = resample_by_importance(
             importance_weights(
                 corpus, target=target, id_col="url",

@@ -93,3 +93,33 @@ def test_surt_key_joins_pages_to_index(spark):
     joined = pages.withColumn("surt_key", surt_key("url")).join(
         idx.select("surt_key", "filename"), "surt_key")
     assert joined.count() == 1
+
+
+def test_invalid_timestamp_is_an_error_row(spark):
+    # 14 digits but not a real instant: must surface in cdx_parse_errors,
+    # never become a "good" row with a silently NULL ts (latest_captures
+    # would mis-rank it)
+    bad_ts = ('com,example)/a 20249901120000 '
+              '{"url": "https://example.com/a", "status": "200"}')
+    df = _parsed(spark, [bad_ts])
+    row = df.collect()[0]
+    assert row["parse_error"] == "bad cdxj timestamp"
+    assert row["url"] is None and row["ts"] is None
+
+
+def test_surt_key_keeps_nondefault_port(spark):
+    urls = [
+        ("http://example.com:8080/path", "com,example:8080)/path"),
+        ("http://example.com:80/path", "com,example)/path"),   # default http
+        ("https://example.com:443/x", "com,example)/x"),       # default https
+        ("https://example.com:080/x", "com,example:80)/x"),    # numeric norm
+    ]
+    df = spark.createDataFrame(urls, ["url", "expect"])
+    for r in df.select(surt_key("url").alias("got"), "expect").collect():
+        assert r["got"] == r["expect"], r
+
+
+def test_latest_captures_drops_lineage_columns(spark):
+    df = _parsed(spark, [GOOD_1, GOOD_2])
+    cols = set(latest_captures(df).columns)
+    assert "raw_line" not in cols and "parse_error" not in cols

@@ -42,9 +42,9 @@ def _python_bm25(query, k1=1.2, b=0.75):
 
 
 def test_scores_match_python_replay(spark):
-    postings, doc_lens = _index(spark)
+    postings, stats = _index(spark)
     got = {r["id"]: r["score"]
-           for r in bm25_topk(postings, doc_lens, "quick fox", k=10).collect()}
+           for r in bm25_topk(postings, stats, "quick fox", k=10).collect()}
     expect = _python_bm25("quick fox")
     assert set(got) == set(expect)
     for i in got:
@@ -52,8 +52,8 @@ def test_scores_match_python_replay(spark):
 
 
 def test_topk_order_and_cut(spark):
-    postings, doc_lens = _index(spark)
-    rows = bm25_topk(postings, doc_lens, "quick fox", k=2).collect()
+    postings, stats = _index(spark)
+    rows = bm25_topk(postings, stats, "quick fox", k=2).collect()
     expect = sorted(_python_bm25("quick fox").items(),
                     key=lambda kv: (-kv[1], kv[0]))[:2]
     assert [(r["id"], ) for r in rows] == [(i, ) for i, _ in expect]
@@ -62,49 +62,70 @@ def test_topk_order_and_cut(spark):
 
 def test_term_saturation_is_sublinear(spark):
     # d3 has tf=3 for "quick"; its contribution must be < 3x the tf=1 doc's
-    postings, doc_lens = _index(spark)
+    postings, stats = _index(spark)
     got = {r["id"]: r["score"]
-           for r in bm25_topk(postings, doc_lens, "quick", k=10).collect()}
+           for r in bm25_topk(postings, stats, "quick", k=10).collect()}
     assert got["d3"] > got["d1"]  # more occurrences still rank higher
     assert got["d3"] < 3 * got["d1"] * 1.5  # but saturated well below linear
 
 
 def test_repeated_query_terms_count_once(spark):
-    postings, doc_lens = _index(spark)
+    postings, stats = _index(spark)
     a = {(r["id"], r["score"])
-         for r in bm25_topk(postings, doc_lens, "fox fox fox", k=10).collect()}
+         for r in bm25_topk(postings, stats, "fox fox fox", k=10).collect()}
     b = {(r["id"], r["score"])
-         for r in bm25_topk(postings, doc_lens, "fox", k=10).collect()}
+         for r in bm25_topk(postings, stats, "fox", k=10).collect()}
     assert a == b
 
 
 def test_unknown_terms_and_blank_docs(spark):
-    postings, doc_lens = _index(spark)
-    assert bm25_topk(postings, doc_lens, "zzzunknown", k=5).count() == 0
+    postings, stats = _index(spark)
+    assert bm25_topk(postings, stats, "zzzunknown", k=5).count() == 0
     got = {r["id"] for r in
-           bm25_topk(postings, doc_lens, "the quick", k=10).collect()}
+           bm25_topk(postings, stats, "the quick", k=10).collect()}
     assert "d5" not in got  # blank doc never scores
 
 
 def test_n_terms_hit(spark):
-    postings, doc_lens = _index(spark)
+    postings, stats = _index(spark)
     got = {r["id"]: r["n_terms_hit"] for r in
-           bm25_topk(postings, doc_lens, "quick fox", k=10).collect()}
+           bm25_topk(postings, stats, "quick fox", k=10).collect()}
     assert got["d1"] == 2 and got["d2"] == 1 and got["d3"] == 1
 
 
 def test_validation(spark):
-    postings, doc_lens = _index(spark)
+    postings, stats = _index(spark)
     with pytest.raises(ValueError):
-        bm25_topk(postings, doc_lens, "   ")
+        bm25_topk(postings, stats, "   ")
     with pytest.raises(ValueError):
-        bm25_topk(postings, doc_lens, "fox", k=0)
+        bm25_topk(postings, stats, "fox", k=0)
 
 
 def test_postings_prune_to_query_terms(spark):
     # the scoring plan must filter postings on the query's term literals —
     # the predicate that lets a term-partitioned index skip everything else
-    postings, doc_lens = _index(spark)
-    plan = bm25_topk(postings, doc_lens, "quick fox", k=3) \
+    postings, stats = _index(spark)
+    plan = bm25_topk(postings, stats, "quick fox", k=3) \
         ._jdf.queryExecution().optimizedPlan().toString()
     assert "quick" in plan and "fox" in plan
+
+
+def test_query_tokenizer_matches_index_tokenizer(spark):
+    # a non-breaking space is NOT whitespace to the JVM tokenizer: the doc
+    # indexes the fused term, and the query must tokenize identically
+    # (Python str.split would split it and silently miss)
+    df = spark.createDataFrame([("n1", "foo bar baz")], ["url", "text"])
+    postings, stats = build_bm25_index(df, "url", "text")
+    hits = bm25_topk(postings, stats, "foo bar", k=5).collect()
+    assert [r["id"] for r in hits] == ["n1"]
+
+
+def test_postings_carry_doc_length(spark):
+    # dl denormalized onto postings: query-time plan joins nothing
+    # corpus-sized (no doc-lengths table exists to join)
+    postings, stats = _index(spark)
+    assert set(postings.columns) == {"term", "id", "tf", "dl"}
+    s = stats.collect()[0]
+    assert s["n_docs"] == 5
+    assert s["avgdl"] == pytest.approx(
+        sum(len(t.split()) for _, t in DOCS) / 5)
