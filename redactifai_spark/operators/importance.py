@@ -212,9 +212,22 @@ def importance_weights(
     ``dense_ratios``: None (default) auto-selects — dense up to 2^24
     buckets, sparse beyond (a dense ``spark.range(2^40)`` materializes a
     trillion-row table; the collision-free giant-B setting must never do
-    that just because the caller forgot the flag)."""
+    that just because the caller forgot the flag). Auto refuses the one
+    combination whose semantics would silently flip: EXTERNAL raw counts
+    with a sparse table drop unseen buckets' smoothing default (see
+    :func:`bucket_log_ratios`), so that pairing demands an explicit
+    ``dense_ratios`` choice."""
     if dense_ratios is None:
-        dense_ratios = n_buckets <= (1 << 24)
+        auto_sparse = n_buckets > (1 << 24)
+        if auto_sparse and raw_counts is not None and ratios is None:
+            raise ValueError(
+                "importance_weights: external raw_counts with "
+                f"n_buckets={n_buckets} would auto-select a SPARSE ratio "
+                "table, where buckets unseen in target/raw contribute 0 "
+                "instead of the smoothing default — pass dense_ratios "
+                "explicitly (True to pay the dense table, False to accept "
+                "the sparse semantics)")
+        dense_ratios = not auto_sparse
     if ratios is None:
         if target_counts is None:
             if target is None:

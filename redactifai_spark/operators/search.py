@@ -44,8 +44,14 @@ def build_bm25_index(
 
     - postings: ``(term, id, tf, dl)`` — lowercase whitespace terms, one
       row per (term, doc), each carrying its doc's token count;
-    - stats: one row ``(n_docs, avgdl)`` — blank docs count toward both
-      (they have no postings, so they simply never score).
+    - stats: one row ``(n_docs, avgdl)`` — blank and NULL-text docs count
+      toward both, with length 0 (they have no postings, so they simply
+      never score; counting them into N but not avgdl would skew idf and
+      length normalization against each other).
+
+    Incremental ingest: append each batch's postings AND its stats row to
+    the persisted tables — ``bm25_topk`` merges multi-row stats exactly
+    (doc-count-weighted), so per-batch rows compose without rebuilding.
 
     ``id_col`` must be unique per document (the codebase-wide doc-id
     contract — see ``urlnorm.dedupe_by_canonical_url``); duplicate ids
@@ -58,7 +64,10 @@ def build_bm25_index(
                   F.col(text_col).alias("_bm_text"))
     d = d.withColumn(
         "_toks", F.filter(tokens_of("_bm_text"), lambda t: t != ""))
-    d = d.withColumn("dl", F.size("_toks").cast("long"))
+    # size(NULL array) is NULL under ANSI: a NULL-text doc must still carry
+    # dl=0 so n_docs and avgdl stay computed over the SAME document set
+    d = d.withColumn(
+        "dl", F.coalesce(F.size("_toks").cast("long"), F.lit(0)))
     stats = d.agg(
         F.count("*").alias("n_docs"),
         F.coalesce(F.avg("dl"), F.lit(0.0)).alias("avgdl"),
@@ -105,12 +114,19 @@ def bm25_topk(
 
     hit = postings.filter(F.col("term").isin(terms))
     df_t = hit.groupBy("term").agg(F.count("*").alias("_df"))
-    scored = (
-        hit.join(F.broadcast(df_t), "term")
-        .crossJoin(stats.select(
-            F.col("n_docs").alias("_n_docs"),
-            F.col("avgdl").alias("_avgdl")))
+    # re-aggregate stats with a doc-count-weighted merge: a single build's
+    # 1-row frame passes through unchanged, and per-batch appended rows
+    # (the incremental-ingest shape) compose EXACTLY instead of fanning the
+    # cross join out
+    consts = stats.agg(
+        F.sum("n_docs").alias("_n_docs"),
+        # try_divide: an all-empty stats frame (n_docs 0) must yield NULL,
+        # not an ANSI DIVIDE_BY_ZERO abort (no postings exist then anyway)
+        F.try_divide(
+            F.sum(F.col("n_docs") * F.col("avgdl")), F.sum("n_docs")
+        ).alias("_avgdl"),
     )
+    scored = hit.join(F.broadcast(df_t), "term").crossJoin(consts)
     idf = F.log(
         F.lit(1.0)
         + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))

@@ -36,6 +36,31 @@ TRACKING_NAMES: tuple[str, ...] = (
 )
 
 
+def nondefault_port_part(url: Column | str, proto: Column) -> Column:
+    """":port" for a NON-default explicit port, "" otherwise — the one
+    shared port rule (used by both ``canonicalize_url`` and
+    ``sources.cdx.surt_key`` so the two key spaces can never drift):
+    numeric ports normalized (":080" is ":80"), defaults dropped (http:80,
+    https:443), and a port that does not parse as a number kept literally
+    (reversibility over cleverness)."""
+    col = F.col(url) if isinstance(url, str) else url
+    authority = F.try_parse_url(col, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    port_num = F.nullif(port, F.lit("")).try_cast("long")
+    default_port = F.when(
+        (proto == "http") & (port_num == 80), F.lit(True)
+    ).when(
+        (proto == "https") & (port_num == 443), F.lit(True)
+    ).otherwise(F.lit(False))
+    return F.when(
+        port == "", F.lit("")
+    ).when(
+        port_num.isNull(), F.concat(F.lit(":"), port)  # unparseable: literal
+    ).when(
+        ~default_port, F.concat(F.lit(":"), port_num.cast("string"))
+    ).otherwise(F.lit(""))
+
+
 def canonicalize_url(
     url: Column | str,
     strip_www: bool = True,
@@ -59,21 +84,7 @@ def canonicalize_url(
     # AUTHORITY carries [userinfo@]host[:port]; keep only a NON-default
     # explicit port, compared NUMERICALLY (":080" is ":80"); a port that
     # doesn't parse as a number is kept literally (reversibility)
-    authority = F.try_parse_url(col, F.lit("AUTHORITY"))
-    port = F.regexp_extract(authority, r":(\d+)$", 1)
-    port_num = F.nullif(port, F.lit("")).try_cast("long")
-    default_port = F.when(
-        (proto == "http") & (port_num == 80), F.lit(True)
-    ).when(
-        (proto == "https") & (port_num == 443), F.lit(True)
-    ).otherwise(F.lit(False))
-    port_part = F.when(
-        port == "", F.lit("")
-    ).when(
-        port_num.isNull(), F.concat(F.lit(":"), port)  # unparseable: literal
-    ).when(
-        ~default_port, F.concat(F.lit(":"), port_num.cast("string"))
-    ).otherwise(F.lit(""))
+    port_part = nondefault_port_part(col, proto)
 
     raw_path = F.try_parse_url(col, F.lit("PATH"))
     path = F.when(

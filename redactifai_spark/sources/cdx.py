@@ -138,26 +138,19 @@ def surt_key(url: Column | str) -> Column:
     invariance); NULL for urls ``try_parse_url`` cannot parse, so a junk
     url can never collide with a real key. Lets fetched/extracted page
     tables join straight onto the crawl index."""
+    from ..operators.urlnorm import nondefault_port_part
+
     col = F.col(url) if isinstance(url, str) else url
     proto = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
     host = F.lower(F.try_parse_url(col, F.lit("HOST")))
     host = F.regexp_replace(host, r"^www\.", "")
     # non-default explicit port survives into the key (cc-index keys carry
-    # it: dropping it would merge a :8080 capture into the :80 one)
-    authority = F.try_parse_url(col, F.lit("AUTHORITY"))
-    port_num = F.nullif(
-        F.regexp_extract(authority, r":(\d+)$", 1), F.lit("")
-    ).try_cast("long")
-    default_port = (
-        ((proto == "http") & (port_num == 80))
-        | ((proto == "https") & (port_num == 443))
-    )
-    port_part = F.when(
-        port_num.isNotNull() & ~default_port,
-        F.concat(F.lit(":"), port_num.cast("string")),
-    ).otherwise(F.lit(""))
+    # it: dropping it would merge a :8080 capture into the :80 one) —
+    # THE SAME port rule as urlnorm.canonicalize_url, shared helper so the
+    # two key spaces can never drift
     rev = F.concat(
-        F.array_join(F.reverse(F.split(host, r"\.")), ","), port_part)
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        nondefault_port_part(col, proto))
     path = F.lower(F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit("")))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.lower(F.coalesce(F.try_parse_url(col, F.lit("QUERY")), F.lit("")))

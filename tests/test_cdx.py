@@ -123,3 +123,23 @@ def test_latest_captures_drops_lineage_columns(spark):
     df = _parsed(spark, [GOOD_1, GOOD_2])
     cols = set(latest_captures(df).columns)
     assert "raw_line" not in cols and "parse_error" not in cols
+
+
+def test_surt_key_port_rule_matches_urlnorm(spark):
+    # the port rule is ONE shared helper (urlnorm.nondefault_port_part):
+    # numeric normalization and default-port dropping agree between the
+    # canonical-url and surt key spaces. (A >bigint port never reaches the
+    # literal-keep branch here: try_parse_url rejects the whole authority,
+    # so surt_key is NULL by its junk-url contract and canonicalize_url
+    # returns the input unchanged — also asserted.)
+    from redactifai_spark.operators.urlnorm import canonicalize_url
+
+    rows = spark.createDataFrame(
+        [("http://h.example.com:08080/x",),
+         ("http://h.example.com:99999999999999999999/x",)], ["url"]
+    ).select("url", surt_key("url").alias("sk"),
+             canonicalize_url("url").alias("cu")).collect()
+    normed = rows[0]
+    assert ":8080" in normed["sk"] and ":8080" in normed["cu"]
+    huge = rows[1]
+    assert huge["sk"] is None and huge["cu"] == huge["url"]

@@ -225,3 +225,18 @@ def test_join_strategy_dense_broadcasts_sparse_does_not(spark):
         assert "BroadcastHashJoin" not in sparse_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_auto_sparse_refuses_external_raw_counts(spark):
+    df = _docs(spark)
+    tc = ngram_bucket_counts(_target(spark), "text", n_buckets=B)
+    rc = ngram_bucket_counts(df, "text", n_buckets=B)
+    with pytest.raises(ValueError, match="dense_ratios"):
+        importance_weights(
+            df, target_counts=tc, raw_counts=rc, n_buckets=1 << 30)
+    # explicit choice is honored
+    out = importance_weights(
+        df, target_counts=ngram_bucket_counts(_target(spark), "text", 1 << 30),
+        raw_counts=ngram_bucket_counts(df, "text", 1 << 30),
+        n_buckets=1 << 30, dense_ratios=False)
+    assert out.count() == 4

@@ -129,3 +129,28 @@ def test_postings_carry_doc_length(spark):
     assert s["n_docs"] == 5
     assert s["avgdl"] == pytest.approx(
         sum(len(t.split()) for _, t in DOCS) / 5)
+
+
+def test_multi_row_stats_merge_exactly(spark):
+    # incremental ingest: per-batch stats rows compose via the weighted
+    # merge — scores equal a single combined build's
+    df = spark.createDataFrame(DOCS, ["url", "text"])
+    b1, b2 = df.filter("url <= 'd2'"), df.filter("url > 'd2'")
+    p1, s1 = build_bm25_index(b1, "url", "text")
+    p2, s2 = build_bm25_index(b2, "url", "text")
+    merged_p, merged_s = p1.unionByName(p2), s1.unionByName(s2)
+    whole_p, whole_s = build_bm25_index(df, "url", "text")
+    a = {(r["id"], round(r["score"], 12)) for r in
+         bm25_topk(merged_p, merged_s, "quick fox", k=10).collect()}
+    b = {(r["id"], round(r["score"], 12)) for r in
+         bm25_topk(whole_p, whole_s, "quick fox", k=10).collect()}
+    assert a == b
+
+
+def test_null_text_docs_count_with_zero_length(spark):
+    df = spark.createDataFrame(
+        [("d1", "quick fox"), ("d2", None)], ["url", "text"])
+    postings, stats = build_bm25_index(df, "url", "text")
+    s = stats.collect()[0]
+    assert s["n_docs"] == 2 and s["avgdl"] == pytest.approx(1.0)
+    assert bm25_topk(postings, stats, "quick", k=5).count() == 1
