@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .textstats import tokens_of
 
-__all__ = ["build_bm25_index", "bm25_topk"]
+__all__ = ["build_bm25_index", "bm25_topk", "bm25_topk_many"]
 
 
 def build_bm25_index(
@@ -146,4 +146,75 @@ def bm25_topk(
         )
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
+    )
+
+
+def bm25_topk_many(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    qid_col: str = "qid",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` docs for EVERY query in ``queries`` at once:
+    ``(qid, id, score, n_terms_hit, rank)`` — the batch shape for eval-set
+    mining ("for each eval prompt, which training docs score highest"),
+    where looping :func:`bm25_topk` would launch one job per query.
+
+    Queries are tokenized by the index's own Catalyst tokenizer (same
+    parity rule as the single-query path) and deduped per qid. The query
+    set is small by construction (it is human- or eval-authored), so the
+    (term, qid) pairs broadcast to the postings; df_t is computed once per
+    distinct term. The only window runs over the SCORED frame — hit rows,
+    never the corpus — partitioned by qid with deterministic
+    (score desc, id) order."""
+    if k <= 0:
+        raise ValueError(f"bm25_topk_many: k must be positive, got {k}")
+    qterms = (
+        queries.select(
+            F.col(qid_col).alias("qid"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(tokens_of(text_col), lambda t: t != ""))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    consts = stats.agg(
+        F.sum("n_docs").alias("_n_docs"),
+        F.try_divide(
+            F.sum(F.col("n_docs") * F.col("avgdl")), F.sum("n_docs")
+        ).alias("_avgdl"),
+    )
+    # inner join postings to the broadcast (term, qid) pairs: only hit
+    # rows survive; df_t per term computed from the hits themselves (a
+    # term's df is qid-independent, so count per (term) once)
+    hit = postings.join(F.broadcast(qterms), "term")
+    df_t = (
+        hit.select("term", "id").distinct()
+        .groupBy("term").agg(F.count("*").alias("_df"))
+    )
+    scored = hit.join(F.broadcast(df_t), "term").crossJoin(consts)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
+    per_doc = (
+        scored.select("qid", "id", contrib.alias("_c"))
+        .groupBy("qid", "id")
+        .agg(F.sum("_c").alias("score"), F.count("*").alias("n_terms_hit"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types a
 __all__ = [
     "CDX_PAYLOAD_SCHEMA",
     "read_cdxj",
+    "read_cdxj_stream",
     "parse_cdxj_lines",
     "cdx_parse_errors",
     "surt_key",
@@ -118,6 +119,35 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
     ``.gz``) into typed capture rows. Text splitting handles parallelism:
     uncompressed shards split by range, gzip shards one task per file."""
     return parse_cdxj_lines(spark.read.text(path))
+
+
+def read_cdxj_stream(
+    spark: SparkSession,
+    path: str,
+    keep_error_rows: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_cdxj` (the ``read_warc_stream``
+    pattern): index shards that LAND over time are each parsed exactly
+    once — the streaming commit log tracks which files are done, so a
+    cc-index drop directory needs no manual bookkeeping. Pair with
+    ``Trigger.AvailableNow`` for the re-invoke-on-new-shards batch shape.
+
+    Per-batch (n_rows, n_parse_errors) surface in each progress event's
+    ``observedMetrics["cdx_ingest"]`` — errors are counted on the job's own
+    first pass even when ``keep_error_rows`` is False (no second scan)."""
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    rows = parse_cdxj_lines(reader.text(path))
+    rows = rows.observe(
+        "cdx_ingest",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("parse_error").alias("n_parse_errors"))
+    if not keep_error_rows:
+        rows = rows.filter(F.col("parse_error").isNull()).drop(
+            "parse_error", "raw_line")
+    return rows
 
 
 def cdx_parse_errors(df: DataFrame) -> DataFrame:

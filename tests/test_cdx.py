@@ -143,3 +143,38 @@ def test_surt_key_port_rule_matches_urlnorm(spark):
     assert ":8080" in normed["sk"] and ":8080" in normed["cu"]
     huge = rows[1]
     assert huge["sk"] is None and huge["cu"] == huge["url"]
+
+
+def test_read_cdxj_stream_exactly_once(spark, tmp_path):
+    # streaming twin: shards landing over time are each parsed once; the
+    # named observe reports per-batch row/error counts
+    import json
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    (src / "cdx-00000").write_text(GOOD_1 + "\n" + BAD_ENVELOPE + "\n")
+
+    from redactifai_spark.sources.cdx import read_cdxj_stream
+
+    def run_once():
+        q = (read_cdxj_stream(spark, str(src))
+             .writeStream.format("parquet")
+             .option("path", str(out)).option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return q
+
+    q1 = run_once()
+    obs = [p.observedMetrics["cdx_ingest"] for p in q1.recentProgress
+           if p.observedMetrics and "cdx_ingest" in p.observedMetrics]
+    assert any(m["n_rows"] == 2 and m["n_parse_errors"] == 1 for m in obs)
+    assert spark.read.parquet(str(out)).count() == 1  # error row filtered
+
+    # second shard lands; re-run processes ONLY it
+    (src / "cdx-00001").write_text(GOOD_2 + "\n")
+    run_once()
+    rows = spark.read.parquet(str(out))
+    assert rows.count() == 2
+    assert {r["digest"] for r in rows.collect()} == {"AAA", "BBB"}

@@ -154,3 +154,25 @@ def test_null_text_docs_count_with_zero_length(spark):
     s = stats.collect()[0]
     assert s["n_docs"] == 2 and s["avgdl"] == pytest.approx(1.0)
     assert bm25_topk(postings, stats, "quick", k=5).count() == 1
+
+
+def test_topk_many_matches_single_query_path(spark):
+    postings, stats = _index(spark)
+    queries = spark.createDataFrame(
+        [(1, "quick fox"), (2, "the hound"), (3, "delivery")],
+        ["qid", "text"])
+    from redactifai_spark.operators.search import bm25_topk_many
+
+    many = bm25_topk_many(postings, stats, queries, k=10).collect()
+    by_q = {}
+    for r in many:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, qtext in [(1, "quick fox"), (2, "the hound"), (3, "delivery")]:
+        single = bm25_topk(postings, stats, qtext, k=10).collect()
+        got = sorted(((r["id"], round(r["score"], 12)) for r in by_q[qid]))
+        want = sorted(((r["id"], round(r["score"], 12)) for r in single))
+        assert got == want, qid
+    # rank is contiguous from 1 and respects the k cut
+    top1 = bm25_topk_many(postings, stats, queries, k=1).collect()
+    assert sorted(r["qid"] for r in top1) == [1, 2, 3]
+    assert all(r["rank"] == 1 for r in top1)
