@@ -114,6 +114,17 @@ def bm25_topk(
 
     hit = postings.filter(F.col("term").isin(terms))
     df_t = hit.groupBy("term").agg(F.count("*").alias("_df"))
+    return (
+        _score_hits(hit, df_t, stats, k1, b, ["id"])
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def _score_hits(hit, df_t, stats, k1, b, group_cols):
+    """The ONE BM25 scoring pipeline, shared by the single- and multi-query
+    paths so the formula can never diverge between them: weighted stats
+    merge -> idf -> length norm -> per-group contribution sums."""
     # re-aggregate stats with a doc-count-weighted merge: a single build's
     # 1-row frame passes through unchanged, and per-batch appended rows
     # (the incremental-ingest shape) compose EXACTLY instead of fanning the
@@ -138,14 +149,12 @@ def bm25_topk(
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
     contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
     return (
-        scored.select("id", "term", contrib.alias("_c"))
-        .groupBy("id")
+        scored.select(*group_cols, contrib.alias("_c"))
+        .groupBy(*group_cols)
         .agg(
             F.sum("_c").alias("score"),
             F.count("*").alias("n_terms_hit"),
         )
-        .orderBy(F.desc("score"), F.asc("id"))
-        .limit(k)
     )
 
 
@@ -165,7 +174,10 @@ def bm25_topk_many(
     where looping :func:`bm25_topk` would launch one job per query.
 
     Queries are tokenized by the index's own Catalyst tokenizer (same
-    parity rule as the single-query path) and deduped per qid. The query
+    parity rule as the single-query path). Each qid must appear exactly
+    once and carry at least one term — validated up front (tiny frame,
+    cheap action) so a termless or duplicated qid raises like the
+    single-query path instead of silently vanishing or merging. The query
     set is small by construction (it is human- or eval-authored), so the
     (term, qid) pairs broadcast to the postings; df_t is computed once per
     distinct term. The only window runs over the SCORED frame — hit rows,
@@ -173,44 +185,33 @@ def bm25_topk_many(
     (score desc, id) order."""
     if k <= 0:
         raise ValueError(f"bm25_topk_many: k must be positive, got {k}")
-    qterms = (
-        queries.select(
-            F.col(qid_col).alias("qid"),
-            F.explode(
-                F.array_distinct(
-                    F.filter(tokens_of(text_col), lambda t: t != ""))
-            ).alias("term"),
-        )
-        .distinct()
+    # the query set is tiny by construction, so validation actions are
+    # cheap — and the single-query path raises on a termless query, so
+    # this path must too rather than silently dropping qids; likewise a
+    # qid appearing with TWO different texts would otherwise merge into a
+    # union query nobody issued
+    qtoks = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.array_distinct(
+            F.filter(tokens_of(text_col), lambda t: t != "")).alias("_t"),
     )
-    consts = stats.agg(
-        F.sum("n_docs").alias("_n_docs"),
-        F.try_divide(
-            F.sum(F.col("n_docs") * F.col("avgdl")), F.sum("n_docs")
-        ).alias("_avgdl"),
-    )
+    bad = qtoks.groupBy("qid").agg(
+        F.count("*").alias("_nq"),
+        F.max(F.coalesce(F.size("_t"), F.lit(0))).alias("_maxterms"),
+    ).filter((F.col("_nq") > 1) | (F.col("_maxterms") == 0)).limit(5)
+    bad_rows = bad.collect()
+    if bad_rows:
+        raise ValueError(
+            "bm25_topk_many: invalid queries for qids "
+            f"{[r['qid'] for r in bad_rows]} — each qid must appear exactly "
+            "once and have at least one term")
+    qterms = qtoks.select("qid", F.explode("_t").alias("term"))
     # inner join postings to the broadcast (term, qid) pairs: only hit
-    # rows survive; df_t per term computed from the hits themselves (a
-    # term's df is qid-independent, so count per (term) once)
+    # rows survive; a term's df is qid-independent, so count each doc once
+    # per term (count_distinct folds the qid fan-out in ONE aggregation)
     hit = postings.join(F.broadcast(qterms), "term")
-    df_t = (
-        hit.select("term", "id").distinct()
-        .groupBy("term").agg(F.count("*").alias("_df"))
-    )
-    scored = hit.join(F.broadcast(df_t), "term").crossJoin(consts)
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
-        / (F.col("_df") + F.lit(0.5))
-    )
-    norm = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
-    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
-    per_doc = (
-        scored.select("qid", "id", contrib.alias("_c"))
-        .groupBy("qid", "id")
-        .agg(F.sum("_c").alias("score"), F.count("*").alias("n_terms_hit"))
-    )
+    df_t = hit.groupBy("term").agg(F.count_distinct("id").alias("_df"))
+    per_doc = _score_hits(hit, df_t, stats, k1, b, ["qid", "id"])
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))

@@ -136,8 +136,14 @@ def read_cdxj_stream(
     Per-batch (n_rows, n_parse_errors) surface in each progress event's
     ``observedMetrics["cdx_ingest"]`` — errors are counted on the job's own
     first pass even when ``keep_error_rows`` is False (no second scan)."""
+    if max_files_per_trigger is not None and max_files_per_trigger <= 0:
+        # a falsy-check would silently ignore a computed 0 and ingest every
+        # pending shard in one micro-batch — the blowup the knob prevents
+        raise ValueError(
+            f"max_files_per_trigger must be positive, got "
+            f"{max_files_per_trigger}")
     reader = spark.readStream
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     rows = parse_cdxj_lines(reader.text(path))
     rows = rows.observe(
@@ -203,9 +209,14 @@ def latest_captures(df: DataFrame, status_ok_only: bool = True) -> DataFrame:
     no window, no sort. ``raw_line``/``parse_error`` are dropped first —
     after the error filter they are pure lineage noise, and carrying the
     full original index line through the shuffle would roughly double the
-    aggregation's bytes at crawl scale."""
-    d = df.filter(F.col("parse_error").isNull()).drop(
-        "raw_line", "parse_error")
+    aggregation's bytes at crawl scale. Accepts frames WITHOUT the lineage
+    columns too (``read_cdxj_stream``'s default output already filtered
+    and dropped them)."""
+    d = df
+    if "parse_error" in d.columns:
+        d = d.filter(F.col("parse_error").isNull()).drop("parse_error")
+    if "raw_line" in d.columns:
+        d = d.drop("raw_line")
     if status_ok_only:
         d = d.filter(F.col("status") == 200)
     payload = F.struct(*[F.col(c) for c in d.columns if c != "surt_key"])

@@ -294,8 +294,14 @@ def read_warc_stream(
     when-new-archives-arrive batch pattern, or a continuous trigger for a
     live drop. ``maxFilesPerTrigger`` bounds archives per micro-batch
     (each ~1 GB file is one task — the knob sizes batch memory)."""
+    if max_files_per_trigger is not None and max_files_per_trigger <= 0:
+        # a falsy-check would silently ignore a computed 0 and ingest every
+        # pending archive in one micro-batch — the blowup the knob prevents
+        raise ValueError(
+            f"max_files_per_trigger must be positive, got "
+            f"{max_files_per_trigger}")
     reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path).select("path", "content")
     pages = _pages_from_files(files, strict, rows_per_chunk)

@@ -2,6 +2,8 @@
 
 import gzip
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from redactifai_spark.sources.cdx import (
@@ -148,8 +150,6 @@ def test_surt_key_port_rule_matches_urlnorm(spark):
 def test_read_cdxj_stream_exactly_once(spark, tmp_path):
     # streaming twin: shards landing over time are each parsed once; the
     # named observe reports per-batch row/error counts
-    import json
-
     src = tmp_path / "drop"
     src.mkdir()
     out = tmp_path / "out"
@@ -178,3 +178,22 @@ def test_read_cdxj_stream_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(str(out))
     assert rows.count() == 2
     assert {r["digest"] for r in rows.collect()} == {"AAA", "BBB"}
+
+
+def test_latest_captures_accepts_stream_shaped_frames(spark):
+    # the streaming reader's default output has no lineage columns;
+    # latest_captures must compose with it
+    df = _parsed(spark, [GOOD_1, GOOD_2]).filter(
+        F.col("parse_error").isNull()).drop("parse_error", "raw_line")
+    latest = latest_captures(df).collect()
+    assert len(latest) == 1 and latest[0]["digest"] == "BBB"
+
+
+def test_stream_rejects_nonpositive_trigger_cap(spark, tmp_path):
+    from redactifai_spark.sources.cdx import read_cdxj_stream
+    from redactifai_spark.sources.warc import read_warc_stream
+
+    with pytest.raises(ValueError, match="positive"):
+        read_cdxj_stream(spark, str(tmp_path), max_files_per_trigger=0)
+    with pytest.raises(ValueError, match="positive"):
+        read_warc_stream(spark, str(tmp_path), max_files_per_trigger=0)

@@ -176,3 +176,17 @@ def test_topk_many_matches_single_query_path(spark):
     top1 = bm25_topk_many(postings, stats, queries, k=1).collect()
     assert sorted(r["qid"] for r in top1) == [1, 2, 3]
     assert all(r["rank"] == 1 for r in top1)
+
+
+def test_topk_many_rejects_bad_query_sets(spark):
+    postings, stats = _index(spark)
+    from redactifai_spark.operators.search import bm25_topk_many
+
+    empty_q = spark.createDataFrame(
+        [(1, "quick"), (2, "")], ["qid", "text"])
+    with pytest.raises(ValueError, match="qids"):
+        bm25_topk_many(postings, stats, empty_q, k=3)
+    dup_q = spark.createDataFrame(
+        [(1, "quick"), (1, "lazy dog")], ["qid", "text"])
+    with pytest.raises(ValueError, match="exactly"):
+        bm25_topk_many(postings, stats, dup_q, k=3)
