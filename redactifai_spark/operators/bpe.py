@@ -1,0 +1,177 @@
+"""BPE tokenizer training over the corpus — the missing link between the
+curation operators and an actual training run: pipelines that size corpora
+in "tokens" need a tokenizer TRAINED ON the corpus, and at 100 TB that
+means the standard hybrid shape every production tokenizer trainer uses
+(Sennrich et al. 2016; HF tokenizers' own train-from-iterator does the
+same reduction):
+
+  1. DISTRIBUTED word histogram — one tokenize+explode+groupBy pass over
+     the corpus (map-side combine absorbs Zipf repetition; "the" costs one
+     row). The histogram is vocabulary-sized, not corpus-sized: tens of
+     millions of rows from 10^12 docs, cappable with ``min_count``.
+  2. LOCAL merge training on the collected histogram — BPE merges are
+     inherently sequential (merge k+1 depends on k), so looping them as
+     Spark jobs would be 32k barriers for a 32k vocab; on the weighted
+     histogram the exact same statistics fit one machine.
+  3. DISTRIBUTED encode — merges are applied to the DISTINCT words (a
+     vocabulary-sized pandas-UDF pass, the one Python hop), then the
+     corpus joins token counts back by word: the 10^12-doc side is touched
+     only by tokenize/explode/join/sum Catalyst ops.
+
+Determinism: pair ties break lexicographically, so the merge list is a
+pure function of the histogram (and therefore of the corpus).
+
+Complements ``textstats.bpe_ish_token_count`` (a regex stand-in for quick
+budgeting) with a real, corpus-fitted subword vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import tokens_of
+
+__all__ = [
+    "word_histogram",
+    "train_bpe_local",
+    "encode_words",
+    "bpe_token_counts",
+]
+
+
+def word_histogram(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(word, count) over lowercase whitespace words — the distributed half
+    of BPE training. ``min_count`` caps the tail (hapax legomena dominate
+    the DISTINCT count but barely move merge statistics; min_count=2 on a
+    web corpus typically shrinks the histogram several-fold)."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = F.filter(tokens_of(text_col), lambda t: t != "")
+    out = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("count") >= min_count)
+    return out
+
+
+def train_bpe_local(
+    histogram: list[tuple[str, int]] | DataFrame,
+    num_merges: int,
+) -> list[tuple[str, str]]:
+    """Classic weighted BPE on a word histogram: returns the ordered merge
+    list (earlier = higher priority). Accepts the ``word_histogram`` frame
+    (collected here — by contract it is vocabulary-sized) or a plain list.
+
+    Ties on pair frequency break lexicographically, so the result is a
+    deterministic function of the histogram. Stops early when no pair
+    repeats (every word fully merged)."""
+    if num_merges < 0:
+        raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    if isinstance(histogram, DataFrame):
+        histogram = [(r["word"], r["count"]) for r in histogram.collect()]
+    words: dict[tuple[str, ...], int] = {}
+    for w, c in histogram:
+        if w:
+            key = tuple(w)
+            words[key] = words.get(key, 0) + int(c)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        # highest count; ties break on the lexicographically smallest pair
+        pair, freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < 2:
+            break  # nothing repeats: further merges are arbitrary
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_words: dict[tuple[str, ...], int] = {}
+        for sym, c in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + c
+        words = new_words
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges by rank order to one word (the HF/GPT-2 bpe() loop)."""
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def encode_words(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Adds ``tokens: array<string>`` and ``n_tokens: long`` per word via a
+    pandas UDF. Run it on the DISTINCT-words frame only (vocabulary-sized —
+    the documented contract); the corpus then joins results back by word,
+    so the one Python hop never touches a corpus-sized frame."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    # explicit-call form: the module's `from __future__ import annotations`
+    # stringifies type hints, which pandas_udf's hint inference rejects
+    def _enc(col):
+        return col.map(lambda w: _encode_word(w, ranks) if w else [])
+
+    enc = pandas_udf(_enc, "array<string>")
+
+    out = words.withColumn("tokens", enc(F.col(word_col)))
+    return out.withColumn("n_tokens", F.size("tokens").cast("long"))
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adds ``bpe_token_count`` per document under the trained merges.
+
+    Scale shape: explode words (narrow) → per-doc word multiplicities
+    (map-side combine) → join the DISTINCT-word encode table (vocabulary-
+    sized; AQE free to broadcast it) → weighted sum per doc. The corpus is
+    never encoded row-by-row — only the vocabulary is."""
+    d = df.select(F.col(id_col).alias("_bpe_id"),
+                  F.explode(F.filter(tokens_of(text_col),
+                                     lambda t: t != "")).alias("word"))
+    mult = d.groupBy("_bpe_id", "word").agg(F.count("*").alias("m"))
+    vocab = encode_words(mult.select("word").distinct(), merges)
+    per_doc = (
+        mult.join(vocab.select("word", "n_tokens"), "word")
+        .groupBy("_bpe_id")
+        .agg(F.sum(F.col("m") * F.col("n_tokens")).alias("bpe_token_count"))
+    )
+    return df.join(
+        per_doc.withColumnRenamed("_bpe_id", id_col), id_col, "left"
+    ).withColumn(
+        "bpe_token_count", F.coalesce(F.col("bpe_token_count"), F.lit(0))
+    )

@@ -1,0 +1,91 @@
+"""Distributed BPE (operators/bpe.py): histogram → local merges → encode."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.bpe import (
+    bpe_token_counts,
+    encode_words,
+    train_bpe_local,
+    word_histogram,
+)
+
+DOCS = [
+    ("d1", "low low low low low lower lower newest newest"),
+    ("d2", "newest newest newest newest widest widest widest"),
+    ("d3", ""),
+]
+
+
+def test_word_histogram(spark):
+    df = spark.createDataFrame(DOCS, ["url", "text"])
+    h = {r["word"]: r["count"] for r in word_histogram(df).collect()}
+    assert h == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    h2 = {r["word"]: r["count"]
+          for r in word_histogram(df, min_count=3).collect()}
+    assert h2 == {"low": 5, "newest": 6, "widest": 3}
+
+
+def test_train_bpe_matches_hand_computation():
+    # Sennrich et al.'s worked example shape: first merge must be the
+    # weighted-most-frequent adjacent pair
+    hist = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe_local(hist, 4)
+    # pair counts: ('l','o')=7, ('o','w')=7, ('e','s')=9, ('s','t')=9,
+    # ('w','e')=8(lower+newest? l-o-w-e-r:2 + n-e-w-e-s-t:6)... 'es'
+    # and 'st' tie at 9 -> lexicographic tiebreak picks ('e','s')
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")  # after es merge, (es,t) = 9
+    assert len(merges) == 4
+
+
+def test_merges_deterministic():
+    hist = [("abab", 3), ("baba", 3), ("abba", 2)]
+    a = train_bpe_local(hist, 5)
+    b = train_bpe_local(list(reversed(hist)), 5)
+    assert a == b  # input order never matters
+
+
+def test_train_stops_when_nothing_repeats():
+    merges = train_bpe_local([("ab", 1), ("cd", 1)], 10)
+    assert merges == []  # every pair occurs once: no merge is justified
+
+
+def test_encode_words_applies_ranks(spark):
+    hist = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe_local(hist, 6)
+    words = spark.createDataFrame([(w,) for w, _ in hist], ["word"])
+    enc = {r["word"]: (r["tokens"], r["n_tokens"])
+           for r in encode_words(words, merges).collect()}
+    for w, (toks, n) in enc.items():
+        assert "".join(toks) == w  # lossless segmentation
+        assert n == len(toks) and 1 <= n <= len(w)
+    # a word unseen in training still encodes (to chars at worst)
+    unseen = encode_words(
+        spark.createDataFrame([("zzz",)], ["word"]), merges).collect()[0]
+    assert "".join(unseen["tokens"]) == "zzz"
+
+
+def test_bpe_token_counts_weighted_join(spark):
+    df = spark.createDataFrame(DOCS, ["url", "text"])
+    merges = train_bpe_local(word_histogram(df), 8)
+    out = {r["url"]: r["bpe_token_count"]
+           for r in bpe_token_counts(df, merges).collect()}
+    # python replay over the same merges
+    from redactifai_spark.operators.bpe import _encode_word
+    ranks = {p: i for i, p in enumerate(merges)}
+    for url, text in DOCS:
+        expect = sum(len(_encode_word(w, ranks)) for w in text.split())
+        assert out[url] == expect, url
+    assert out["d3"] == 0
+    # merges compress: token count strictly below char count for real docs
+    chars = sum(len(w) for w in DOCS[0][1].split())
+    assert 0 < out["d1"] < chars
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(DOCS, ["url", "text"])
+    with pytest.raises(ValueError):
+        word_histogram(df, min_count=0)
+    with pytest.raises(ValueError):
+        train_bpe_local([("ab", 1)], -1)
