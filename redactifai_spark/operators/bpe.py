@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .textstats import tokens_of
+from .textstats import nonempty_tokens_of
 
 __all__ = [
     "word_histogram",
@@ -48,9 +48,8 @@ def word_histogram(
     web corpus typically shrinks the histogram several-fold)."""
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    toks = F.filter(tokens_of(text_col), lambda t: t != "")
     out = (
-        df.select(F.explode(toks).alias("word"))
+        df.select(F.explode(nonempty_tokens_of(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("count"))
     )
@@ -74,17 +73,41 @@ def train_bpe_local(
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
     if isinstance(histogram, DataFrame):
         histogram = [(r["word"], r["count"]) for r in histogram.collect()]
-    words: dict[tuple[str, ...], int] = {}
+    # incremental statistics (the subword-nmt/HF-trainer shape): pair
+    # counts and a pair -> word-ids index are built ONCE; each merge then
+    # touches only the words that actually contain the merged pair. A
+    # naive full-rescan loop is O(num_merges x total_symbols) — days of
+    # driver CPU at a 10^7-word histogram x 32k merges; this is
+    # O(total_symbols + num_merges x affected_symbols).
+    agg: dict[str, int] = {}
     for w, c in histogram:
         if w:
-            key = tuple(w)
-            words[key] = words.get(key, 0) + int(c)
+            agg[w] = agg.get(w, 0) + int(c)
+    syms: list[list[str]] = []      # word id -> current symbol list
+    counts: list[int] = []          # word id -> histogram count
+    pairs: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for w, c in agg.items():
+        wid = len(syms)
+        syms.append(list(w))
+        counts.append(c)
+        for p in zip(w, w[1:]):
+            pairs[p] = pairs.get(p, 0) + c
+            index.setdefault(p, set()).add(wid)
+
+    def _bump(p: tuple[str, str], wid: int, delta: int) -> None:
+        v = pairs.get(p, 0) + delta
+        if v <= 0:
+            # global count gone: no word contains p anymore, so dropping
+            # the (possibly stale-ref-holding) index entry is safe
+            pairs.pop(p, None)
+            index.pop(p, None)
+        else:
+            pairs[p] = v
+            index.setdefault(p, set()).add(wid)
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for sym, c in words.items():
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + c
         if not pairs:
             break
         # highest count; ties break on the lexicographically smallest pair
@@ -93,20 +116,27 @@ def train_bpe_local(
             break  # nothing repeats: further merges are arbitrary
         merges.append(pair)
         merged = pair[0] + pair[1]
-        new_words: dict[tuple[str, ...], int] = {}
-        for sym, c in words.items():
+        for wid in sorted(index.get(pair, ())):
+            sym, c = syms[wid], counts[wid]
+            # retract this word's old pair contributions, re-add the new
+            # ones — only affected words pay anything
+            for p in zip(sym, sym[1:]):
+                _bump(p, wid, -c)
             out: list[str] = []
             i = 0
             while i < len(sym):
-                if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+                if (i + 1 < len(sym) and sym[i] == pair[0]
+                        and sym[i + 1] == pair[1]):
                     out.append(merged)
                     i += 2
                 else:
                     out.append(sym[i])
                     i += 1
-            key = tuple(out)
-            new_words[key] = new_words.get(key, 0) + c
-        words = new_words
+            syms[wid] = out
+            for p in zip(out, out[1:]):
+                _bump(p, wid, c)
+        pairs.pop(pair, None)
+        index.pop(pair, None)
     return merges
 
 
@@ -133,16 +163,11 @@ def encode_words(
     pandas UDF. Run it on the DISTINCT-words frame only (vocabulary-sized —
     the documented contract); the corpus then joins results back by word,
     so the one Python hop never touches a corpus-sized frame."""
-    from pyspark.sql.functions import pandas_udf
-
     ranks = {p: i for i, p in enumerate(merges)}
 
-    # explicit-call form: the module's `from __future__ import annotations`
-    # stringifies type hints, which pandas_udf's hint inference rejects
-    def _enc(col):
+    @F.pandas_udf("array<string>")
+    def enc(col):
         return col.map(lambda w: _encode_word(w, ranks) if w else [])
-
-    enc = pandas_udf(_enc, "array<string>")
 
     out = words.withColumn("tokens", enc(F.col(word_col)))
     return out.withColumn("n_tokens", F.size("tokens").cast("long"))
@@ -161,8 +186,7 @@ def bpe_token_counts(
     sized; AQE free to broadcast it) → weighted sum per doc. The corpus is
     never encoded row-by-row — only the vocabulary is."""
     d = df.select(F.col(id_col).alias("_bpe_id"),
-                  F.explode(F.filter(tokens_of(text_col),
-                                     lambda t: t != "")).alias("word"))
+                  F.explode(nonempty_tokens_of(text_col)).alias("word"))
     mult = d.groupBy("_bpe_id", "word").agg(F.count("*").alias("m"))
     vocab = encode_words(mult.select("word").distinct(), merges)
     per_doc = (
@@ -170,8 +194,13 @@ def bpe_token_counts(
         .groupBy("_bpe_id")
         .agg(F.sum(F.col("m") * F.col("n_tokens")).alias("bpe_token_count"))
     )
-    return df.join(
-        per_doc.withColumnRenamed("_bpe_id", id_col), id_col, "left"
-    ).withColumn(
-        "bpe_token_count", F.coalesce(F.col("bpe_token_count"), F.lit(0))
+    # select df's own columns explicitly (importance.py's join-back
+    # pattern): re-running on a frame that already carries bpe_token_count
+    # must replace the column, not raise AMBIGUOUS_REFERENCE
+    base_cols = [c for c in df.columns if c != "bpe_token_count"]
+    out = df.join(per_doc, df[id_col] == per_doc["_bpe_id"], "left")
+    return out.select(
+        *[df[c] for c in base_cols],
+        F.coalesce(per_doc["bpe_token_count"], F.lit(0))
+        .alias("bpe_token_count"),
     )

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .textstats import tokens_of
+from .textstats import nonempty_tokens_of
 
 
 def _buckets(text_col: str, n_buckets: int):
@@ -37,7 +37,7 @@ def _buckets(text_col: str, n_buckets: int):
     codebase's canonical tokenizer so train/score bucketing can never
     diverge from the other token-based stats)."""
     return F.transform(
-        F.filter(tokens_of(text_col), lambda t: t != ""),
+        nonempty_tokens_of(text_col),
         lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets)),
     )
 

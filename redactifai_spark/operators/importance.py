@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .textstats import tokens_of
+from .textstats import nonempty_tokens_of
 
 __all__ = [
     "hashed_ngram_multiplicities",
@@ -57,7 +57,7 @@ def _ngram_buckets(text_col: str, n_buckets: int, include_bigrams: bool) -> Colu
     space, exactly as DSIR does. Uses the codebase's canonical tokenizer
     (``textstats.tokens_of``) so bucketing can never diverge from the other
     token-based operators."""
-    toks = F.filter(tokens_of(text_col), lambda t: t != "")
+    toks = nonempty_tokens_of(text_col)
     if include_bigrams:
         idx = F.when(
             F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)

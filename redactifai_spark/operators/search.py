@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .textstats import tokens_of
+from .textstats import nonempty_tokens_of
 
 __all__ = ["build_bm25_index", "bm25_topk", "bm25_topk_many"]
 
@@ -63,7 +63,7 @@ def build_bm25_index(
     d = df.select(F.col(id_col).alias("id"),
                   F.col(text_col).alias("_bm_text"))
     d = d.withColumn(
-        "_toks", F.filter(tokens_of("_bm_text"), lambda t: t != ""))
+        "_toks", nonempty_tokens_of("_bm_text"))
     # size(NULL array) is NULL under ANSI: a NULL-text doc must still carry
     # dl=0 so n_docs and avgdl stay computed over the SAME document set
     d = d.withColumn(
@@ -85,7 +85,7 @@ def _query_terms(spark, query: str) -> list[str]:
     local job) — exact parity with what build_bm25_index stored."""
     row = (
         spark.createDataFrame([(query,)], ["q"])
-        .select(F.filter(tokens_of("q"), lambda t: t != "").alias("t"))
+        .select(nonempty_tokens_of("q").alias("t"))
         .first()
     )
     return sorted(set(row["t"]))
@@ -193,7 +193,7 @@ def bm25_topk_many(
     qtoks = queries.select(
         F.col(qid_col).alias("qid"),
         F.array_distinct(
-            F.filter(tokens_of(text_col), lambda t: t != "")).alias("_t"),
+            nonempty_tokens_of(text_col)).alias("_t"),
     )
     bad = qtoks.groupBy("qid").agg(
         F.count("*").alias("_nq"),

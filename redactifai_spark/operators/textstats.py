@@ -31,6 +31,13 @@ def tokens_of(text: Column | str) -> Column:
     return F.split(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "), " ")
 
 
+def nonempty_tokens_of(text: Column | str) -> Column:
+    """``tokens_of`` minus the [''] a blank/whitespace-only doc produces —
+    THE canonical token stream for every token-keyed operator (classifier,
+    importance, search, bpe). One definition so they can never diverge."""
+    return F.filter(tokens_of(text), lambda t: t != "")
+
+
 def token_count(text: Column | str) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     return F.size(F.regexp_extract_all(col, F.lit(_TOKEN_PATTERN), 0)).cast("long")

@@ -89,3 +89,19 @@ def test_validation(spark):
         word_histogram(df, min_count=0)
     with pytest.raises(ValueError):
         train_bpe_local([("ab", 1)], -1)
+
+
+def test_trainer_scales_incrementally():
+    # the pair->words index makes each merge touch only affected words: a
+    # 20k-word histogram x 300 merges must finish in seconds, not minutes
+    import random
+    import time
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnop"
+    hist = [("".join(rng.choices(alphabet, k=rng.randint(3, 12))),
+             rng.randint(1, 50)) for _ in range(20_000)]
+    t0 = time.monotonic()
+    merges = train_bpe_local(hist, 300)
+    assert len(merges) == 300
+    assert time.monotonic() - t0 < 30  # generous CI bound; locally ~1-2s
