@@ -560,9 +560,10 @@ def _events_hourly_windows(spark, sf_dir):
     )
 
 
-def _docs_pair_jaccard(spark, sf_dir):
-    # token-set Jaccard similarity on deterministic doc pairs — the exact-verify
-    # kernel of the near-dup pipeline, SQL-oracled
+def _pair_jaccard_leg(spark, sf_dir):
+    # token-set Jaccard on deterministic doc pairs — the exact-verify kernel
+    # of the near-dup pipeline; since round 6 a method leg of
+    # docs_neardup_pairs (registry-cap sibling merge, schema aligned)
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
@@ -573,10 +574,29 @@ def _docs_pair_jaccard(spark, sf_dir):
         a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
         .filter(F.col("a.doc_id") < 100)
         .select(
+            F.lit("jaccard").alias("method"),
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.round(inter / union, 6).alias("jaccard"),
+            F.round(inter / union, 6).alias("score"),
         )
+    )
+
+
+def _docs_bm25_topk(spark, sf_dir):
+    # BM25 retrieval (operators/search.py) over the documents table with a
+    # fixed in-vocabulary query. k exceeds the corpus so there is NO cut
+    # boundary — the compared set is every hit doc, making the comparison
+    # immune to last-ulp rank flips; scores are rounded to 6 decimals BY
+    # CONTRACT on both engines (the SemDeDup keep_rank precedent — the
+    # <= 3-term float sum's order variance is absorbed by the rounding).
+    from redactifai_spark.operators.search import bm25_topk, build_bm25_index
+
+    docs = _t(spark, sf_dir, "documents")
+    postings, stats = build_bm25_index(docs, "doc_id", "text")
+    return bm25_topk(postings, stats, "hash merge batch", k=100000).select(
+        F.col("id").alias("doc_id"),
+        F.round("score", 6).alias("score_r"),
+        "n_terms_hit",
     )
 
 
@@ -637,7 +657,10 @@ def _docs_neardup_pairs(spark, sf_dir):
         F.lit("simhash").alias("method"), "id_a", "id_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return mh.unionByName(sh)
+    # third leg since round 6: exact token-set Jaccard on deterministic
+    # pairs (formerly its own docs_pair_jaccard row; slot freed for
+    # docs_bm25_topk)
+    return mh.unionByName(sh).unionByName(_pair_jaccard_leg(spark, sf_dir))
 
 
 def _docs_lang_detect(spark, sf_dir):
@@ -1382,7 +1405,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "docs_top_bigrams": _docs_top_bigrams,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "events_hourly_windows": _events_hourly_windows,
-        "docs_pair_jaccard": _docs_pair_jaccard,
+        "docs_bm25_topk": _docs_bm25_topk,
         "customer_fuzzy_match": _customer_fuzzy_match,
         "docs_quality_scores": _docs_quality_scores,
         "docs_fingerprint_stats": _docs_fingerprint_stats,
@@ -1504,7 +1527,23 @@ def _neardup_pairs_oracle_sql() -> str:
         "SELECT 'simhash' AS method, id_a, id_b, "
         "CAST(hamming AS DOUBLE) AS score FROM ("
         + _simhash_neardups_oracle_sql()
+        + ") UNION ALL "
+        "SELECT 'jaccard' AS method, id_a, id_b, jaccard AS score FROM ("
+        + _pair_jaccard_oracle_sql()
         + ")"
+    )
+
+
+def _pair_jaccard_oracle_sql() -> str:
+    """Exact token-set Jaccard on deterministic adjacent-id pairs — the
+    third docs_neardup_pairs leg (formerly its own registry row)."""
+    return (
+        "WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks "
+        "FROM documents) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
+        "/ len(list_distinct(list_cat(a.toks, b.toks))), 6) AS jaccard "
+        "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 100"
     )
 
 
@@ -2268,13 +2307,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
             "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2"
         ),
-        "docs_pair_jaccard": (
-            "WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks "
-            "FROM documents) "
-            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-            "ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
-            "/ len(list_distinct(list_cat(a.toks, b.toks))), 6) AS jaccard "
-            "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 100"
+        # full SQL replay of the BM25 chain (tokenizer parity: DuckDB
+        # regexp_replace needs the 'g' flag to match Spark's replace-all);
+        # no top-k cut (k > corpus) and 6-decimal score rounding on both
+        # engines make the comparison rank- and ulp-insensitive
+        "docs_bm25_topk": (
+            "WITH d AS (SELECT doc_id, list_filter(string_split("
+            "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), "
+            "t -> t != '') AS toks FROM documents), "
+            "l AS (SELECT doc_id, len(toks) AS dl, toks FROM d), "
+            "st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM l), "
+            "tf AS (SELECT doc_id, g AS term, COUNT(*) AS tf "
+            "FROM (SELECT doc_id, unnest(toks) AS g FROM l) "
+            "WHERE g IN ('hash', 'merge', 'batch') GROUP BY doc_id, g), "
+            "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+            "sc AS (SELECT tf.doc_id, "
+            "SUM(ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.tf "
+            "* 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / st.avgdl))) AS score, "
+            "COUNT(*) AS n_terms_hit "
+            "FROM tf JOIN dfreq USING (term) JOIN l ON tf.doc_id = l.doc_id, st "
+            "GROUP BY tf.doc_id) "
+            "SELECT doc_id, ROUND(score, 6) AS score_r, n_terms_hit FROM sc"
         ),
         "customer_fuzzy_match": (
             "WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk "
