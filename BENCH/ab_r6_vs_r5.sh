@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-7 verdict ask #1: controlled A/B of the round-6 HEAD (85ff7a9) vs the
+# round-5 close commit (74b1e34) on the SCALING job — same pre-materialized
+# input (/tmp/rfai_scaling_input_600000), strictly alternating runs in one
+# session so both legs see the same machine weather. bench.py is byte-identical
+# between the two commits (verified: `diff <(git show 74b1e34:bench.py)
+# <(git show 85ff7a9:bench.py)` is empty), so any efficiency delta is package
+# code, not harness drift.
+#
+# Usage: bash BENCH/ab_r6_vs_r5.sh <n_pairs>
+# Appends one tagged JSON line per run to BENCH/ab_r6_vs_r5.jsonl.
+# NOTE: each worktree's own bench.py also appends to ITS OWN
+# BENCH/scaling_runs.jsonl (inside /tmp/wt_r5 and /tmp/wt_r6) — the main
+# repo ledger is untouched by design.
+set -u
+PAIRS=${1:-3}
+OUT=/root/repo/BENCH/ab_r6_vs_r5.jsonl
+for i in $(seq 1 "$PAIRS"); do
+  for tag in r5 r6; do
+    wt=/tmp/wt_${tag}
+    ts=$(date -u +%Y-%m-%dT%H:%M:%SZ)
+    line=$(cd "$wt" && python bench.py --scaling 2>/dev/null | tail -1)
+    if [ -n "$line" ]; then
+      echo "{\"ab_tag\": \"$tag\", \"pair\": $i, \"ts\": \"$ts\", \"run\": $line}" >> "$OUT"
+    else
+      echo "{\"ab_tag\": \"$tag\", \"pair\": $i, \"ts\": \"$ts\", \"run\": null}" >> "$OUT"
+    fi
+  done
+done

@@ -61,18 +61,44 @@ def word_histogram(
 def train_bpe_local(
     histogram: list[tuple[str, int]] | DataFrame,
     num_merges: int,
+    max_words: int = 5_000_000,
 ) -> list[tuple[str, str]]:
     """Classic weighted BPE on a word histogram: returns the ordered merge
     list (earlier = higher priority). Accepts the ``word_histogram`` frame
     (collected here — by contract it is vocabulary-sized) or a plain list.
+
+    ``max_words`` ENFORCES that contract: the frame is counted before
+    collection and the trainer raises loudly above the cap instead of
+    pulling an unbounded histogram into driver memory — ``min_count=1``
+    on a 10^12-doc corpus is tens of millions of distinct words. Raise
+    ``min_count`` (the intended fix) or, with measured driver headroom,
+    ``max_words``. A plain list was already driver-resident, so only its
+    length is checked (same loud error, no extra job).
 
     Ties on pair frequency break lexicographically, so the result is a
     deterministic function of the histogram. Stops early when no pair
     repeats (every word fully merged)."""
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    if max_words < 1:
+        raise ValueError(f"max_words must be >= 1, got {max_words}")
     if isinstance(histogram, DataFrame):
-        histogram = [(r["word"], r["count"]) for r in histogram.collect()]
+        # collect THROUGH a limit(cap+1): one job, driver memory bounded by
+        # the cap either way — cap+1 rows coming back is the loud overflow
+        # signal (a separate count() would re-run the whole corpus groupBy)
+        rows = histogram.limit(max_words + 1).collect()
+        if len(rows) > max_words:
+            raise ValueError(
+                f"word histogram exceeds max_words={max_words}: collecting "
+                "it would put an unbounded corpus-scale table into driver "
+                "memory. Raise min_count in word_histogram (hapax words "
+                "barely move merge statistics) or pass a larger max_words "
+                "explicitly if the driver truly has the headroom.")
+        histogram = [(r["word"], r["count"]) for r in rows]
+    elif len(histogram) > max_words:
+        raise ValueError(
+            f"word histogram has {len(histogram)} entries > max_words="
+            f"{max_words}: raise min_count or max_words.")
     # incremental statistics (the subword-nmt/HF-trainer shape): pair
     # counts and a pair -> word-ids index are built ONCE; each merge then
     # touches only the words that actually contain the merged pair. A

@@ -112,7 +112,13 @@ def score_with_classifier(
     scores = (
         toks.join(w, "bucket", "left")
         .groupBy("_qc_id")
-        .agg(F.avg(F.coalesce(F.col("weight"), F.lit(0.0))).alias(out_col))
+        .agg(F.avg(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_qc_score"))
     )
-    return df.join(
-        scores, df[id_col] == scores["_qc_id"], "left").drop("_qc_id")
+    # join-back contract (same as importance/bpe): if df already carries
+    # out_col (re-scoring with refreshed weights), REPLACE it — select df's
+    # columns explicitly minus out_col so the result is never ambiguous
+    joined = df.join(scores, df[id_col] == scores["_qc_id"], "left")
+    return joined.select(
+        *[df[c] for c in df.columns if c != out_col],
+        scores["_qc_score"].alias(out_col),
+    )

@@ -261,13 +261,18 @@ def importance_weights(
             .alias("iw_micro_sum"),
         )
     )
-    out = df.join(
-        scored.withColumnRenamed("_iw_id", id_col), id_col, "left")
+    # join-back contract: REPLACE the three output columns if df already
+    # carries them (re-scoring with a refreshed target), never duplicate —
+    # passthrough excludes them and every ref is frame-qualified so a
+    # re-run on this function's own output cannot hit AMBIGUOUS_REFERENCE
+    out_cols = ("n_ngrams", "iw_micro_sum", "importance_weight")
+    scored = scored.withColumnRenamed("_iw_id", id_col)
+    out = df.join(scored, id_col, "left")
     return out.select(
-        *df.columns,
-        F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
-        F.coalesce(F.col("iw_micro_sum"), F.lit(0)).alias("iw_micro_sum"),
-        (F.coalesce(F.col("iw_micro_sum"), F.lit(0)) / F.lit(float(_MICRO))
+        *[df[c] for c in df.columns if c not in out_cols],
+        F.coalesce(scored["n_ngrams"], F.lit(0)).alias("n_ngrams"),
+        F.coalesce(scored["iw_micro_sum"], F.lit(0)).alias("iw_micro_sum"),
+        (F.coalesce(scored["iw_micro_sum"], F.lit(0)) / F.lit(float(_MICRO))
          ).alias("importance_weight"),
     )
 

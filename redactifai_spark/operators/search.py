@@ -175,37 +175,43 @@ def bm25_topk_many(
 
     Queries are tokenized by the index's own Catalyst tokenizer (same
     parity rule as the single-query path). Each qid must appear exactly
-    once and carry at least one term — validated up front (tiny frame,
-    cheap action) so a termless or duplicated qid raises like the
-    single-query path instead of silently vanishing or merging. The query
-    set is small by construction (it is human- or eval-authored), so the
-    (term, qid) pairs broadcast to the postings; df_t is computed once per
-    distinct term. The only window runs over the SCORED frame — hit rows,
-    never the corpus — partitioned by qid with deterministic
-    (score desc, id) order."""
+    once and carry at least one term — a termless or duplicated qid raises
+    like the single-query path instead of silently vanishing or merging.
+    The query set is small by construction (it is human- or eval-authored)
+    and was always destined for a broadcast, so it is tokenized and
+    collected in ONE tiny job; validation happens driver-side on the
+    collected rows for free and the (term, qid) pairs ship back as a
+    local frame — the scoring job neither re-tokenizes the queries nor
+    pays a separate validation action. df_t is computed once per distinct
+    term. The only window runs over the SCORED frame — hit rows, never
+    the corpus — partitioned by qid with deterministic (score desc, id)
+    order."""
     if k <= 0:
         raise ValueError(f"bm25_topk_many: k must be positive, got {k}")
-    # the query set is tiny by construction, so validation actions are
-    # cheap — and the single-query path raises on a termless query, so
-    # this path must too rather than silently dropping qids; likewise a
-    # qid appearing with TWO different texts would otherwise merge into a
-    # union query nobody issued
-    qtoks = queries.select(
+    qtok_rows = queries.select(
         F.col(qid_col).alias("qid"),
         F.array_distinct(
             nonempty_tokens_of(text_col)).alias("_t"),
-    )
-    bad = qtoks.groupBy("qid").agg(
-        F.count("*").alias("_nq"),
-        F.max(F.coalesce(F.size("_t"), F.lit(0))).alias("_maxterms"),
-    ).filter((F.col("_nq") > 1) | (F.col("_maxterms") == 0)).limit(5)
-    bad_rows = bad.collect()
-    if bad_rows:
+    ).collect()
+    seen: set = set()
+    bad = []
+    for r in qtok_rows:
+        if r["qid"] in seen or not r["_t"]:
+            bad.append(r["qid"])
+        seen.add(r["qid"])
+    if bad:
         raise ValueError(
             "bm25_topk_many: invalid queries for qids "
-            f"{[r['qid'] for r in bad_rows]} — each qid must appear exactly "
-            "once and have at least one term")
-    qterms = qtoks.select("qid", F.explode("_t").alias("term"))
+            f"{sorted(set(bad), key=str)[:5]} — each qid must appear "
+            "exactly once and have at least one term")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    qid_field = queries.select(
+        F.col(qid_col).alias("qid")).schema.fields[0]
+    qterms = queries.sparkSession.createDataFrame(
+        [(r["qid"], t) for r in qtok_rows for t in r["_t"]],
+        StructType([qid_field, StructField("term", StringType(), False)]),
+    )
     # inner join postings to the broadcast (term, qid) pairs: only hit
     # rows survive; a term's df is qid-independent, so count each doc once
     # per term (count_distinct folds the qid fan-out in ONE aggregation)

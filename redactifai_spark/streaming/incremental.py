@@ -20,6 +20,68 @@ from ..kernels.oracle import PipelineConfig
 from ..operators.pipeline import run_pipeline
 from ..operators.schemas import PAGES_SCHEMA
 
+# max seconds to wait for the async listener bus to deliver a finished
+# query's termination event (it arrives within milliseconds in practice;
+# the bound only exists so a wedged bus fails loudly instead of hanging)
+_LISTENER_DRAIN_SEC = 60.0
+
+
+def _metric_sums_listener_cls():
+    """Build the listener class lazily: the import lives in
+    pyspark.sql.streaming.listener, which classic sessions have but is
+    kept out of module import time for safety."""
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        """Sums named observedMetrics per query id across ALL progress
+        events (no retention cap, unlike ``recentProgress``). Events for
+        other queries in the session accumulate separately and are never
+        mixed in. Thread-safety: callbacks arrive on one listener-bus
+        thread; readers only look after the termination event."""
+
+        def __init__(self, metric_name: str, fields: tuple):
+            self._name = metric_name
+            self._fields = fields
+            self._sums: dict = {}
+            self._terminated: set = set()
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            got = (p.observedMetrics or {}).get(self._name)
+            if got is not None:
+                s = self._sums.setdefault(
+                    str(p.id), {f: 0 for f in self._fields})
+                for f in self._fields:
+                    s[f] += got[f]
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            self._terminated.add(str(event.id))
+
+        def wait_terminated(self, qid: str, timeout: float) -> bool:
+            import time as _t
+            deadline = _t.monotonic() + timeout
+            while _t.monotonic() < deadline:
+                if qid in self._terminated:
+                    return True
+                _t.sleep(0.05)
+            return qid in self._terminated
+
+        def totals_for(self, qid: str) -> dict:
+            return dict(self._sums.get(
+                qid, {f: 0 for f in self._fields}))
+
+    return _Listener
+
+
+def _ObservedMetricSums(metric_name: str, fields: tuple):
+    return _metric_sums_listener_cls()(metric_name, fields)
+
 
 def incremental_redact(
     spark: SparkSession,
@@ -167,24 +229,43 @@ def incremental_redact_warc(
     Returns ``{"n_rows": ..., "n_parse_errors": ...}`` summed over this
     invocation's batches (from the reader's named observe) — damaged
     archives are REPORTED, never silently shrunk; this is the unattended
-    path, where silence matters most."""
+    path, where silence matters most.
+
+    The sums are accumulated by a :class:`StreamingQueryListener`, NOT
+    read from ``query.recentProgress``: that buffer retains only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` entries (~100, and
+    empirically fewer under availableNow), so a big drop processed with a
+    small ``max_files_per_trigger`` would silently undercount. The
+    listener sees every progress event exactly once; events are delivered
+    asynchronously, so the function drains until the listener observes
+    the query's termination event (which Spark emits after all progress
+    events) and FAILS LOUDLY on a drain timeout rather than return
+    possibly-partial sums."""
     from ..sources.warc import read_warc_stream
 
     pages = read_warc_stream(
         spark, archive_dir, max_files_per_trigger=max_files_per_trigger)
     out = run_pipeline(pages, config, fused=fused)
-    query = (
-        out.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    totals = {"n_rows": 0, "n_parse_errors": 0}
-    for progress in query.recentProgress:
-        got = (progress.observedMetrics or {}).get("warc_ingest")
-        if got is not None:
-            totals["n_rows"] += got["n_rows"]
-            totals["n_parse_errors"] += got["n_parse_errors"]
-    return totals
+    listener = _ObservedMetricSums("warc_ingest",
+                                   ("n_rows", "n_parse_errors"))
+    spark.streams.addListener(listener)
+    try:
+        query = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        qid = str(query.id)
+        if not listener.wait_terminated(qid, timeout=_LISTENER_DRAIN_SEC):
+            raise RuntimeError(
+                "incremental_redact_warc: the streaming listener did not "
+                f"observe query {qid}'s termination event within "
+                f"{_LISTENER_DRAIN_SEC}s — the metric sums may be partial, "
+                "so none are returned. The parquet output itself is "
+                "complete; re-run with an empty drop to re-read metrics.")
+        return listener.totals_for(qid)
+    finally:
+        spark.streams.removeListener(listener)

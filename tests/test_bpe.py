@@ -105,3 +105,21 @@ def test_trainer_scales_incrementally():
     merges = train_bpe_local(hist, 300)
     assert len(merges) == 300
     assert time.monotonic() - t0 < 30  # generous CI bound; locally ~1-2s
+
+
+def test_histogram_guard_fails_loudly_over_cap(spark):
+    # the "vocabulary-sized by contract" collect is now ENFORCED: a
+    # histogram wider than max_words raises before pulling the corpus
+    # into driver memory, pointing at min_count
+    df = spark.createDataFrame(DOCS, ["url", "text"])
+    hist = word_histogram(df, "text")
+    with pytest.raises(ValueError, match="max_words"):
+        train_bpe_local(hist, num_merges=4, max_words=2)
+    # plain lists get the same guard without any Spark job
+    with pytest.raises(ValueError, match="max_words"):
+        train_bpe_local([("ab", 3), ("cd", 2), ("ef", 1)], 4, max_words=2)
+    # below the cap the trainer is unchanged
+    merges = train_bpe_local(hist, num_merges=4)
+    assert merges == train_bpe_local(hist, num_merges=4, max_words=10)
+    with pytest.raises(ValueError, match="max_words"):
+        train_bpe_local(hist, num_merges=1, max_words=0)

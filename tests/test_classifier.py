@@ -107,3 +107,24 @@ def test_empty_class_fails_loudly(spark):
         w = train_quality_classifier(pos, neg, "text", n_buckets=1 << 8)
         with pytest.raises(Exception, match="zero tokens"):
             w.collect()
+
+
+def test_rescoring_own_output_replaces_column(spark):
+    # join-back contract: re-scoring a frame that already carries out_col
+    # (refreshed weights) must REPLACE it, never leave two identically
+    # named columns behind
+    rng = random.Random(7)
+    pos = spark.createDataFrame(
+        [(t,) for t in _docs(rng, GOOD, 6, 12)], ["text"])
+    neg = spark.createDataFrame(
+        [(t,) for t in _docs(rng, SPAM, 6, 12)], ["text"])
+    w = train_quality_classifier(pos, neg, "text", n_buckets=1 << 12)
+    df = spark.createDataFrame(
+        [("u1", " ".join(GOOD[:6])), ("u2", " ".join(SPAM[:6]))],
+        ["url", "text"])
+    once = score_with_classifier(df, w, "url", "text", n_buckets=1 << 12)
+    twice = score_with_classifier(once, w, "url", "text", n_buckets=1 << 12)
+    assert twice.columns == once.columns
+    a = {r["url"]: r["classifier_score"] for r in once.collect()}
+    b = {r["url"]: r["classifier_score"] for r in twice.collect()}
+    assert a == b

@@ -240,3 +240,15 @@ def test_auto_sparse_refuses_external_raw_counts(spark):
         raw_counts=ngram_bucket_counts(df, "text", 1 << 30),
         n_buckets=1 << 30, dense_ratios=False)
     assert out.count() == 4
+
+
+def test_rescoring_own_output_replaces_columns(spark):
+    # join-back contract: re-running importance_weights on its own output
+    # (e.g. with a refreshed target) must REPLACE the three output columns,
+    # not raise AMBIGUOUS_REFERENCE or duplicate them
+    once = importance_weights(_docs(spark), target=_target(spark))
+    twice = importance_weights(once, target=_target(spark))
+    assert twice.columns == once.columns
+    a = {r["url"]: r["importance_weight"] for r in once.collect()}
+    b = {r["url"]: r["importance_weight"] for r in twice.collect()}
+    assert a == b

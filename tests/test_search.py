@@ -190,3 +190,31 @@ def test_topk_many_rejects_bad_query_sets(spark):
         [(1, "quick"), (1, "lazy dog")], ["qid", "text"])
     with pytest.raises(ValueError, match="exactly"):
         bm25_topk_many(postings, stats, dup_q, k=3)
+
+
+def test_topk_many_scoring_plan_has_no_query_tokenization(spark):
+    # round-7 fold: queries are tokenized + validated in ONE tiny collect,
+    # and the (qid, term) pairs ship back as a LOCAL frame — the scoring
+    # job must not re-run the query tokenizer (the old plan carried an
+    # array_distinct(tokenize(queries.text)) subtree plus a separate
+    # validation action)
+    postings, stats = _index(spark)
+    queries = spark.createDataFrame([(1, "quick fox")], ["qid", "text"])
+    from redactifai_spark.operators.search import bm25_topk_many
+
+    out = bm25_topk_many(postings, stats, queries, k=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_distinct" not in plan
+    # and the fold preserved results end-to-end
+    assert {r["id"] for r in out.collect()} == {"d1", "d2", "d3"}
+
+
+def test_topk_many_preserves_qid_type(spark):
+    # string qids must survive the driver-side rebuild of the pair frame
+    postings, stats = _index(spark)
+    queries = spark.createDataFrame(
+        [("qa", "quick"), ("qb", "hound")], ["qid", "text"])
+    from redactifai_spark.operators.search import bm25_topk_many
+
+    rows = bm25_topk_many(postings, stats, queries, k=2).collect()
+    assert {r["qid"] for r in rows} == {"qa", "qb"}

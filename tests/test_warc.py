@@ -319,3 +319,26 @@ def test_streaming_reports_parse_errors(spark, tmp_path):
     assert totals["n_parse_errors"] == 1
     assert totals["n_rows"] == 5  # 4 pages + 1 error row observed pre-filter
     assert spark.read.parquet(out).count() == 4
+
+
+def test_streaming_metric_sums_complete_across_many_batches(spark, tmp_path):
+    # recentProgress retains only ~numRecentProgressUpdates entries
+    # (empirically it kept 1 of 3 availableNow batches in this sandbox),
+    # so summing it undercounts multi-batch drops. The listener-based
+    # accumulator must see EVERY batch: 3 archives forced into 3 separate
+    # micro-batches must sum to all 6 rows.
+    from redactifai_spark.streaming.incremental import incremental_redact_warc
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i in range(3):
+        _write(drop, f"c{i}.warc.gz", _records(2))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    totals = incremental_redact_warc(spark, str(drop), out, ck,
+                                     max_files_per_trigger=1)
+    assert totals == {"n_rows": 6, "n_parse_errors": 0}
+    assert spark.read.parquet(out).count() == 6
+    # re-invoking on an already-consumed drop returns zeros, not stale sums
+    totals2 = incremental_redact_warc(spark, str(drop), out, ck,
+                                      max_files_per_trigger=1)
+    assert totals2 == {"n_rows": 0, "n_parse_errors": 0}
