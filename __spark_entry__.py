@@ -104,17 +104,26 @@ def _events_type_counts(spark, sf_dir):
 
 
 def _events_recent_page(spark, sf_dir):
-    # O1 + O4: category set-membership filter (absorbs the former
-    # events_type_isin query), then order-by + offset/limit pagination
-    # (api/main.py:252-258 analog)
-    return (
+    # O1 + O4 + O3 in one gate row (r7 registry-cap merge, the established
+    # grp-tag union pattern): category set-membership filter (absorbs the
+    # former events_type_isin query), then order-by + offset/limit
+    # pagination (api/main.py:252-258 analog), unioned with the former
+    # events_first_event row (first-match-only per key,
+    # entity_matcher.py:364-370 analog)
+    recent = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "view", "purchase"))
         .orderBy(F.desc("ts"), F.asc("event_id"))
         .select("event_id", "user_id", "event_type")
         .offset(100)
         .limit(100)
-    )
+    ).select(F.lit("recent_page").alias("grp"),
+             "user_id", "event_id", "event_type")
+    first = _events_first_event(spark, sf_dir).select(
+        F.lit("first_event").alias("grp"), "user_id",
+        F.col("first_event_id").alias("event_id"),
+        F.col("first_event_type").alias("event_type"))
+    return recent.unionByName(first)
 
 
 def _events_error_by_user(spark, sf_dir):
@@ -617,7 +626,9 @@ def _customer_fuzzy_match(spark, sf_dir):
 
 
 def _docs_fingerprint_stats(spark, sf_dir):
-    # document fingerprinting: distinct normalized-content count via xxhash64
+    # document fingerprinting: distinct normalized-content count via
+    # xxhash64 — since r7 a grp-tagged leg of docs_winnow_fingerprints
+    # (registry-cap merge)
     from redactifai_spark.operators.textstats import fingerprint
 
     return (
@@ -693,17 +704,117 @@ def _docs_winnow_fingerprints(spark, sf_dir):
     # MOSS-style winnowing (k-gram rolling-hash fingerprint selection): the
     # oracle recomputes the k-gram hex hashes, per-window minima, and the
     # deduped set in SQL (hashes are md5-hex substrings — engine-portable).
+    # Since r7 also carries the former docs_fingerprint_stats row as a
+    # grp-tagged leg (registry-cap merge): corpus-level distinct normalized
+    # fingerprint counts.
     from redactifai_spark.operators.textstats import with_winnowing_fingerprints
 
     fps = with_winnowing_fingerprints(
         _t(spark, sf_dir, "documents"), "text", k=8, w=16
     )
-    return fps.select(
+    winnow = fps.select(
+        F.lit("winnow").alias("grp"),
         "doc_id",
-        F.size("fps").cast("long").alias("n_fps"),
-        F.array_min("fps").alias("min_fp"),
-        F.array_max("fps").alias("max_fp"),
+        F.size("fps").cast("long").alias("n_a"),
+        F.lit(None).cast("long").alias("n_b"),
+        F.array_min("fps").alias("fp_lo"),
+        F.array_max("fps").alias("fp_hi"),
     )
+    stats = _docs_fingerprint_stats(spark, sf_dir).select(
+        F.lit("fp_stats").alias("grp"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("n_docs").cast("long").alias("n_a"),
+        F.col("n_unique").cast("long").alias("n_b"),
+        F.lit(None).cast("string").alias("fp_lo"),
+        F.lit(None).cast("string").alias("fp_hi"),
+    )
+    return winnow.unionByName(stats)
+
+
+# the 12-token run appended to every third doc so duplicated >= K-token
+# windows exist by construction in the substring-dedup gate fixture
+_SS_SHARED = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lam mu")
+_SS_K = 8
+
+
+def _docs_substring_dedup(spark, sf_dir):
+    # cross-document exact substring dedup (operators/substring.py,
+    # drop_duplicate_substrings — the Lee et al. 2022 window-hash shape):
+    # every third doc gets a shared 12-token tail so duplicated
+    # >= 8-token windows exist by construction (plus whatever windows the
+    # corpus duplicates naturally); winner = lexicographic (min doc_id,
+    # min pos), every covered non-winner token is cut, order preserved,
+    # payload (lang) carried. The oracle replays the ENTIRE chain in SQL
+    # on window STRINGS instead of xxhash64 chain fingerprints — equality
+    # holds because the 64-bit window-hash chain is collision-free on the
+    # rehearsal corpora (the decontaminate/importance-row argument), so
+    # hash-keyed winners == string-keyed winners.
+    from redactifai_spark.operators.substring import drop_duplicate_substrings
+
+    fix = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat_ws(" ", "text", F.lit(_SS_SHARED)))
+        .otherwise(F.col("text")).alias("page_text"),
+    )
+    out = drop_duplicate_substrings(fix, "doc_id", "page_text",
+                                    min_tokens=_SS_K)
+    return out.select(
+        "doc_id", "lang", F.col("page_text").alias("deduped_text"),
+        "n_tokens_kept", "n_tokens_dropped",
+    )
+
+
+# classifier-gate bucket space: 2^40 makes xxhash64-bucket <-> token-string
+# a bijection on the rehearsal corpora (verified: distinct tokens ==
+# distinct buckets at sf0.001 and sf0.01 — the docs_importance_weights
+# argument), so the DuckDB twin can replay the NB formula on token strings
+_CL_B = 1 << 40
+
+
+def _docs_classifier_scores(spark, sf_dir):
+    # Catalyst Naive-Bayes quality classifier (operators/classifier.py):
+    # train closed-form add-one log-odds on a deterministic split of the
+    # corpus (even doc_id = positive, odd = negative), score every doc as
+    # mean per-token log-odds. Scores rounded to 6dp on both engines (the
+    # established ROUND(x, 6) float twin pattern).
+    from redactifai_spark.operators.classifier import (
+        score_with_classifier, train_quality_classifier)
+
+    docs = _t(spark, sf_dir, "documents")
+    w = train_quality_classifier(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text", n_buckets=_CL_B)
+    scored = score_with_classifier(docs, w, "doc_id", "text",
+                                   n_buckets=_CL_B)
+    return scored.select(
+        "doc_id", F.round("classifier_score", 6).alias("score_r"))
+
+
+# fixed merge list for the BPE gate row: every component is either a char
+# or the output of an EARLIER merge, outputs are distinct, and no earlier
+# pair references a later output — under these (trained-list) conditions
+# the HF rank-greedy encode loop equals a sentinel-char replace chain in
+# merge order, which is what the DuckDB twin replays (verified bit-exact
+# at both rehearsal SFs before wiring)
+_BPE_MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+               ("i", "n"), ("in", "g")]
+
+
+def _docs_bpe_token_counts(spark, sf_dir):
+    # distributed BPE encode (operators/bpe.py bpe_token_counts): per-doc
+    # token counts under a FIXED merge list — the corpus side is explode/
+    # groupBy/join Catalyst only; Python touches just the distinct-word
+    # vocabulary. The oracle replays the encode as chained non-overlapping
+    # string replaces with sentinel chars (equivalent to the rank-greedy
+    # merge loop for this list) and sums lengths per doc.
+    from redactifai_spark.operators.bpe import bpe_token_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_token_counts(docs, _BPE_MERGES,
+                            id_col="doc_id", text_col="text")
 
 
 def _docs_chunked_detect(spark, sf_dir):
@@ -1120,7 +1231,8 @@ def _docs_match_regions(spark, sf_dir):
     out = df.withColumn(
         "_regions", match(F.array_join("_words", " "), tokens, ents)
     )
-    return out.select("doc_id", F.explode("_regions").alias("r")).select(
+    regions = out.select("doc_id", F.explode("_regions").alias("r")).select(
+        F.lit("match").alias("grp"),
         "doc_id",
         F.col("r.block").cast("long").alias("block"),
         F.col("r.start").alias("region_start"),
@@ -1128,6 +1240,19 @@ def _docs_match_regions(spark, sf_dir):
         F.col("r.category").alias("category"),
         F.col("r.confidence").alias("confidence"),
     )
+    # since r7 also carries the former customer_fuzzy_match row (J3
+    # edit-distance theta-join) as a grp-tagged leg — registry-cap merge;
+    # the block key rides in `category`, the pair count in `region_start`
+    fuzzy = _customer_fuzzy_match(spark, sf_dir).select(
+        F.lit("fuzzy_pairs").alias("grp"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("block"),
+        F.col("n_pairs").cast("long").alias("region_start"),
+        F.lit(None).cast("long").alias("region_end"),
+        F.col("blk").alias("category"),
+        F.lit(None).cast("double").alias("confidence"),
+    )
+    return regions.unionByName(fuzzy)
 
 
 # the gazetteer fixture sentence: every span offset below is arithmetic in
@@ -1373,12 +1498,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # docs_minhash_neardups + docs_simhash_neardups -> docs_neardup_pairs,
 # embeddings_lsh_topk + embeddings_ivf_topk -> embeddings_ann_topk,
 # customer_region_counts + orders_revenue_by_region -> region_rollup.
+# Round 7 freed three more for docs_substring_dedup +
+# docs_classifier_scores + docs_bpe_token_counts (the r6-verdict asks):
+# docs_fingerprint_stats -> docs_winnow_fingerprints ('fp_stats' leg),
+# customer_fuzzy_match -> docs_match_regions ('fuzzy_pairs' leg),
+# events_first_event -> events_recent_page ('first_event' leg).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "training_corpus_funnel": _training_corpus,
         "events_type_counts": _events_type_counts,
         "events_recent_page": _events_recent_page,
         "events_error_by_user": _events_error_by_user,
-        "events_first_event": _events_first_event,
+        "docs_substring_dedup": _docs_substring_dedup,
         "events_top_users": _events_top_users,
         "events_cube": _events_cube,
         "salted_host_counts": _salted_host_counts,
@@ -1406,9 +1536,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "events_hourly_windows": _events_hourly_windows,
         "docs_bm25_topk": _docs_bm25_topk,
-        "customer_fuzzy_match": _customer_fuzzy_match,
+        "docs_classifier_scores": _docs_classifier_scores,
         "docs_quality_scores": _docs_quality_scores,
-        "docs_fingerprint_stats": _docs_fingerprint_stats,
+        "docs_bpe_token_counts": _docs_bpe_token_counts,
         "docs_neardup_pairs": _docs_neardup_pairs,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "docs_lang_detect": _docs_lang_detect,
@@ -1832,8 +1962,14 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_detect": _langid_oracle_sql(),
         "docs_neardup_pairs": _neardup_pairs_oracle_sql(),
         # winnowing twin: k=8, w=16; same normalization, same hex-substring
-        # hash, per-window list_min, dedupe — engine-portable by construction
+        # hash, per-window list_min, dedupe — engine-portable by
+        # construction. Since r7 unioned with the former
+        # docs_fingerprint_stats twin as a grp-tagged leg (registry-cap
+        # merge; UNION ALL of the old SQLs, like dim_table_rollup)
         "docs_winnow_fingerprints": (
+            "SELECT 'winnow' AS grp, doc_id, n_fps AS n_a, "
+            "CAST(NULL AS BIGINT) AS n_b, min_fp AS fp_lo, max_fp AS fp_hi "
+            "FROM ("
             "WITH t AS (SELECT doc_id, "
             "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm "
             "FROM documents), "
@@ -1848,7 +1984,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, "
             "CASE WHEN len(fps) > 0 THEN fps[1] ELSE NULL END AS min_fp, "
             "CASE WHEN len(fps) > 0 THEN fps[len(fps)] ELSE NULL END AS max_fp "
-            "FROM s"
+            "FROM s) "
+            "UNION ALL "
+            "SELECT 'fp_stats', CAST(NULL AS BIGINT), "
+            "CAST(COUNT(*) AS BIGINT), "
+            "CAST(COUNT(DISTINCT regexp_replace(trim(lower(text)), "
+            "'\\s+', ' ', 'g')) AS BIGINT), NULL, NULL FROM documents"
         ),
         # D5 twin: the construction is deterministic, so every injected email's
         # whole-doc offset is pure arithmetic over length(text):
@@ -1866,7 +2007,12 @@ def oracle_sql() -> dict[str, str]:
             # arithmetic replay of the matcher fixture (see _docs_match_regions):
             # kept entities e in {2,3,4} (conf >= 0.65), word index
             # a=(doc_id*7+e*11)%39, n=1+e%2 words, regions split per 10-word
-            # block, padding 3 clamped to [0, 359]
+            # block, padding 3 clamped to [0, 359]. Since r7 unioned with
+            # the former customer_fuzzy_match twin as a grp-tagged leg
+            # (registry-cap merge; blk rides in category, n_pairs in
+            # region_start)
+            "SELECT 'match' AS grp, doc_id, block, region_start, "
+            "region_end, category, confidence FROM ("
             "WITH ents AS ("
             "  SELECT d.doc_id, e.e,"
             "         (d.doc_id * 7 + e.e * 11) % 39 AS a,"
@@ -1887,7 +2033,17 @@ def oracle_sql() -> dict[str, str]:
             "       CAST(LEAST(359, LEAST(a + n - 1, b0 * 10 + 9) * 9 + 11)"
             "         AS BIGINT) AS region_end,"
             "       category, confidence "
-            "FROM blocks"
+            "FROM blocks) "
+            "UNION ALL "
+            "SELECT 'fuzzy_pairs', CAST(NULL AS BIGINT), "
+            "CAST(NULL AS BIGINT), CAST(n_pairs AS BIGINT), "
+            "CAST(NULL AS BIGINT), blk, CAST(NULL AS DOUBLE) FROM ("
+            "WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk "
+            "FROM customer) "
+            "SELECT a.blk AS blk, COUNT(*) AS n_pairs "
+            "FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1 "
+            "GROUP BY a.blk)"
         ),
         "docs_gazetteer_hits": (
             # fixed sentence spans shifted by the pad p = doc_id%7+1
@@ -1948,20 +2104,23 @@ def oracle_sql() -> dict[str, str]:
         "events_type_counts": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
         ),
+        # since r7 unioned with the former events_first_event twin as a
+        # grp-tagged leg (registry-cap merge)
         "events_recent_page": (
-            "SELECT event_id, user_id, event_type FROM events "
+            "SELECT 'recent_page' AS grp, user_id, event_id, event_type "
+            "FROM (SELECT event_id, user_id, event_type FROM events "
             "WHERE event_type IN ('click', 'view', 'purchase') "
-            "ORDER BY ts DESC, event_id ASC LIMIT 100 OFFSET 100"
+            "ORDER BY ts DESC, event_id ASC LIMIT 100 OFFSET 100) "
+            "UNION ALL "
+            "SELECT 'first_event', user_id, first_event_id, first_event_type "
+            "FROM (SELECT user_id, event_id AS first_event_id, "
+            "event_type AS first_event_type, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events) t WHERE rn = 1"
         ),
         "events_error_by_user": (
             "SELECT user_id, COUNT(*) AS n_errors FROM events "
             "WHERE event_type = 'error' GROUP BY user_id"
-        ),
-        "events_first_event": (
-            "SELECT user_id, first_event_id, first_event_type FROM ("
-            "  SELECT user_id, event_id AS first_event_id, event_type AS first_event_type, "
-            "         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
-            "  FROM events) t WHERE rn = 1"
         ),
         "events_top_users": (
             "SELECT user_id, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value "
@@ -2329,13 +2488,100 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY tf.doc_id) "
             "SELECT doc_id, ROUND(score, 6) AS score_r, n_terms_hit FROM sc"
         ),
-        "customer_fuzzy_match": (
-            "WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk "
-            "FROM customer) "
-            "SELECT a.blk AS blk, COUNT(*) AS n_pairs "
-            "FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey "
-            "WHERE levenshtein(a.c_name, b.c_name) <= 1 "
-            "GROUP BY a.blk"
+        # full replay of the window-hash substring-dedup chain on window
+        # STRINGS (the xxhash64 chain is collision-free on the rehearsal
+        # corpora, so hash winners == string winners): windows -> ranked
+        # occurrences -> non-winner removals -> RANGE-window coverage ->
+        # ordered reassembly, untouched docs passed through verbatim
+        "docs_substring_dedup": (
+            "WITH base AS ("
+            f"  SELECT doc_id, lang, CASE WHEN doc_id % 3 = 0 THEN "
+            f"concat_ws(' ', text, '{_SS_SHARED}') ELSE text END AS t "
+            "  FROM documents), "
+            "toks AS (SELECT doc_id, str_split(t, ' ') AS tk FROM base), "
+            "occ AS (SELECT doc_id, "
+            f"  unnest(range(0, greatest(len(tk) - {_SS_K} + 1, 0))) AS pos, "
+            f"  unnest(list_transform(range(0, greatest(len(tk) - {_SS_K} + 1, 0)), "
+            f"    j -> array_to_string(tk[j+1:j+{_SS_K}], ' '))) AS w "
+            "  FROM toks), "
+            "ranked AS (SELECT doc_id, pos, "
+            "  row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn, "
+            "  count(*) OVER (PARTITION BY w) AS cnt FROM occ), "
+            "removals AS (SELECT doc_id, pos FROM ranked "
+            "  WHERE cnt >= 2 AND rn > 1), "
+            "tokrows AS (SELECT doc_id, unnest(range(0, len(tk))) AS j, "
+            "  unnest(tk) AS tok FROM toks), "
+            "marked AS (SELECT tr.doc_id, tr.j, tr.tok, "
+            "  sum(CASE WHEN r.pos IS NULL THEN 0 ELSE 1 END) "
+            "    OVER (PARTITION BY tr.doc_id ORDER BY tr.j "
+            f"    RANGE BETWEEN {_SS_K - 1} PRECEDING AND CURRENT ROW) > 0 AS cov "
+            "  FROM tokrows tr LEFT JOIN removals r "
+            "    ON tr.doc_id = r.doc_id AND tr.j = r.pos), "
+            "rebuilt AS (SELECT doc_id, "
+            "  coalesce(string_agg(tok, ' ' ORDER BY j) "
+            "    FILTER (WHERE NOT cov), '') AS nt, "
+            "  count(*) FILTER (WHERE NOT cov) AS kept, "
+            "  count(*) FILTER (WHERE cov) AS dropped "
+            "  FROM marked GROUP BY doc_id), "
+            "affected AS (SELECT DISTINCT doc_id FROM removals) "
+            "SELECT b.doc_id, b.lang, "
+            "CASE WHEN a.doc_id IS NOT NULL THEN r.nt ELSE b.t END "
+            "  AS deduped_text, "
+            "CAST(CASE WHEN a.doc_id IS NOT NULL THEN r.kept "
+            "  ELSE len(str_split(b.t, ' ')) END AS BIGINT) AS n_tokens_kept, "
+            "CAST(CASE WHEN a.doc_id IS NOT NULL THEN r.dropped ELSE 0 END "
+            "  AS BIGINT) AS n_tokens_dropped "
+            "FROM base b "
+            "LEFT JOIN affected a ON b.doc_id = a.doc_id "
+            "LEFT JOIN rebuilt r ON b.doc_id = r.doc_id"
+        ),
+        # NB classifier twin on token STRINGS (bucket space 2^40 is
+        # token-injective on the rehearsal corpora — the importance-row
+        # argument), replaying the closed-form add-one log-odds and the
+        # per-doc mean; ROUND(x, 6) on both engines
+        "docs_classifier_scores": (
+            "WITH toks AS (SELECT doc_id, "
+            "  list_filter(str_split(regexp_replace(trim(lower(text)), "
+            "    '\\s+', ' ', 'g'), ' '), x -> x <> '') AS tk "
+            "  FROM documents), "
+            "tokrows AS (SELECT doc_id, unnest(tk) AS tok FROM toks), "
+            "pc AS (SELECT tok, count(*) AS c FROM tokrows "
+            "  WHERE doc_id % 2 = 0 GROUP BY tok), "
+            "nc AS (SELECT tok, count(*) AS c FROM tokrows "
+            "  WHERE doc_id % 2 = 1 GROUP BY tok), "
+            "tot AS (SELECT (SELECT sum(c) FROM pc) AS pt, "
+            "  (SELECT sum(c) FROM nc) AS nt), "
+            "wt AS (SELECT coalesce(pc.tok, nc.tok) AS tok, "
+            f"  ln((coalesce(pc.c, 0) + 1.0) / (tot.pt + 1.0 * {float(_CL_B)})) "
+            f"- ln((coalesce(nc.c, 0) + 1.0) / (tot.nt + 1.0 * {float(_CL_B)})) "
+            "    AS weight "
+            "  FROM pc FULL JOIN nc ON pc.tok = nc.tok, tot), "
+            "scored AS (SELECT t.doc_id, avg(coalesce(w.weight, 0.0)) AS s "
+            "  FROM tokrows t LEFT JOIN wt w ON t.tok = w.tok "
+            "  GROUP BY t.doc_id) "
+            "SELECT d.doc_id, ROUND(s.s, 6) AS score_r "
+            "FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"
+        ),
+        # BPE encode twin: the rank-greedy merge loop on this fixed list
+        # equals chained non-overlapping string replaces with sentinel
+        # chars (U+2460..), so n_tokens per word = final string length
+        "docs_bpe_token_counts": (
+            "WITH toks AS (SELECT doc_id, "
+            "  list_filter(str_split(regexp_replace(trim(lower(text)), "
+            "    '\\s+', ' ', 'g'), ' '), x -> x <> '') AS tk "
+            "  FROM documents), "
+            "tokrows AS (SELECT doc_id, unnest(tk) AS tok FROM toks), "
+            "enc AS (SELECT doc_id, length("
+            "  replace(replace(replace(replace(replace(replace(tok, "
+            "    'th', chr(9312)), chr(9312) || 'e', chr(9313)), "
+            "    'an', chr(9314)), chr(9314) || 'd', chr(9315)), "
+            "    'in', chr(9316)), chr(9316) || 'g', chr(9317))) AS n "
+            "  FROM tokrows) "
+            "SELECT d.doc_id, d.text, "
+            "CAST(coalesce(e.s, 0) AS BIGINT) AS bpe_token_count "
+            "FROM documents d LEFT JOIN "
+            "(SELECT doc_id, sum(n) AS s FROM enc GROUP BY doc_id) e "
+            "ON d.doc_id = e.doc_id"
         ),
         "docs_quality_scores": (
             "WITH qs AS (SELECT doc_id, "
@@ -2358,11 +2604,6 @@ def oracle_sql() -> dict[str, str]:
             "+ GREATEST(0.0, 0.2 - CASE WHEN n_chars > 0 THEN "
             "CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 2.0, 6) "
             "AS quality_score FROM qs"
-        ),
-        "docs_fingerprint_stats": (
-            "SELECT COUNT(*) AS n_docs, "
-            "COUNT(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_unique "
-            "FROM documents"
         ),
         # every queries() entry has a DuckDB oracle
     }
