@@ -371,6 +371,80 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--funnel-webgraph" in sys.argv:
+        # The composed web-graph leg (r6-verdict ask #4): pages ->
+        # extract_links -> host_edges -> pagerank -> rank prior gating the
+        # funnel. Pages are the documents table wrapped as crawl pages with
+        # one injected deterministic cross-host link each (the stock chrome
+        # links are root-relative = intra-host and carry no endorsement).
+        # Reports the rank job and the gated funnel separately, and asserts
+        # the rank join broadcast at this bounded (~1k) host cardinality.
+        import tempfile
+
+        from redactifai_spark.operators.caching import unpersist_tracked
+        from redactifai_spark.operators.corpus import prepare_training_corpus
+        from redactifai_spark.operators.pagerank import host_rank_priors
+        from redactifai_spark.operators.partitioning import repartition_by_url
+        from redactifai_spark.sources.pages import wrap_documents_as_pages
+
+        spark = get_spark(app_name="bench-funnel-webgraph",
+                          master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+        pages = repartition_by_url(
+            wrap_documents_as_pages(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet")),
+            CPUS * 2)
+        outlink = F.concat(
+            F.lit('<a href="https://site-'),
+            F.pmod(F.xxhash64("url"), F.lit(997)).cast("string"),
+            F.lit('.example.com/out">related</a>'))
+        pages = pages.withColumn(
+            "html", F.concat("html", F.encode(outlink, "UTF-8")))
+        n_pages = pages.count()
+        _run_redaction(spark, 2000, CPUS, fused=True)  # worker-pool warmup
+        tmp = tempfile.gettempdir()
+        t0 = time.monotonic()
+        ranks_path = os.path.join(tmp, f"rfai_webgraph_ranks_{os.getpid()}")
+        host_rank_priors(pages).write.mode("overwrite").parquet(ranks_path)
+        ranks = spark.read.parquet(ranks_path)
+        rank_wall = time.monotonic() - t0
+        n_hosts = ranks.count()
+        # plan assert on a checkpoint-FREE build (lazy, nothing runs): with
+        # checkpoint_path the rank join executes inside the gated-table
+        # write and the returned corpus plan no longer contains it
+        probe, _ = prepare_training_corpus(
+            pages, PipelineConfig(), quality_min=0.2, langs=("en", "und"),
+            near_dup_threshold=0.85, n_hashes=64, n_bands=32,
+            host_ranks=ranks, host_rank_min=1e-7,
+            broadcast_host_ranks=True, assume_unique_ids=True,
+        )
+        probe_plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin [_hr_h" in probe_plan, \
+            "rank join must broadcast at host cardinality"
+        unpersist_tracked()
+        ckpt = os.path.join(tmp, f"rfai_funnel_webgraph_{os.getpid()}")
+        t1 = time.monotonic()
+        corpus, stats = prepare_training_corpus(
+            pages, PipelineConfig(), quality_min=0.2, langs=("en", "und"),
+            near_dup_threshold=0.85, n_hashes=64, n_bands=32,
+            checkpoint_path=ckpt, host_ranks=ranks,
+            host_rank_min=1e-7, broadcast_host_ranks=True,
+        )
+        stage_rows = stats.collect()[0].asDict()
+        funnel_wall = time.monotonic() - t1
+        unpersist_tracked()
+        print(json.dumps({
+            "metric": "funnel_webgraph_wall_sec",
+            "value": round(rank_wall + funnel_wall, 3), "unit": "sec",
+            "rank_wall_sec": round(rank_wall, 3),
+            "funnel_wall_sec": round(funnel_wall, 3),
+            "n_docs": n_pages, "n_hosts": n_hosts,
+            "docs_per_sec": round(n_pages / (rank_wall + funnel_wall), 1),
+            "stages": stage_rows, "rank_join_broadcast": True,
+            "sf": sf, "cores": CPUS,
+        }))
+        spark.stop()
+        return
+
     if "--scaling" in sys.argv:
         # local[N] alone does NOT confine the JVM's GC/Arrow/shuffle threads to
         # N cores — on one box that inflates the small config. taskset pins the

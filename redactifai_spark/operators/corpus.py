@@ -48,6 +48,9 @@ def prepare_training_corpus(
     classifier_weights: DataFrame | None = None,
     classifier_score_min: float | None = None,
     classifier_n_buckets: int = 1 << 20,
+    host_ranks: DataFrame | None = None,
+    host_rank_min: float | None = None,
+    broadcast_host_ranks: bool = False,
     assume_unique_ids: bool = False,
     cluster_checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -108,6 +111,23 @@ def prepare_training_corpus(
     Token-less docs have no evidence (NULL score) and are gated out.
     Costs one uniform-key join + regroup on url; off by default.
 
+    ``host_ranks`` + ``host_rank_min``: the WEB-GRAPH quality prior
+    (pagerank.host_rank_priors, or any (host, rank) frame): docs whose
+    host's PageRank falls below the threshold are dropped at ``is_gated``
+    — link-structure spam filtering before the corpus pays for near-dup
+    and packing, the same filter-before-expensive-work ordering the
+    reference's masking-level gate applies
+    (src/services/phi_detection_service.py:43-76). Hosts ABSENT from the
+    rank table have no link evidence and score 0.0 (gated out by any
+    positive threshold — a prior, not a benefit of the doubt). The join
+    key is ``partitioning.url_host(url)``, the same host the rank table
+    was aggregated by. ``broadcast_host_ranks``: the rank table is
+    host-cardinality (~4 orders under the page table) but a FULL crawl's
+    10^8 hosts is gigabytes — the boilerplate-strip lesson says never
+    force-broadcast an unbounded-by-construction set, so the default
+    leaves the strategy to AQE and the flag opts in when the host universe
+    is known-bounded (plan-tested both ways).
+
     ``assume_unique_ids``: the boilerplate strip and LM gate treat ``url``
     as a unique document id (per-doc regroup / score join) — duplicate urls
     (recrawls; raw Common-Crawl routinely has them) would silently merge
@@ -130,6 +150,10 @@ def prepare_training_corpus(
         raise ValueError(
             "prepare_training_corpus: classifier_score_min requires "
             "classifier_weights (train_quality_classifier output)")
+    if host_ranks is None and host_rank_min is not None:
+        raise ValueError(
+            "prepare_training_corpus: host_rank_min requires host_ranks "
+            "(pagerank.host_rank_priors output or any (host, rank) frame)")
     if (strip_boilerplate or dedup_paragraphs or lm_score_min is not None
             or dedup_substrings_min_tokens is not None
             or classifier_score_min is not None) \
@@ -245,6 +269,26 @@ def prepare_training_corpus(
             n_buckets=classifier_n_buckets)
         gate = gate & F.coalesce(
             F.col("classifier_score") >= classifier_score_min, F.lit(False))
+    if host_rank_min is not None:
+        # page_host, not partitioning.url_host: the rank table's keys are
+        # lowercased + junk-tolerant (links._page_host) and the join key
+        # must fold identically or case variants silently rank 0
+        from .links import page_host
+
+        rk = host_ranks.select(
+            F.col("host").alias("_hr_host"),
+            F.col("rank").alias("host_rank"))
+        if broadcast_host_ranks:
+            rk = F.broadcast(rk)
+        scored = (
+            scored.withColumn("_hr_h", page_host(F.col("url")))
+            .join(rk, F.col("_hr_h") == F.col("_hr_host"), "left")
+            .drop("_hr_host", "_hr_h")
+            # absent host = no link evidence = 0.0 (see docstring)
+            .withColumn("host_rank",
+                        F.coalesce(F.col("host_rank"), F.lit(0.0)))
+        )
+        gate = gate & (F.col("host_rank") >= host_rank_min)
     flagged = scored.withColumns(
         {
             "is_complete": F.col("status") == "complete",

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["extract_links", "host_link_stats"]
+__all__ = ["extract_links", "host_link_stats", "page_host"]
 
 # href="..." / href='...' / href=unquoted inside an <a ...> tag
 _HREF_RE = r"""(?is)<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))"""
@@ -35,6 +35,12 @@ def _page_host(url: Column) -> Column:
     # lowercases them — graph/stats keys must match or case variants split
     # rank mass and break joins against canonicalized urls
     return F.lower(F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit("")))
+
+
+# public alias: THE host key for anything joining against link-graph
+# aggregates (host_edges, pagerank ranks) — same case fold, same
+# junk-url tolerance, or the join keys silently drift
+page_host = _page_host
 
 
 def _page_scheme(url: Column) -> Column:

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["host_edges", "pagerank"]
+__all__ = ["host_edges", "host_rank_priors", "pagerank"]
 
 
 def host_edges(links: DataFrame) -> DataFrame:
@@ -129,3 +129,31 @@ def pagerank(
         if checkpoint_dir is not None:
             restore_checkpoint_dir(sc, orig_ckpt_dir)
     return ranks
+
+
+def host_rank_priors(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    damping: float = 0.85,
+    max_iterations: int = 40,
+    tol: float = 1e-6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The composed web-graph quality prior: raw pages → outlink mining
+    (``links.extract_links``) → weighted host edges (``host_edges``) →
+    ``pagerank`` → ``(host, rank)``. The frame this returns plugs straight
+    into ``corpus.prepare_training_corpus(host_ranks=..., host_rank_min=...)``
+    — the same filter-before-expensive-work ordering the reference applies
+    with its masking-level gate (src/services/phi_detection_service.py:43-76:
+    gate cheap, THEN do the costly pass).
+
+    Scale: link mining is one pure-Catalyst pass over html; everything after
+    runs at HOST cardinality (see the module docstring) — the rank table is
+    ~4 orders smaller than the page table."""
+    from .links import extract_links
+
+    links = extract_links(pages, url_col=url_col, html_col=html_col)
+    return pagerank(
+        host_edges(links), damping=damping, max_iterations=max_iterations,
+        tol=tol, checkpoint_dir=checkpoint_dir)

@@ -87,6 +87,23 @@ def main(argv: list[str] | None = None) -> int:
                         "classifier's neutral point)")
     p.add_argument("--classifier-n-buckets", type=int, default=1 << 20,
                    help="hash bucket count — must match training")
+    p.add_argument("--host-ranks", default=None, metavar="PATH",
+                   help="parquet (host, rank) table (pagerank.host_rank_"
+                        "priors output); enables the web-graph quality "
+                        "prior gate")
+    p.add_argument("--host-rank-from-input", action="store_true",
+                   help="compute the (host, rank) table from the raw input "
+                        "pages' own link graph (extract_links -> host_edges "
+                        "-> pagerank) instead of loading --host-ranks")
+    p.add_argument("--host-rank-min", type=float, default=None,
+                   help="min host PageRank to keep a doc (requires "
+                        "--host-ranks or --host-rank-from-input); hosts "
+                        "absent from the rank table score 0.0")
+    p.add_argument("--broadcast-host-ranks", action="store_true",
+                   help="force-broadcast the rank table in the gate join — "
+                        "only when the host universe is known-bounded "
+                        "(default lets AQE choose; a full crawl's 10^8 "
+                        "hosts is gigabytes)")
     p.add_argument("--block-domains", default=None, metavar="PATH",
                    help="parquet with a 'domain' column (UT1/C4-style "
                         "registrable domains); input docs whose url host "
@@ -175,6 +192,17 @@ def main(argv: list[str] | None = None) -> int:
         # weights load but the gate silently never applies
         p.error("--classifier-weights requires --classifier-score-min "
                 "(0.0 is the classifier's neutral point)")
+    if args.host_ranks and args.host_rank_from_input:
+        p.error("--host-ranks and --host-rank-from-input are exclusive")
+    if (args.host_ranks or args.host_rank_from_input) \
+            and args.host_rank_min is None:
+        p.error("--host-ranks/--host-rank-from-input require "
+                "--host-rank-min — otherwise the ranks load but the gate "
+                "silently never applies")
+    if args.host_rank_min is not None and not (
+            args.host_ranks or args.host_rank_from_input):
+        p.error("--host-rank-min requires --host-ranks or "
+                "--host-rank-from-input")
 
     from redactifai_spark.kernels.oracle import PipelineConfig
     from redactifai_spark.operators.caching import unpersist_tracked
@@ -231,6 +259,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.repartition:
         pages = repartition_by_url(pages, args.repartition)
 
+    _host_ranks = None
+    if args.host_ranks:
+        _host_ranks = _read_target(spark, args.host_ranks)
+    elif args.host_rank_from_input:
+        # the iterative rank job runs ONCE up front at host cardinality
+        # (~4 orders under the page table) and materializes so the funnel
+        # gate joins a plain table, not a live iterative plan
+        from redactifai_spark.operators.pagerank import host_rank_priors
+
+        ranks_path = (args.checkpoint or args.output.rstrip("/")
+                      + "_redacted") + "_host_ranks"
+        host_rank_priors(pages).write.mode("overwrite").parquet(ranks_path)
+        _host_ranks = spark.read.parquet(ranks_path)
+
     corpus, stats = prepare_training_corpus(
         pages,
         PipelineConfig(),
@@ -256,6 +298,9 @@ def main(argv: list[str] | None = None) -> int:
             if args.classifier_weights else None),
         classifier_score_min=args.classifier_score_min,
         classifier_n_buckets=args.classifier_n_buckets,
+        host_ranks=_host_ranks,
+        host_rank_min=args.host_rank_min,
+        broadcast_host_ranks=args.broadcast_host_ranks,
         # --canonicalize-urls already deduped on the canonical url
         assume_unique_ids=args.assume_unique_urls or args.canonicalize_urls,
     )

@@ -351,3 +351,105 @@ def test_funnel_classifier_gate(spark):
         prepare_training_corpus(
             pages, cfg, quality_min=0.0, langs=("en", "und"),
             classifier_score_min=0.0)
+
+
+def _webgraph_pages(spark):
+    # three hosts; hub + mid endorse each other (rank mass), spamfarm
+    # links OUT to hub but nothing ever links TO it — it sits at the
+    # (1 - damping)/n base-rank floor, far below the linked hosts
+    rows = []
+    for i in range(6):
+        host = ("hub.example.com", "mid.example.com",
+                "spamfarm.example.net")[i % 3]
+        peer = {"hub.example.com": "mid.example.com",
+                "mid.example.com": "hub.example.com",
+                "spamfarm.example.net": "hub.example.com"}[host]
+        body = (f"Document {i} holds enough ordinary prose to pass the "
+                "quality gate. " * 6)
+        html = (f"<html><body><p>{body}</p>"
+                f'<a href="https://{peer}/x{i}">link</a></body></html>')
+        rows.append((f"https://{host}/p{i}", None, html.encode(), None, "en"))
+    return spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+
+
+def test_funnel_host_rank_gate(spark):
+    # the composed web-graph leg: pages -> host_rank_priors -> funnel gate;
+    # spam-host docs drop, linked-host docs survive; min without ranks
+    # fails fast; hosts absent from the rank table score 0.0
+    import pytest as _pytest
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.pagerank import host_rank_priors
+
+    pages = _webgraph_pages(spark)
+    ranks = host_rank_priors(pages)
+    by_host = {r["host"]: r["rank"] for r in ranks.collect()}
+    assert by_host["hub.example.com"] > by_host["spamfarm.example.net"]
+    cut = (by_host["spamfarm.example.net"]
+           + by_host["mid.example.com"]) / 2
+
+    corpus, stats = prepare_training_corpus(
+        pages, PipelineConfig(), quality_min=0.0, langs=("en", "und"),
+        host_ranks=ranks, host_rank_min=cut, broadcast_host_ranks=True)
+    urls = sorted(r["url"] for r in corpus.collect())
+    assert urls and all("spamfarm" not in u for u in urls)
+    assert any("hub.example.com" in u for u in urls)
+    s = stats.collect()[0]
+    assert s["n_gated"] < s["n_complete"]  # the spam host was gated
+
+    with _pytest.raises(ValueError, match="host_rank_min requires"):
+        prepare_training_corpus(
+            pages, PipelineConfig(), quality_min=0.0, host_rank_min=0.1)
+
+    # a host the rank table has never seen scores 0.0 -> gated by any
+    # positive threshold
+    unseen = spark.createDataFrame(
+        [("https://never-linked.example.org/p",
+          None, b"<html><body><p>plain prose body</p></body></html>",
+          None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    corpus2, _ = prepare_training_corpus(
+        pages.unionByName(unseen), PipelineConfig(), quality_min=0.0,
+        langs=("en", "und"), host_ranks=ranks, host_rank_min=cut)
+    assert all("never-linked" not in r["url"] for r in corpus2.collect())
+
+
+def test_funnel_host_rank_join_strategy_not_forced_broadcast(spark):
+    # the boilerplate-strip rule applied to the rank join: a full crawl's
+    # host table is ~10^8 rows (gigabytes) — the default must leave the
+    # strategy to AQE; the opt-in knob forces broadcast for bounded host
+    # universes. Plan-tested BOTH ways, results identical either way.
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.pagerank import host_rank_priors
+    from redactifai_spark.plans.inspect import formatted_plan
+
+    pages = _webgraph_pages(spark)
+    ranks = host_rank_priors(pages).collect()
+    ranks_df = spark.createDataFrame(ranks, "host string, rank double")
+
+    from redactifai_spark.operators.caching import unpersist_tracked
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        free, _ = prepare_training_corpus(
+            pages, PipelineConfig(), quality_min=0.0, langs=("en", "und"),
+            host_ranks=ranks_df, host_rank_min=1e-9)
+        assert "BroadcastHashJoin" not in formatted_plan(free)
+        free_rows = sorted(free.collect(), key=lambda r: r["url"])
+        # drop the funnel's tracked caches: cache matching canonicalizes
+        # hints away, so the forced variant would otherwise silently reuse
+        # the AQE-free run's cached (SMJ) subtree and the plan assert
+        # would test the cache, not the knob
+        unpersist_tracked()
+        forced, _ = prepare_training_corpus(
+            pages, PipelineConfig(), quality_min=0.0, langs=("en", "und"),
+            host_ranks=ranks_df, host_rank_min=1e-9,
+            broadcast_host_ranks=True)
+        assert "BroadcastHashJoin" in formatted_plan(forced)
+        forced_rows = sorted(forced.collect(), key=lambda r: r["url"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        unpersist_tracked()
+    assert free_rows == forced_rows
