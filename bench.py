@@ -445,6 +445,93 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--warc" in sys.argv:
+        # WARC ingest at bench scale (r6-verdict ask #5): >= 1 GB of
+        # synthetic multi-archive WARC through read_warc -> fused pipeline,
+        # measuring docs/s and the JVM peak heap — the evidence behind the
+        # module's "one task per archive is the correct unit" claim. The
+        # archive set is generated ONCE (parallel, one ~64 MB .warc.gz per
+        # task, bodies padded with md5-chain hex so gzip can't flatten the
+        # volume) and reused across invocations.
+        import glob
+        import tempfile
+
+        from redactifai_spark.operators.pipeline import run_pipeline as _rp
+        from redactifai_spark.sources.pages import generate_pages as _gp
+        from redactifai_spark.sources.warc import read_warc, warc_bytes
+
+        n_docs_warc = int(os.environ.get("SPARK_GRAFT_WARC_DOCS", "120000"))
+        n_archives = 24
+        warc_dir = os.path.join(tempfile.gettempdir(),
+                                f"rfai_warc_bench_{n_docs_warc}")
+        spark = get_spark(app_name="bench-warc", master=f"local[{CPUS}]",
+                          shuffle_partitions=CPUS)
+        if not os.path.exists(os.path.join(warc_dir, "_DONE")):
+            # crash-safe regeneration: filenames are pid/hash-dependent, so
+            # a rerun after an interrupted generation would otherwise mix
+            # stale partial archives with fresh ones
+            import shutil
+            shutil.rmtree(warc_dir, ignore_errors=True)
+            os.makedirs(warc_dir, exist_ok=True)
+            # 512 md5s = 16 KB of hex per doc; hex gzips ~2:1, so 120k docs
+            # land ~1.1 GB on disk across the 24 archives
+            pad = F.concat_ws("", F.transform(
+                F.sequence(F.lit(0), F.lit(511)),
+                lambda i: F.md5(F.concat(F.col("url"), i.cast("string")))))
+            pages = _gp(spark, n_docs_warc, n_partitions=n_archives) \
+                .withColumn("html", F.concat(
+                    "html", F.encode(F.concat(
+                        F.lit("<!--pad "), pad, F.lit("-->")), "UTF-8")))
+
+            def _write_archive(it):
+                import os as _os
+                recs = [{
+                    "url": r["url"],
+                    "date": r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    "html": bytes(r["html"]), "text": None, "lang": r["lang"],
+                } for r in it]
+                if recs:
+                    name = f"crawl-{_os.getpid()}-{hash(recs[0]['url']) & 0xffffffff:x}.warc.gz"
+                    with open(_os.path.join(warc_dir, name), "wb") as f:
+                        f.write(warc_bytes(recs, gzip_members=True))
+
+            pages.foreachPartition(_write_archive)
+            open(os.path.join(warc_dir, "_DONE"), "w").close()
+        total_bytes = sum(os.path.getsize(p) for p in
+                          glob.glob(os.path.join(warc_dir, "*.warc.gz")))
+        jvm = spark._jvm
+        pools = jvm.java.lang.management.ManagementFactory \
+            .getMemoryPoolMXBeans()
+        _run_redaction(spark, 2000, CPUS, fused=True)  # worker-pool warmup
+        # reset JVM heap peaks AFTER the warmup, immediately before the
+        # timed window, so the sampled peak covers ONLY the ingest run
+        for i in range(pools.size()):
+            pools.get(i).resetPeakUsage()
+        t0 = time.monotonic()
+        out = _rp(read_warc(spark, warc_dir), PipelineConfig(), fused=True)
+        row = out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("redacted_text")).alias("chars")).collect()[0]
+        wall = time.monotonic() - t0
+        peak_heap = 0
+        for i in range(pools.size()):
+            p = pools.get(i)
+            if p.getType().toString() == "Heap memory":
+                peak_heap += p.getPeakUsage().getUsed()
+        print(json.dumps({
+            "metric": "warc_ingest_docs_per_sec",
+            "value": round(row["n"] / wall, 1), "unit": "docs/sec",
+            "wall_sec": round(wall, 3), "n_docs": int(row["n"]),
+            "archive_bytes": total_bytes,
+            "archive_gb": round(total_bytes / (1 << 30), 2),
+            "n_archives": len(glob.glob(os.path.join(warc_dir, "*.warc.gz"))),
+            "mb_per_sec": round(total_bytes / (1 << 20) / wall, 1),
+            "peak_jvm_heap_mb": round(peak_heap / (1 << 20)),
+            "sf": sf, "cores": CPUS,
+        }))
+        spark.stop()
+        return
+
     if "--scaling" in sys.argv:
         # local[N] alone does NOT confine the JVM's GC/Arrow/shuffle threads to
         # N cores — on one box that inflates the small config. taskset pins the

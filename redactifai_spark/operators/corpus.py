@@ -154,6 +154,13 @@ def prepare_training_corpus(
         raise ValueError(
             "prepare_training_corpus: host_rank_min requires host_ranks "
             "(pagerank.host_rank_priors output or any (host, rank) frame)")
+    if host_ranks is not None and host_rank_min is None:
+        # the CLI-level guard, mirrored at the library boundary: ranks that
+        # load but never gate are the silent misconfiguration class
+        raise ValueError(
+            "prepare_training_corpus: host_ranks without host_rank_min — "
+            "the web-graph gate would silently never apply; pass "
+            "host_rank_min (hosts absent from the table score 0.0)")
     if (strip_boilerplate or dedup_paragraphs or lm_score_min is not None
             or dedup_substrings_min_tokens is not None
             or classifier_score_min is not None) \
@@ -275,6 +282,20 @@ def prepare_training_corpus(
         # must fold identically or case variants silently rank 0
         from .links import page_host
 
+        # duplicate host rows in a caller-supplied table would fan every
+        # doc on that host out through the left join and silently inflate
+        # the corpus — the rank-side twin of the duplicate-url probe
+        # (bounded: host-cardinality aggregation, limit(1) short-circuit)
+        dup_host = (
+            host_ranks.groupBy("host").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1).limit(1).count()
+        )
+        if dup_host:
+            raise ValueError(
+                "prepare_training_corpus: host_ranks has duplicate host "
+                "rows — the gate join would duplicate every document on "
+                "those hosts. Deduplicate the rank table first (e.g. "
+                "groupBy('host').agg(max('rank'))).")
         rk = host_ranks.select(
             F.col("host").alias("_hr_host"),
             F.col("rank").alias("host_rank"))

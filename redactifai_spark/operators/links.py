@@ -80,20 +80,22 @@ def extract_links(
     links = pages.select("url", F.explode("_raw").alias("_href")) \
         .filter(F.col("_href").isNotNull())
     href = F.col("_href")
-    # relative forms resolve against the PAGE's host; when the page url
-    # itself fails try_parse_url that host is '', and concatenating would
-    # emit malformed targets like 'https:///path' into the edge frame —
-    # gate both relative branches on a non-empty host so such hrefs are
-    # dropped like the other unresolvable forms
-    page_host = _page_host(F.col("url"))
-    has_host = page_host != F.lit("")
+    # root-relative hrefs resolve against the PAGE's host; when the page
+    # url itself fails try_parse_url that host is '', and concatenating
+    # would emit malformed targets like 'https:///path' into the edge
+    # frame — gate that branch on a non-empty host so such hrefs are
+    # dropped like the other unresolvable forms. Protocol-relative
+    # '//host/path' hrefs carry their OWN host and need only the scheme
+    # (which _page_scheme coalesces to https), so they stay resolvable
+    # even from scheme-less page urls.
+    src_host = _page_host(F.col("url"))
     resolved = (
         F.when(href.rlike(r"(?i)^https?://"), href)
-        .when(href.startswith("//") & has_host,
+        .when(href.startswith("//"),
               F.concat(_page_scheme(F.col("url")), F.lit(":"), href))
-        .when(href.startswith("/") & has_host,
+        .when(href.startswith("/") & (src_host != F.lit("")),
               F.concat(_page_scheme(F.col("url")), F.lit("://"),
-                       page_host, href))
+                       src_host, href))
     )
     return links.select(
         "url", resolved.alias("target_url"),

@@ -92,9 +92,12 @@ def main(argv: list[str] | None = None) -> int:
                         "priors output); enables the web-graph quality "
                         "prior gate")
     p.add_argument("--host-rank-from-input", action="store_true",
-                   help="compute the (host, rank) table from the raw input "
+                   help="compute the (host, rank) table from the input "
                         "pages' own link graph (extract_links -> host_edges "
-                        "-> pagerank) instead of loading --host-ranks")
+                        "-> pagerank) instead of loading --host-ranks; runs "
+                        "AFTER the blocklist/robots/canonicalize gates, so "
+                        "blocked or duplicate pages contribute no rank "
+                        "endorsement")
     p.add_argument("--host-rank-min", type=float, default=None,
                    help="min host PageRank to keep a doc (requires "
                         "--host-ranks or --host-rank-from-input); hosts "

@@ -401,6 +401,16 @@ def test_funnel_host_rank_gate(spark):
     with _pytest.raises(ValueError, match="host_rank_min requires"):
         prepare_training_corpus(
             pages, PipelineConfig(), quality_min=0.0, host_rank_min=0.1)
+    # the reverse misconfiguration is equally loud (ranks that never gate)
+    with _pytest.raises(ValueError, match="without host_rank_min"):
+        prepare_training_corpus(
+            pages, PipelineConfig(), quality_min=0.0, host_ranks=ranks)
+    # duplicate host rows would fan docs out through the gate join
+    dup_ranks = ranks.unionByName(ranks.limit(1))
+    with _pytest.raises(ValueError, match="duplicate host"):
+        prepare_training_corpus(
+            pages, PipelineConfig(), quality_min=0.0, langs=("en", "und"),
+            host_ranks=dup_ranks, host_rank_min=cut)
 
     # a host the rank table has never seen scores 0.0 -> gated by any
     # positive threshold

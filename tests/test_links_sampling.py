@@ -138,14 +138,17 @@ def test_host_case_variants_merge(spark):
 
 def test_relative_hrefs_on_unparseable_page_urls_are_dropped(spark):
     # a page whose own url fails try_parse_url has no host to resolve
-    # against: '/path' and '//host' hrefs must be dropped, never emitted
-    # as malformed 'https:///path' targets
+    # root-relative '/path' hrefs against — those must be dropped, never
+    # emitted as malformed 'https:///path' targets. Protocol-relative
+    # '//host/path' carries its OWN host and only needs a scheme (https
+    # fallback), so it still resolves.
     pages = spark.createDataFrame(
         [("not a url at all",
           '<a href="/rel">x</a> <a href="//cdn.example.com/l.js">y</a> '
           '<a href="https://abs.example.com/ok">z</a>')],
         ["url", "html"])
-    got = [r["target_url"]
-           for r in extract_links(pages, "url", "html").collect()]
-    assert got == ["https://abs.example.com/ok"]
+    got = sorted(r["target_url"]
+                 for r in extract_links(pages, "url", "html").collect())
+    assert got == ["https://abs.example.com/ok",
+                   "https://cdn.example.com/l.js"]
     assert not [t for t in got if ":///" in t]
