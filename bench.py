@@ -473,23 +473,28 @@ def main() -> None:
             import shutil
             shutil.rmtree(warc_dir, ignore_errors=True)
             os.makedirs(warc_dir, exist_ok=True)
-            # 512 md5s = 16 KB of hex per doc; hex gzips ~2:1, so 120k docs
-            # land ~1.1 GB on disk across the 24 archives
-            pad = F.concat_ws("", F.transform(
-                F.sequence(F.lit(0), F.lit(511)),
-                lambda i: F.md5(F.concat(F.col("url"), i.cast("string")))))
-            pages = _gp(spark, n_docs_warc, n_partitions=n_archives) \
-                .withColumn("html", F.concat(
-                    "html", F.encode(F.concat(
-                        F.lit("<!--pad "), pad, F.lit("-->")), "UTF-8")))
+            pages = _gp(spark, n_docs_warc, n_partitions=n_archives)
 
             def _write_archive(it):
+                # the ~9 KB incompressible pad per doc is generated HERE,
+                # in the Python worker (deterministic per url) — building
+                # it as a Catalyst expression OOMed the JVM: 24 concurrent
+                # codegen tasks each materializing 16 KB string rows.
+                # Random bytes don't gzip, so 120k docs land ~1.1 GB on
+                # disk regardless of the page template's compressibility.
                 import os as _os
-                recs = [{
-                    "url": r["url"],
-                    "date": r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
-                    "html": bytes(r["html"]), "text": None, "lang": r["lang"],
-                } for r in it]
+                import random as _random
+                recs = []
+                for r in it:
+                    pad = (b"<!--pad " +
+                           _random.Random(r["url"]).randbytes(9000) +
+                           b"-->")
+                    recs.append({
+                        "url": r["url"],
+                        "date": r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                        "html": bytes(r["html"]) + pad,
+                        "text": None, "lang": r["lang"],
+                    })
                 if recs:
                     name = f"crawl-{_os.getpid()}-{hash(recs[0]['url']) & 0xffffffff:x}.warc.gz"
                     with open(_os.path.join(warc_dir, name), "wb") as f:
