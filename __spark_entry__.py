@@ -95,12 +95,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _events_type_counts(spark, sf_dir):
-    # O2/A4: filter-free group-by count
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"))
+    # O2/A4: filter-free group-by count. Since r7 also carries the former
+    # events_props_json row (semi-structured JSON field extraction +
+    # bucket rollup) as a grp-tagged leg — both are count-by-small-key
+    # aggregations, the sibling-merge pattern.
+    ev = _t(spark, sf_dir, "events")
+    types = ev.groupBy("event_type").agg(F.count("*").alias("n")).select(
+        F.lit("type").alias("grp"), F.col("event_type").alias("key"), "n")
+    k = F.get_json_object("props", "$.k").cast("long")
+    props = (
+        ev.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket").agg(F.count("*").alias("n"))
+        .select(F.lit("props_k").alias("grp"),
+                F.col("k_bucket").cast("string").alias("key"), "n")
     )
+    return types.unionByName(props)
 
 
 def _events_recent_page(spark, sf_dir):
@@ -437,17 +446,6 @@ def _events_asof_purchase(spark, sf_dir):
     )
 
 
-def _events_props_json(spark, sf_dir):
-    # semi-structured: extract a JSON field from the props column, bucket it
-    ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        ev.select((k % 10).alias("k_bucket"))
-        .groupBy("k_bucket")
-        .agg(F.count("*").alias("n"))
-    )
-
-
 def _region_rollup(spark, sf_dir):
     # r5 siblings customer_region_counts + orders_revenue_by_region merged to
     # free a registry slot — BOTH join shapes survive in one row: the
@@ -478,8 +476,23 @@ def _region_rollup(spark, sf_dir):
             .cast("long").alias("revenue_cents"),
         )
     )
-    return cust_agg.join(ord_agg, "region").select(
-        "region", "n_nations", "n_customers", "n_orders", "revenue_cents")
+    region_leg = cust_agg.join(ord_agg, "region").select(
+        F.lit("region").alias("grp"), F.col("region").alias("key"),
+        F.lit(None).cast("string").alias("key2"),
+        "n_nations", "n_customers", "n_orders",
+        F.col("revenue_cents").alias("cents"))
+    # since r7 also carries the former orders_top_revenue row (TPC-H Q3
+    # big-big shuffle join -> exact-integer revenue -> deterministic
+    # top-10) as a grp-tagged leg — both are fact-table money rollups
+    top_leg = _orders_top_revenue(spark, sf_dir).select(
+        F.lit("top_order").alias("grp"),
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.col("o_orderpriority").alias("key2"),
+        F.lit(None).cast("long").alias("n_nations"),
+        F.lit(None).cast("long").alias("n_customers"),
+        F.lit(None).cast("long").alias("n_orders"),
+        F.col("revenue_cbp").alias("cents"))
+    return region_leg.unionByName(top_leg)
 
 
 def _orders_top_revenue(spark, sf_dir):
@@ -799,8 +812,69 @@ def _docs_classifier_scores(spark, sf_dir):
 # the HF rank-greedy encode loop equals a sentinel-char replace chain in
 # merge order, which is what the DuckDB twin replays (verified bit-exact
 # at both rehearsal SFs before wiring)
+# the links module's href regex, single-quote-escaped for embedding in a
+# DuckDB string literal (the docs_outlinks oracle replays the SAME pattern)
+def _href_sql() -> str:
+    from redactifai_spark.operators.links import _HREF_RE
+
+    return _HREF_RE.replace("'", "''")
+
+
+_HREF_SQL = _href_sql()
+
 _BPE_MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
                ("i", "n"), ("in", "g")]
+
+
+def _docs_outlinks(spark, sf_dir):
+    # outlink mining (operators/links.py extract_links — the web-graph
+    # leg's first stage): documents wrapped as crawl pages, plus one
+    # injected deterministic cross-host link per page (doc_id arithmetic,
+    # not xxhash64, so the DuckDB twin can rebuild the same fixture). The
+    # oracle replays the full chain: the same href regex (group-0 snippet
+    # pass then per-snippet group extraction) and the same resolution
+    # rules (absolute kept, protocol-relative gets the page scheme,
+    # root-relative resolves against the page host).
+    from redactifai_spark.operators.links import extract_links
+    from redactifai_spark.sources.pages import wrap_documents_as_pages
+
+    pages = wrap_documents_as_pages(_t(spark, sf_dir, "documents"))
+    did = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+    pages = pages.withColumn(
+        "html",
+        F.concat("html", F.encode(F.concat(
+            F.lit('<a href="https://site-'),
+            F.pmod(did * 31, F.lit(97)).cast("string"),
+            F.lit('.example.com/out">r</a>')), "UTF-8")))
+    return extract_links(pages, "url", "html")
+
+
+def _docs_crawl_diff(spark, sf_dir):
+    # inter-snapshot crawl diff (operators/crawldiff.py crawl_delta):
+    # deterministic second snapshot — every %7==1 doc removed, every
+    # %5==0 doc's content changed, every %9==2 doc adds a NEW url. The
+    # oracle replays the classification as a full-outer join with direct
+    # string equality (xxhash64 equality == content equality under the
+    # same collision-free argument as the dedup rows).
+    from redactifai_spark.operators.crawldiff import crawl_delta
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 37).cast("string"),
+                   F.lit(".example.com/d"), F.col("doc_id").cast("string"))
+    old = docs.select(url.alias("url"), "text")
+    new = docs.filter(F.col("doc_id") % 7 != 1).select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text")).alias("text"))
+    added = docs.filter(F.col("doc_id") % 9 == 2).select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".example.com/new"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text")
+    delta = crawl_delta(old, new.unionByName(added), "url",
+                        content_cols=("text",))
+    return delta.select("url", "change")
 
 
 def _docs_bpe_token_counts(spark, sf_dir):
@@ -1502,7 +1576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # docs_classifier_scores + docs_bpe_token_counts (the r6-verdict asks):
 # docs_fingerprint_stats -> docs_winnow_fingerprints ('fp_stats' leg),
 # customer_fuzzy_match -> docs_match_regions ('fuzzy_pairs' leg),
-# events_first_event -> events_recent_page ('first_event' leg).
+# events_first_event -> events_recent_page ('first_event' leg); then two
+# more for docs_outlinks + docs_crawl_diff (web-graph/crawl evidence):
+# events_props_json -> events_type_counts ('props_k' leg),
+# orders_top_revenue -> region_rollup ('top_order' leg).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "training_corpus_funnel": _training_corpus,
         "events_type_counts": _events_type_counts,
@@ -1524,11 +1601,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "redact_documents": _redact_documents,
         "redact_pages": _redact_pages,
         "events_asof_purchase": _events_asof_purchase,
-        "events_props_json": _events_props_json,
+        "docs_crawl_diff": _docs_crawl_diff,
         "docs_lm_logprob": _docs_lm_logprob,
         "region_rollup": _region_rollup,
         "dim_table_rollup": _dim_table_rollup,
-        "orders_top_revenue": _orders_top_revenue,
+        "docs_outlinks": _docs_outlinks,
         "docs_token_packing": _docs_token_packing,
         "docs_train_eval_split": _docs_train_eval_split,
         "docs_importance_weights": _docs_importance_weights,
@@ -2101,8 +2178,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "training_corpus_funnel": _funnel_oracle_sql(),
         "redact_pages": _redact_pages_oracle_sql(),
+        # since r7 unioned with the former events_props_json twin as a
+        # grp-tagged leg (registry-cap merge; both count-by-small-key)
         "events_type_counts": (
-            "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+            "SELECT 'type' AS grp, event_type AS key, COUNT(*) AS n "
+            "FROM events GROUP BY event_type "
+            "UNION ALL "
+            "SELECT 'props_k', CAST(CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT) % 10 AS VARCHAR), COUNT(*) FROM events GROUP BY 2"
         ),
         # since r7 unioned with the former events_first_event twin as a
         # grp-tagged leg (registry-cap merge)
@@ -2337,10 +2420,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.event_id, c.user_id, p.value AS last_purchase_value "
             "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"
         ),
-        "events_props_json": (
-            "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, "
-            "COUNT(*) AS n FROM events GROUP BY 1"
-        ),
         "events_cube": (
             # GROUPING(a, b): lowest bit = last argument in both engines,
             # matching Spark's grouping_id() bit order
@@ -2361,7 +2440,15 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT doc_id % 37) AS exact_distinct, "
             "TRUE AS within_rsd FROM documents GROUP BY 1"
         ),
+        # since r7 unioned with the former orders_top_revenue twin as a
+        # grp-tagged leg (registry-cap merge; orderkey rides in key,
+        # priority in key2, revenue in cents)
         "region_rollup": (
+            "SELECT 'region' AS grp, region AS key, "
+            "CAST(NULL AS VARCHAR) AS key2, n_nations, "
+            "CAST(n_customers AS BIGINT) AS n_customers, "
+            "CAST(n_orders AS BIGINT) AS n_orders, revenue_cents AS cents "
+            "FROM ("
             "WITH ca AS ("
             "  SELECT r.r_name AS region, COUNT(*) AS n_customers, "
             "         COUNT(DISTINCT n.n_name) AS n_nations "
@@ -2376,7 +2463,20 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN nation ON c_nationkey = n_nationkey "
             "  JOIN region ON n_regionkey = r_regionkey GROUP BY r_name) "
             "SELECT region, n_nations, n_customers, n_orders, revenue_cents "
-            "FROM ca JOIN oa USING (region)"
+            "FROM ca JOIN oa USING (region)) "
+            "UNION ALL "
+            "SELECT 'top_order', CAST(o_orderkey AS VARCHAR), "
+            "o_orderpriority, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+            "CAST(NULL AS BIGINT), revenue_cbp FROM ("
+            "WITH rev AS ("
+            "  SELECT l_orderkey, SUM(CAST(CAST(l_extendedprice AS "
+            "DECIMAL(18,2)) * 100 AS BIGINT) * (10000 - "
+            "CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) "
+            "  AS revenue_cbp FROM lineitem GROUP BY l_orderkey) "
+            "SELECT o_orderkey, o_orderpriority, "
+            "CAST(revenue_cbp AS BIGINT) AS revenue_cbp "
+            "FROM rev JOIN orders ON l_orderkey = o_orderkey "
+            "ORDER BY revenue_cbp DESC, o_orderkey ASC LIMIT 10)"
         ),
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order, "
@@ -2452,15 +2552,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR((running - n_tokens) / 500.0) AS BIGINT) AS pack_id, "
             "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
             "FROM r GROUP BY 1, 2"
-        ),
-        "orders_top_revenue": (
-            "WITH rev AS (SELECT l_orderkey, "
-            "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
-            "* (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) "
-            "AS revenue_cbp FROM lineitem GROUP BY l_orderkey) "
-            "SELECT o_orderkey, o_orderpriority, CAST(revenue_cbp AS BIGINT) "
-            "AS revenue_cbp FROM rev JOIN orders ON l_orderkey = o_orderkey "
-            "ORDER BY revenue_cbp DESC, o_orderkey ASC LIMIT 10"
         ),
         "events_hourly_windows": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
@@ -2561,6 +2652,59 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY t.doc_id) "
             "SELECT d.doc_id, ROUND(s.s, 6) AS score_r "
             "FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"
+        ),
+        # outlink-mining twin: rebuilds the wrapped-page link html (nav +
+        # footer chrome + the injected doc_id-arithmetic cross-host link),
+        # then replays the same two-stage regex (group-0 snippets ->
+        # per-snippet group extraction) and the same resolution rules
+        "docs_outlinks": (
+            "WITH pages AS ("
+            "  SELECT 'https://' || CASE WHEN doc_id % 16 < 8 "
+            "THEN 'popular-news.com' WHEN doc_id % 16 < 12 "
+            "THEN 'big-blog.org' ELSE 'site-' || (doc_id % 997) || "
+            "'.example.com' END || '/doc/' || doc_id AS url, "
+            "  CASE WHEN doc_id % 16 < 8 THEN 'popular-news.com' "
+            "WHEN doc_id % 16 < 12 THEN 'big-blog.org' "
+            "ELSE 'site-' || (doc_id % 997) || '.example.com' END AS host, "
+            "  '<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> '"
+            " || '<a href=\"/contact\">Contact</a></nav>'"
+            " || '<footer><a href=\"/privacy\">Privacy</a> "
+            "<a href=\"/terms\">Terms</a></footer>'"
+            " || '<a href=\"https://site-' || ((doc_id * 31) % 97)"
+            " || '.example.com/out\">r</a>' AS linkhtml FROM documents), "
+            "snips AS (SELECT url, host, unnest(regexp_extract_all("
+            f"linkhtml, '{_HREF_SQL}', 0)) AS s FROM pages), "
+            "hrefs AS (SELECT url, host, coalesce("
+            f"nullif(regexp_extract(s, '{_HREF_SQL}', 1), ''), "
+            f"nullif(regexp_extract(s, '{_HREF_SQL}', 2), ''), "
+            f"nullif(regexp_extract(s, '{_HREF_SQL}', 3), '')) AS href "
+            "FROM snips) "
+            "SELECT url, CASE "
+            "WHEN regexp_matches(href, '(?i)^https?://') THEN href "
+            "WHEN href LIKE '//%' THEN 'https:' || href "
+            "WHEN href LIKE '/%' THEN 'https://' || host || href END "
+            "AS target_url FROM hrefs WHERE href IS NOT NULL AND ("
+            "regexp_matches(href, '(?i)^https?://') OR href LIKE '/%')"
+        ),
+        # crawl-diff twin: full-outer join with direct string equality —
+        # xxhash64 equality == content equality under the same
+        # collision-free argument as the dedup rows
+        "docs_crawl_diff": (
+            "WITH old AS (SELECT 'https://h' || (doc_id % 37) || "
+            "'.example.com/d' || doc_id AS url, text FROM documents), "
+            "newk AS ("
+            "  SELECT 'https://h' || (doc_id % 37) || '.example.com/d' || "
+            "doc_id AS url, CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' "
+            "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 1 "
+            "  UNION ALL "
+            "  SELECT 'https://h' || (doc_id % 37) || '.example.com/new' || "
+            "doc_id, text FROM documents WHERE doc_id % 9 = 2) "
+            "SELECT coalesce(n.url, o.url) AS url, "
+            "CASE WHEN o.url IS NULL THEN 'added' "
+            "WHEN n.url IS NULL THEN 'removed' "
+            "WHEN (n.text IS NULL AND o.text IS NULL) OR n.text = o.text "
+            "THEN 'unchanged' ELSE 'changed' END AS change "
+            "FROM newk n FULL JOIN old o ON n.url = o.url"
         ),
         # BPE encode twin: the rank-greedy merge loop on this fixed list
         # equals chained non-overlapping string replaces with sentinel
