@@ -859,8 +859,13 @@ def _docs_crawl_diff(spark, sf_dir):
     from redactifai_spark.operators.crawldiff import crawl_delta
 
     docs = _t(spark, sf_dir, "documents")
-    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 37).cast("string"),
-                   F.lit(".example.com/d"), F.col("doc_id").cast("string"))
+    # ONE host-prefix expression feeds every leg (and mirrors the oracle's
+    # three copies) — editing the modulus in one leg only would silently
+    # desynchronize the fixture
+    host_prefix = F.concat(F.lit("https://h"),
+                           (F.col("doc_id") % 37).cast("string"),
+                           F.lit(".example.com"))
+    url = F.concat(host_prefix, F.lit("/d"), F.col("doc_id").cast("string"))
     old = docs.select(url.alias("url"), "text")
     new = docs.filter(F.col("doc_id") % 7 != 1).select(
         url.alias("url"),
@@ -868,8 +873,7 @@ def _docs_crawl_diff(spark, sf_dir):
                F.concat(F.col("text"), F.lit(" [rev2]")))
         .otherwise(F.col("text")).alias("text"))
     added = docs.filter(F.col("doc_id") % 9 == 2).select(
-        F.concat(F.lit("https://h"), (F.col("doc_id") % 37).cast("string"),
-                 F.lit(".example.com/new"),
+        F.concat(host_prefix, F.lit("/new"),
                  F.col("doc_id").cast("string")).alias("url"),
         "text")
     delta = crawl_delta(old, new.unionByName(added), "url",

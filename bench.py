@@ -450,9 +450,10 @@ def main() -> None:
         # synthetic multi-archive WARC through read_warc -> fused pipeline,
         # measuring docs/s and the JVM peak heap — the evidence behind the
         # module's "one task per archive is the correct unit" claim. The
-        # archive set is generated ONCE (parallel, one ~64 MB .warc.gz per
-        # task, bodies padded with md5-chain hex so gzip can't flatten the
-        # volume) and reused across invocations.
+        # archive set is generated ONCE (parallel, one ~46 MB .warc.gz per
+        # task; bodies carry a ~9 KB random-byte pad built INSIDE the
+        # Python writer so gzip can't flatten the volume — see the OOM
+        # note in _write_archive) and reused across invocations.
         import glob
         import tempfile
 

@@ -21,11 +21,11 @@ stream out in bounded chunks so a 1 GB file never materializes as one
 Arrow batch.
 
 Measured memory envelope (bench.py --warc, round 7): 1.09 GB across 24
-gzip archives (~49 MB each) through read_warc → fused redaction on
+gzip archives (~46.5 MB each) through read_warc → fused redaction on
 local[32] ran at 4.5k docs/s / 42 MB/s with a peak JVM heap of 7.7 GB —
-about 6.5× the bytes of the archives concurrently in flight (compressed
+about 7.1× the bytes of the archives concurrently in flight (compressed
 bytes + decompressed records + Arrow batches per task). Provision
-executors accordingly: with Common Crawl's ~1 GB archives budget ~6-7 GB
+executors accordingly: with Common Crawl's ~1 GB archives budget ~7 GB
 of heap per concurrently-parsed archive, i.e. cap concurrent archive
 tasks per executor (spark.task.cpus or executor core count), not heap
 alone. The per-file unit itself is the correct one — records never cross
