@@ -207,3 +207,76 @@ def ivf_topk(
     probes = sorted(range(len(centroids)), key=lambda i: (d[i], i))[:n_probe]
     cand = indexed.filter(F.col("cluster").isin(probes))
     return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
+def hard_negative_pairs(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    band: tuple[float, float] = (0.5, 0.95),
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training data:
+    per anchor, the ``k`` most similar docs whose exact cosine falls in
+    ``[band[0], band[1])`` — similar enough to be hard, strictly below the
+    near-duplicate cut (pairs at/above ``band[1]`` are positives/dup
+    candidates and belong to ``cosine_near_pairs``). Returns
+    ``(anchor_id, negative_id, cos_sim, rank)``; DIRECTED — every doc is
+    an anchor, so (a,b) and (b,a) both appear.
+
+    Scale shape: candidates come from a multi-probe LSH self-join — the
+    anchor side explodes its bucket plus every bucket within Hamming
+    ``probe_hamming`` (1 + n_planes [+ pairs] rows per anchor), the other
+    side keeps its exact bucket, so the join stays uniform-keyed and the
+    exact cosine runs on candidates only; the rank window partitions by
+    anchor over CANDIDATE rows, never the corpus. Recall caveat (the
+    honest LSH tradeoff, measured by ``ann_recall_curve`` for top-k): the
+    hyperplane collision bound decays with angle, so mid-band negatives
+    (cos ~ band[0]) are under-sampled relative to the top of the band —
+    exactly the end top-k prefers. For exhaustive small corpora use
+    ``n_planes=1, probe_hamming=1`` (all buckets probed → brute force)."""
+    lo, hi = band
+    if not -1.0 <= lo < hi <= 1.0 + 1e-12:
+        raise ValueError(f"band must satisfy -1 <= lo < hi <= 1, got {band}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if probe_hamming not in (0, 1, 2):
+        raise ValueError(
+            f"probe_hamming must be 0, 1 or 2, got {probe_hamming}")
+    indexed = with_lsh_bucket(df.select(id_col, vec_col), dim, n_planes,
+                              vec_col)
+    # anchor-side probe set: own bucket + Hamming-<=probe neighbors
+    probes = [F.col("bucket")]
+    if probe_hamming >= 1:
+        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                   for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes) for j in range(i + 1, n_planes)]
+    anchors = indexed.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("va"),
+        F.explode(F.array_distinct(F.array(*probes))).alias("bucket"))
+    cands = indexed.select(
+        F.col(id_col).alias("negative_id"), F.col(vec_col).alias("vb"),
+        "bucket")
+    scored = (
+        anchors.join(cands, "bucket")
+        .filter(F.col("anchor_id") != F.col("negative_id"))
+        .withColumn("cos", cosine(_as_double(F.col("va")),
+                                  _as_double(F.col("vb"))))
+        .filter((F.col("cos") >= lo) & (F.col("cos") < hi))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "negative_id",
+                F.round("cos", 6).alias("cos_sim"), "rank")
+    )

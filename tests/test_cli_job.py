@@ -313,3 +313,56 @@ def test_corpus_job_importance_flags(spark, tmp_path):
         capture_output=True, text=True, env=env, timeout=120)
     assert r3.returncode != 0
     assert "--importance-target" in r3.stderr
+
+
+def test_corpus_job_host_rank_flags(spark, tmp_path):
+    # --host-rank-from-input end-to-end in a subprocess: rank table lands
+    # beside the checkpoint, the gate drops the never-endorsed host, and
+    # the misconfiguration pairs fail fast at argparse level
+    import json
+
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "in")
+    outp, statsp = str(tmp_path / "corpus"), str(tmp_path / "stats")
+    rows = []
+    for i in range(9):
+        host = ("hub.example.com", "mid.example.com",
+                "spamfarm.example.net")[i % 3]
+        peer = {"hub.example.com": "mid.example.com",
+                "mid.example.com": "hub.example.com",
+                "spamfarm.example.net": "hub.example.com"}[host]
+        body = f"Document {i} has plenty of ordinary prose to keep. " * 8
+        html = (f"<html><body><p>{body}</p>"
+                f'<a href="https://{peer}/x{i}">link</a></body></html>')
+        rows.append((f"https://{host}/p{i}", None, html.encode(), None, "en"))
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(inp)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_corpus_job.py"),
+         "--input", inp, "--output", outp, "--stats", statsp,
+         "--quality-min", "0.0", "--langs", "en,und",
+         "--host-rank-from-input", "--host-rank-min", "0.06",
+         "--broadcast-host-ranks", "--master", "local[2]"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["stats"]["n_gated"] < report["stats"]["n_complete"]
+    urls = [row["url"] for row in spark.read.parquet(outp).collect()]
+    assert urls and all("spamfarm" not in u for u in urls)
+    assert os.path.exists(outp + "_redacted_host_ranks")
+
+    # fail-fast pairings (argparse exits 2 before any Spark work)
+    base = [sys.executable, os.path.join(REPO, "run_corpus_job.py"),
+            "--input", inp, "--output", outp, "--stats", statsp]
+    for bad in (["--host-rank-min", "0.1"],
+                ["--host-rank-from-input"],
+                ["--host-ranks", "/nonexistent", "--host-rank-from-input",
+                 "--host-rank-min", "0.1"]):
+        rb = subprocess.run(base + bad, capture_output=True, text=True,
+                            env=env, timeout=120)
+        assert rb.returncode == 2, (bad, rb.stderr[-400:])

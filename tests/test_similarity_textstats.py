@@ -248,3 +248,61 @@ def test_with_repetition_stats(spark):
     out = with_repetition_stats(df, "text")
     assert count_python_eval_nodes(out) == 0
     assert count_exchanges(out) == 0
+
+
+def test_hard_negative_pairs_exact_with_full_probe(spark, vectors):
+    # n_planes=1 + probe_hamming=1 probes BOTH buckets -> candidates are
+    # the full cross set, so the result must equal the Python brute-force
+    # banded top-k exactly
+    from redactifai_spark.operators.similarity import hard_negative_pairs
+
+    lo, hi, k = 0.2, 0.9, 3
+    got = hard_negative_pairs(
+        vectors, DIM, k=k, band=(lo, hi), n_planes=1, probe_hamming=1
+    ).collect()
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in vectors.collect()]
+    want = {}
+    for i, va in rows:
+        cands = []
+        for j, vb in rows:
+            if i == j:
+                continue
+            c = _cos(va, vb)
+            if lo <= c < hi:
+                cands.append((j, c))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        want[i] = [(j, round(c, 6)) for j, c in cands[:k]]
+    got_by = {}
+    for r in got:
+        got_by.setdefault(r["anchor_id"], []).append(
+            (r["rank"], r["negative_id"], r["cos_sim"]))
+    for i, expect in want.items():
+        gl = sorted(got_by.get(i, []))
+        assert [(n, c) for _, n, c in gl] == [
+            (n, round(c, 6)) for n, c in expect], i
+    # every pair is in band, ranks contiguous from 1
+    assert all(lo <= r["cos_sim"] < hi for r in got)
+
+
+def test_hard_negative_pairs_validation_and_lsh_subset(spark, vectors):
+    from redactifai_spark.operators.similarity import hard_negative_pairs
+
+    with pytest.raises(ValueError, match="band"):
+        hard_negative_pairs(vectors, DIM, band=(0.9, 0.5))
+    with pytest.raises(ValueError, match="k must"):
+        hard_negative_pairs(vectors, DIM, k=0)
+    with pytest.raises(ValueError, match="probe_hamming"):
+        hard_negative_pairs(vectors, DIM, probe_hamming=5)
+    # a selective index returns a SUBSET of the exhaustive result (the
+    # documented LSH recall tradeoff), never out-of-band extras
+    full = {(r["anchor_id"], r["negative_id"]) for r in hard_negative_pairs(
+        vectors, DIM, k=50, band=(0.2, 0.9), n_planes=1, probe_hamming=1
+    ).collect()}
+    lsh = hard_negative_pairs(
+        vectors, DIM, k=50, band=(0.2, 0.9), n_planes=8, probe_hamming=1)
+    lsh_rows = lsh.collect()
+    assert {(r["anchor_id"], r["negative_id"]) for r in lsh_rows} <= full
+    # plan: bucket-keyed join, no cartesian product
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
