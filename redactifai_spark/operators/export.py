@@ -1,0 +1,90 @@
+"""Deterministic training-shard export: the last hop from curated corpus to
+dataloader files.
+
+Training runs want the corpus (a) globally shuffled so consecutive samples are
+decorrelated, (b) split into shard files a dataloader can assign to workers,
+and (c) byte-reproducible so a restarted/re-run export feeds the exact same
+sample order (checkpoint resume mid-epoch depends on it). The reference's
+analog is its deterministic job output contract (RedactifAI re-runs must
+reproduce masks byte-identically — src/services/masking_service.py); here the
+same determinism is extended to the physical file layout.
+
+Scale shape: one uniform-keyed shuffle (seeded xxhash64 of the doc id — no
+skew by construction) + a per-partition external sort; no driver collects, no
+Python on any row. Shard size is corpus_bytes / n_shards and lives in a single
+task — pick n_shards so a shard is a few hundred MB to a few GB, and/or set
+``max_records_per_file`` to split giant shards into order-preserving file
+sequences (Spark names them part-...c000, c001, ... within one task in write
+order).
+
+Determinism note: the writer adds its own sort-by-partition-column only when
+the incoming data is NOT already sorted by it; ``write_training_shards`` sorts
+by (shard, order, id) so that pre-sort is satisfied and the seeded order
+survives into the files verbatim. JSON shard bytes are fully deterministic;
+parquet is row-order deterministic (footer encodes the same rows/stats, so
+re-runs match byte-for-byte in practice too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_FORMATS = ("json", "parquet")
+
+
+def with_shuffle_order(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add ``shard`` (int, pmod of the seeded id hash) and ``shuffle_order``
+    (long, an independent seeded hash) columns. Different seeds move docs to
+    different shards AND reorder within shards — one knob is a full epoch-level
+    reshuffle. Deterministic for a given (seed, id); null ids hash as ''."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    # two independent streams from one hash family: the literal stream tag
+    # makes shard assignment and in-shard order uncorrelated (same trick as
+    # the value-salted HLL and the bloom hash set)
+    shard = F.pmod(F.xxhash64(sid, F.lit(int(seed)), F.lit("shard")),
+                   F.lit(n_shards))
+    order = F.xxhash64(sid, F.lit(int(seed)), F.lit("order"))
+    return df.withColumn("shard", shard.cast("int")).withColumn(
+        "shuffle_order", order)
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    seed: int = 0,
+    fmt: str = "parquet",
+    id_col: str = "doc_id",
+    max_records_per_file: int | None = None,
+) -> str:
+    """Write ``df`` as ``out_dir/shard=i/`` directories in a deterministic
+    seeded global shuffle order. Exactly one file per non-empty shard (the
+    whole shard lands in one task) unless ``max_records_per_file`` splits it
+    into an order-preserving sequence. Returns ``out_dir``.
+
+    The shard/order key columns are internal and are NOT written; ties on the
+    order hash break by id, so output is deterministic even under collisions.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    if max_records_per_file is not None and max_records_per_file <= 0:
+        raise ValueError("max_records_per_file must be positive, got "
+                         f"{max_records_per_file}")
+    keyed = with_shuffle_order(df, n_shards, seed=seed, id_col=id_col)
+    out = (
+        keyed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_order", id_col)
+        .drop("shuffle_order")
+    )
+    writer = out.write.mode("overwrite").partitionBy("shard").format(fmt)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(out_dir)
+    return out_dir

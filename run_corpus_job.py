@@ -183,8 +183,27 @@ def main(argv: list[str] | None = None) -> int:
                         "by weight, large = uniform")
     p.add_argument("--importance-n-buckets", type=int, default=1 << 16)
     p.add_argument("--importance-seed", type=int, default=0)
+    p.add_argument("--export-shards", type=int, default=None, metavar="N",
+                   help="write the corpus as N deterministic seeded-shuffle "
+                        "shard dirs (shard=i/) instead of a plain parquet "
+                        "dir — the dataloader-ready layout "
+                        "(operators/export.py); re-runs are byte-identical")
+    p.add_argument("--export-seed", type=int, default=0,
+                   help="shuffle seed: one knob reshuffles shard assignment "
+                        "AND in-shard order (epoch-level reshuffle)")
+    p.add_argument("--export-format", default="parquet",
+                   choices=["parquet", "json"],
+                   help="shard file format (json = one doc per line)")
+    p.add_argument("--export-max-records-per-file", type=int, default=None,
+                   help="split giant shards into order-preserving file "
+                        "sequences of at most this many rows")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    if args.export_shards is None and (
+            args.export_seed != 0 or args.export_format != "parquet"
+            or args.export_max_records_per_file is not None):
+        p.error("--export-seed/--export-format/--export-max-records-per-file "
+                "require --export-shards")
     if bool(args.importance_target) != (args.importance_frac is not None):
         # half-configured gates must fail fast, not silently no-op (the
         # classifier flags learned this the hard way)
@@ -340,12 +359,22 @@ def main(argv: list[str] | None = None) -> int:
         from redactifai_spark.operators.textnorm import with_clean_text
 
         corpus = with_clean_text(corpus, text_col="redacted_text")
-    corpus.write.mode("overwrite").parquet(args.output)
+    if args.export_shards is not None:
+        from redactifai_spark.operators.export import write_training_shards
+
+        write_training_shards(
+            corpus, args.output, args.export_shards,
+            seed=args.export_seed, fmt=args.export_format, id_col="url",
+            max_records_per_file=args.export_max_records_per_file)
+        corpus_back = spark.read.format(args.export_format).load(args.output)
+    else:
+        corpus.write.mode("overwrite").parquet(args.output)
+        corpus_back = spark.read.parquet(args.output)
     stats.write.mode("overwrite").parquet(args.stats)
     unpersist_tracked()
     row = spark.read.parquet(args.stats).collect()[0].asDict()
     report = {"stats": row,
-              "corpus_rows": spark.read.parquet(args.output).count()}
+              "corpus_rows": corpus_back.count()}
     if warc_obs is not None:
         report["warc_parse_errors"] = warc_obs.get["n_parse_errors"]
     print(json.dumps(report))

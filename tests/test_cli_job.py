@@ -366,3 +366,40 @@ def test_corpus_job_host_rank_flags(spark, tmp_path):
         rb = subprocess.run(base + bad, capture_output=True, text=True,
                             env=env, timeout=120)
         assert rb.returncode == 2, (bad, rb.stderr[-400:])
+
+
+def test_corpus_job_export_shards_flag(spark, tmp_path):
+    # --export-shards: the corpus lands as deterministic seeded-shuffle
+    # shard=i/ json dirs (dataloader layout) and the report still counts it
+    import glob
+    import json
+
+    from redactifai_spark.sources.pages import generate_pages
+
+    inp = str(tmp_path / "in")
+    outp, statsp = str(tmp_path / "corpus"), str(tmp_path / "stats")
+    generate_pages(spark, 30, n_partitions=2).write.parquet(inp)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    base = [sys.executable, os.path.join(REPO, "run_corpus_job.py"),
+            "--input", inp, "--output", outp, "--stats", statsp,
+            "--quality-min", "0.0", "--langs", "en,und",
+            "--master", "local[2]"]
+    r = subprocess.run(
+        base + ["--export-shards", "4", "--export-seed", "2",
+                "--export-format", "json"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    shard_dirs = glob.glob(os.path.join(outp, "shard=*"))
+    assert shard_dirs
+    ids = []
+    for f in glob.glob(os.path.join(outp, "shard=*", "part-*")):
+        with open(f) as fh:
+            ids += [json.loads(line)["url"] for line in fh if line.strip()]
+    assert len(ids) == len(set(ids)) == report["corpus_rows"] > 0
+
+    # export knobs without --export-shards fail fast (argparse, no Spark)
+    rb = subprocess.run(base + ["--export-seed", "2"], capture_output=True,
+                        text=True, env=env, timeout=120)
+    assert rb.returncode == 2
+    assert "--export-shards" in rb.stderr

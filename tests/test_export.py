@@ -1,0 +1,138 @@
+"""Deterministic training-shard export (operators/export.py)."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.export import (
+    with_shuffle_order,
+    write_training_shards,
+)
+
+
+def _docs(spark, n=60):
+    return spark.range(n).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("text for "), F.col("id")).alias("text"),
+    )
+
+
+def _read_shards(out_dir):
+    """shard -> ordered list of doc_ids, parsed straight off the json bytes
+    (no Spark read: intra-file line order is the contract under test)."""
+    shards = {}
+    for d in sorted(glob.glob(os.path.join(out_dir, "shard=*"))):
+        sid = int(d.rsplit("=", 1)[1])
+        files = sorted(glob.glob(os.path.join(d, "part-*")))
+        rows = []
+        for f in files:
+            with open(f) as fh:
+                rows += [json.loads(line)["doc_id"] for line in fh
+                         if line.strip()]
+        shards[sid] = (files, rows)
+    return shards
+
+
+def _shard_bytes(out_dir):
+    """shard -> concatenated file bytes (names vary run-to-run; bytes must
+    not)."""
+    out = {}
+    for d in sorted(glob.glob(os.path.join(out_dir, "shard=*"))):
+        sid = int(d.rsplit("=", 1)[1])
+        blob = b""
+        for f in sorted(glob.glob(os.path.join(d, "part-*"))):
+            with open(f, "rb") as fh:
+                blob += fh.read()
+        out[sid] = blob
+    return out
+
+
+def test_every_doc_lands_exactly_once(spark, tmp_path):
+    df = _docs(spark)
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=7, seed=1, fmt="json")
+    shards = _read_shards(out)
+    all_ids = [i for _, rows in shards.values() for i in rows]
+    assert sorted(all_ids) == sorted(r.doc_id for r in df.collect())
+    assert len(all_ids) == len(set(all_ids))
+
+
+def test_one_file_per_nonempty_shard(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    write_training_shards(_docs(spark), out, n_shards=5, seed=0, fmt="json")
+    for sid, (files, rows) in _read_shards(out).items():
+        assert len(files) == 1, (sid, files)
+        assert rows
+
+
+def test_order_matches_seeded_hash(spark, tmp_path):
+    """In-file line order == the documented (xxhash64(id,seed,'order'), id)
+    sort, recomputed independently of the writer."""
+    df = _docs(spark)
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=4, seed=9, fmt="json")
+    expected = {}
+    for r in (with_shuffle_order(df, 4, seed=9, id_col="doc_id")
+              .select("shard", "shuffle_order", "doc_id").collect()):
+        expected.setdefault(r.shard, []).append(
+            (r.shuffle_order, r.doc_id))
+    for sid, pairs in expected.items():
+        got = _read_shards(out)[sid][1]
+        assert got == [d for _, d in sorted(pairs)], f"shard {sid}"
+
+
+def test_rerun_is_byte_identical(spark, tmp_path):
+    df = _docs(spark)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(df, a, n_shards=6, seed=3, fmt="json")
+    write_training_shards(df, b, n_shards=6, seed=3, fmt="json")
+    assert _shard_bytes(a) == _shard_bytes(b)
+
+
+def test_seed_reshuffles_assignment_and_order(spark, tmp_path):
+    df = _docs(spark)
+    a, b = str(tmp_path / "s3"), str(tmp_path / "s4")
+    write_training_shards(df, a, n_shards=6, seed=3, fmt="json")
+    write_training_shards(df, b, n_shards=6, seed=4, fmt="json")
+    assert _shard_bytes(a) != _shard_bytes(b)
+
+
+def test_parquet_roundtrip_and_no_internal_columns(spark, tmp_path):
+    out = str(tmp_path / "pq")
+    write_training_shards(_docs(spark), out, n_shards=3, seed=0,
+                          fmt="parquet")
+    back = spark.read.parquet(out)
+    # shard survives as the partition dir key; the order key must not leak
+    assert set(back.columns) == {"doc_id", "text", "shard"}
+    assert back.count() == 60
+
+
+def test_max_records_per_file_splits_in_order(spark, tmp_path):
+    df = _docs(spark)
+    out = str(tmp_path / "split")
+    write_training_shards(df, out, n_shards=2, seed=5, fmt="json",
+                          max_records_per_file=10)
+    whole = str(tmp_path / "whole")
+    write_training_shards(df, whole, n_shards=2, seed=5, fmt="json")
+    split_shards = _read_shards(out)
+    for sid, (files, rows) in _read_shards(whole).items():
+        sfiles, srows = split_shards[sid]
+        assert len(sfiles) > 1 or len(rows) <= 10
+        # concatenation across the file sequence preserves the seeded order
+        assert srows == rows
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="n_shards"):
+        with_shuffle_order(None, 0)
+    with pytest.raises(ValueError, match="fmt"):
+        write_training_shards(None, "/tmp/x", 4, fmt="csv")
+
+
+def test_write_validation_before_touching_df(spark, tmp_path):
+    with pytest.raises(ValueError, match="max_records_per_file"):
+        write_training_shards(_docs(spark), str(tmp_path / "x"), 4,
+                              max_records_per_file=0)
