@@ -39,6 +39,7 @@ def prepare_training_corpus(
     boilerplate_df_ratio: float = 0.5,
     boilerplate_min_docs: int = 3,
     lm_score_min: float | None = None,
+    keep_paragraph_langs: tuple[str, ...] | None = None,
     cluster_near_dups: bool = False,
     max_dup_line_frac: float | None = None,
     max_dup_word_frac: float | None = None,
@@ -77,6 +78,14 @@ def prepare_training_corpus(
     ``is_gated`` stage. Nats per bigram, so typical values are negative
     (e.g. -6.5 keeps ordinary prose, drops gibberish). Costs the LM's count
     shuffles; off by default.
+
+    ``keep_paragraph_langs``: when set, drop individual LINES (the
+    extractor's block granularity) whose detected language is not listed,
+    before the doc-level gates and both dedup stages
+    (textstats.strip_foreign_paragraphs, CCNet-style segment strip) — a
+    mixed-language page keeps its target-language prose instead of failing
+    the whole-doc language gate. Include 'und' unless signal-free lines
+    (headings, code) should go too. Per-row Catalyst: no extra shuffle.
 
     ``max_dup_line_frac`` / ``max_dup_word_frac`` / ``max_top_bigram_frac``:
     Gopher-style WITHIN-document repetition gates
@@ -208,6 +217,21 @@ def prepare_training_corpus(
             "url", "redacted_text", "_host",
             df_ratio=boilerplate_df_ratio, min_docs=boilerplate_min_docs,
         ).drop("_host", "n_lines_kept", "n_lines_dropped")
+
+    if keep_paragraph_langs is not None:
+        from .textstats import strip_foreign_paragraphs
+
+        # paragraph-level language strip BEFORE the doc-level gates and both
+        # dedup stages: a mixed-language page keeps its target-language
+        # prose (and is then judged on it) instead of failing the whole-doc
+        # language gate; foreign boilerplate also stops polluting paragraph/
+        # substring dedup keys. Per-row Catalyst — no extra shuffle.
+        # line granularity: the extractor emits one block per line, the
+        # same delim="\n" convention drop_duplicate_paragraphs keys on
+        base = strip_foreign_paragraphs(
+            base, keep_paragraph_langs, text_col="redacted_text",
+            para_split=r"\n+", sep="\n",
+        ).drop("n_paragraphs", "n_foreign_paragraphs")
 
     if dedup_paragraphs:
         from .dedup import drop_duplicate_paragraphs

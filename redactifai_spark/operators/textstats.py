@@ -263,3 +263,110 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(bg) > 0,
             top_bigram / F.size(bg)).otherwise(F.lit(0.0)),
     }).drop("_rep_lines", "_rep_toks", "_rep_bigrams", "_rep_bg_sorted")
+
+
+def with_paragraph_languages(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "para_langs",
+    paras_col: str = "paragraphs",
+    para_split: str = r"\n\s*\n",
+) -> DataFrame:
+    """Per-PARAGRAPH language ID (CCNet-style segment granularity): adds
+    ``paras_col`` (text split on blank-line boundaries) and ``out_col`` (the
+    same stopword-argmax ``with_language`` runs per doc, per paragraph;
+    'und' when a paragraph has no signal).
+
+    Zero shuffle — paragraphs never leave their row (no explode/regroup):
+    the per-paragraph token arrays bind to ONE column, the four per-lang
+    ratio arrays each bind to a column referencing it, and the argmax maps
+    over indices of the bound arrays — tokenization runs exactly once per
+    paragraph (the with_language / winnowing re-inline rule, applied at
+    array rank).
+
+    ``para_split``: boundary regex. The raw-text default is blank lines;
+    pass r"\\n+" for the extraction pipeline's output, where the extractor
+    emits one BLOCK PER LINE (the drop_duplicate_paragraphs delim="\\n"
+    convention)."""
+    d = df.withColumn(
+        paras_col, F.split(F.col(text_col), para_split, -1)
+    ).withColumn(
+        "_seg_ptoks",
+        F.transform(F.col(paras_col),
+                    lambda p: F.filter(tokens_of(p), lambda t: t != "")),
+    )
+    # closure factory, NOT a default-arg lambda: F.transform treats a 2-arg
+    # lambda as (element, index), so `lambda ts, sw=sw:` silently binds the
+    # stopword array to the int index variable
+    def _ratio_of(sw):
+        def ratio(ts):
+            return F.when(
+                F.size(ts) > 0,
+                F.size(F.filter(ts, lambda t: F.array_contains(sw, t)))
+                / F.size(ts),
+            ).otherwise(F.lit(0.0))
+        return ratio
+
+    score_cols = {}
+    for lang in STOPWORDS:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        score_cols[f"_seg_s_{lang}"] = F.transform(
+            F.col("_seg_ptoks"), _ratio_of(sw))
+    d = d.withColumns(score_cols)
+    idx = F.sequence(F.lit(1), F.size(F.col(paras_col)))  # element_at: 1-based
+
+    def _lang_at(i):
+        scores = {
+            lang: F.element_at(F.col(f"_seg_s_{lang}"), i.cast("int"))
+            for lang in STOPWORDS
+        }
+        return _argmax_lang(scores)
+
+    return d.withColumn(out_col, F.transform(idx, _lang_at)).drop(
+        "_seg_ptoks", *score_cols)
+
+
+def strip_foreign_paragraphs(
+    df: DataFrame,
+    keep_langs: tuple[str, ...] = ("en", "und"),
+    text_col: str = "text",
+    out_col: str | None = None,
+    sep: str = "\n\n",
+    para_split: str = r"\n\s*\n",
+) -> DataFrame:
+    """Drop paragraphs whose detected language is not in ``keep_langs`` and
+    rebuild the text (RefinedWeb/CCNet-style foreign-segment strip — a
+    mixed-language page keeps its target-language prose instead of failing
+    the whole-doc language gate). Adds ``n_paragraphs`` and
+    ``n_foreign_paragraphs``; paragraph separators normalize to ``sep``.
+
+    Include 'und' in ``keep_langs`` unless short/signal-free paragraphs
+    (headings, code, lists) should be dropped too. Per-row Catalyst only —
+    composes with the funnel before the doc-level language/quality gates."""
+    if not keep_langs:
+        raise ValueError("keep_langs must be non-empty")
+    unknown = set(keep_langs) - set(STOPWORDS) - {"und"}
+    if unknown:
+        raise ValueError(
+            f"unknown language codes {sorted(unknown)}; "
+            f"known: {sorted(STOPWORDS)} + ['und']")
+    out_col = out_col or text_col
+    keep = F.array(*[F.lit(lang) for lang in keep_langs])
+    d = with_paragraph_languages(
+        df, text_col, out_col="_seg_langs", paras_col="_seg_paras",
+        para_split=para_split)
+    # bind the kept subset ONCE; three downstream expressions reference it
+    d = d.withColumn(
+        "_seg_kept",
+        F.filter(
+            F.arrays_zip("_seg_paras", "_seg_langs"),
+            lambda z: F.array_contains(keep, z["_seg_langs"]),
+        ),
+    )
+    return d.withColumns({
+        "n_paragraphs": F.size("_seg_paras"),
+        "n_foreign_paragraphs":
+            F.size("_seg_paras") - F.size("_seg_kept"),
+        out_col: F.array_join(
+            F.transform(F.col("_seg_kept"), lambda z: z["_seg_paras"]), sep),
+    }).drop("_seg_paras", "_seg_langs", "_seg_kept")

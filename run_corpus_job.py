@@ -56,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-score-min", type=float, default=None,
                    help="bigram-LM gate: drop docs whose mean log-prob (nats/"
                         "bigram, negative) is below this")
+    p.add_argument("--keep-paragraph-langs", default=None, metavar="LANGS",
+                   help="comma list (e.g. en,und): drop individual "
+                        "LINES/paragraphs whose detected language is not "
+                        "listed, BEFORE the doc-level gates and dedup "
+                        "(CCNet-style segment strip — mixed-language pages "
+                        "keep their target-language prose); include 'und' "
+                        "unless signal-free lines should go too")
     p.add_argument("--dedup-paragraphs", action="store_true",
                    help="corpus-wide paragraph-level exact dedup after the "
                         "boilerplate strip (cross-doc repeated paragraphs "
@@ -308,6 +315,9 @@ def main(argv: list[str] | None = None) -> int:
         boilerplate_df_ratio=args.boilerplate_df_ratio,
         boilerplate_min_docs=args.boilerplate_min_docs,
         lm_score_min=args.lm_score_min,
+        keep_paragraph_langs=(
+            tuple(args.keep_paragraph_langs.split(","))
+            if args.keep_paragraph_langs else None),
         cluster_near_dups=args.cluster_near_dups,
         cluster_checkpoint_dir=args.cluster_checkpoint_dir,
         max_dup_line_frac=args.max_dup_line_frac,

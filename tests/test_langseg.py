@@ -1,0 +1,110 @@
+"""Paragraph-level language segmentation (textstats.with_paragraph_languages /
+strip_foreign_paragraphs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.textstats import (
+    strip_foreign_paragraphs,
+    with_language,
+    with_paragraph_languages,
+)
+from redactifai_spark.plans.inspect import count_exchanges
+
+EN = "the cat sat on the mat and it was warm in the sun for a while"
+DE = "der hund und die katze sind nicht mit dem mann im haus"
+FR = "le chat est dans la maison avec le chien et il dort pas mal"
+
+
+def test_per_paragraph_langs(spark):
+    doc = "\n\n".join([EN, DE, FR])
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    row = with_paragraph_languages(df).collect()[0]
+    assert row.para_langs == ["en", "de", "fr"]
+    assert row.paragraphs == [EN, DE, FR]
+
+
+def test_single_paragraph_matches_doc_level(spark):
+    # one-paragraph docs: the per-segment verdict IS the doc-level verdict
+    df = spark.createDataFrame(
+        [(1, EN), (2, DE), (3, FR), (4, ""), (5, "zzz qqq xxx")],
+        "doc_id long, text string")
+    rows = with_paragraph_languages(with_language(df)).collect()
+    for r in rows:
+        assert r.para_langs == [r.lang_detected], r.doc_id
+
+
+def test_strip_foreign_keeps_target_prose(spark):
+    doc = "\n\n".join([EN, DE, EN, FR])
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    row = strip_foreign_paragraphs(df, keep_langs=("en", "und")).collect()[0]
+    assert row.text == EN + "\n\n" + EN
+    assert row.n_paragraphs == 4
+    assert row.n_foreign_paragraphs == 2
+
+
+def test_strip_und_paragraphs_optional(spark):
+    doc = EN + "\n\n" + "```code block```"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    keep_und = strip_foreign_paragraphs(df, ("en", "und")).collect()[0]
+    assert keep_und.text == doc
+    drop_und = strip_foreign_paragraphs(df, ("en",)).collect()[0]
+    assert drop_und.text == EN
+    assert drop_und.n_foreign_paragraphs == 1
+
+
+def test_empty_text_survives(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    row = strip_foreign_paragraphs(df, ("en", "und")).collect()[0]
+    assert row.text == ""
+    assert row.n_paragraphs == 1 and row.n_foreign_paragraphs == 0
+
+
+def test_out_col_keeps_original(spark):
+    df = spark.createDataFrame(
+        [(1, EN + "\n\n" + DE)], "doc_id long, text string")
+    row = strip_foreign_paragraphs(
+        df, ("en",), out_col="clean_text").collect()[0]
+    assert row.clean_text == EN
+    assert DE in row.text  # original untouched
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, EN)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        strip_foreign_paragraphs(df, ())
+    with pytest.raises(ValueError, match="unknown language"):
+        strip_foreign_paragraphs(df, ("en", "klingon"))
+
+
+def test_zero_shuffle(spark):
+    # paragraphs never leave their row: no Exchange anywhere in the plan
+    df = spark.createDataFrame(
+        [(i, EN + "\n\n" + DE) for i in range(8)],
+        "doc_id long, text string")
+    assert count_exchanges(strip_foreign_paragraphs(df)) == 0
+
+
+def test_funnel_knob(spark):
+    # keep_paragraph_langs strips the German paragraph before the doc-level
+    # gates, so a mixed en/de page survives an en-only language gate
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.corpus import prepare_training_corpus
+    from redactifai_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 6, n_partitions=2)
+    # splice a German paragraph into each page's html body text
+    pages = pages.withColumn(
+        "html",
+        F.encode(F.concat(F.decode("html", "UTF-8"),
+                          F.lit("<p>" + DE + "</p>")), "UTF-8"),
+    )
+    kw = dict(quality_min=0.0, langs=("en",), assume_unique_ids=True)
+    corpus_plain, _ = prepare_training_corpus(pages, PipelineConfig(), **kw)
+    corpus_seg, _ = prepare_training_corpus(
+        pages, PipelineConfig(), keep_paragraph_langs=("en", "und"), **kw)
+    plain = {r.url: r.redacted_text for r in corpus_plain.collect()}
+    seg = {r.url: r.redacted_text for r in corpus_seg.collect()}
+    assert set(seg) == set(plain)  # en-dominant pages survive both ways
+    assert all("der hund" not in t for t in seg.values())
+    assert any("der hund" in t for t in plain.values())
