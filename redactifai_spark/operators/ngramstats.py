@@ -1,0 +1,99 @@
+"""Corpus-level duplicate n-gram coverage — the diagnostic that sizes the
+dedup problem before you pick knobs.
+
+``dup_window_frac`` is the fraction of all n-token window occurrences that
+are repeats of an earlier occurrence (corpus-wide, within-doc repeats
+included): ~0 for a clean corpus, ~1.0 for a templated one. It directly
+predicts what ``substring.drop_duplicate_substrings`` at ``min_tokens=n``
+would cut, because both run on the SAME window fingerprints
+(``substring.window_fingerprint_occurrences`` — one builder, identical
+tokenization: the lossless single-space split). The top-k table names the
+worst offenders with a real text example, which is usually chrome/legal
+boilerplate you then feed to the boilerplate strip or blocklist.
+
+Scale shape: one uniform-key shuffle (groupBy on the 64-bit fingerprint,
+map-side combine absorbs hot windows) for the counts; the example pass
+re-scans only to join a BROADCAST top-k hash set and slice each example out
+of its first-occurrence document — top_k rows out, never a corpus-sized
+string shuffle. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .substring import window_fingerprint_occurrences
+
+
+def ngram_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    top_k: int = 20,
+    with_examples: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(summary, top)``.
+
+    summary (one row): n_window_occurrences, n_distinct_windows,
+    n_dup_occurrences (occurrences beyond each window's first),
+    dup_window_frac (= n_dup / n_occurrences, 0.0 on an empty corpus),
+    max_occurrences.
+
+    top (<= top_k rows, only windows occurring >= 2 times, ordered by count
+    desc then fingerprint for determinism): ngram_hash, n_occurrences, and —
+    unless ``with_examples=False`` skips the second scan — example_doc_id /
+    example_text (the window's first occurrence, sliced from the doc)."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    if top_k < 0:
+        raise ValueError(f"top_k must be >= 0, got {top_k}")
+    occ = window_fingerprint_occurrences(df, id_col, text_col, n)
+    counts = occ.groupBy("_h").agg(F.count("*").alias("n_occurrences"))
+    c = F.col("n_occurrences")
+    summary = counts.agg(
+        F.coalesce(F.sum(c), F.lit(0)).alias("n_window_occurrences"),
+        F.count("*").alias("n_distinct_windows"),
+        F.coalesce(F.sum(c - 1), F.lit(0)).alias("n_dup_occurrences"),
+        F.coalesce(F.max(c), F.lit(0)).alias("max_occurrences"),
+    ).withColumn(
+        "dup_window_frac",
+        F.when(
+            F.col("n_window_occurrences") > 0,
+            F.round(F.col("n_dup_occurrences")
+                    / F.col("n_window_occurrences"), 6),
+        ).otherwise(F.lit(0.0)),
+    )
+    top = (
+        counts.filter(c >= 2)
+        .orderBy(c.desc(), "_h")
+        .limit(top_k)
+        .select(F.col("_h").alias("ngram_hash"), "n_occurrences")
+    )
+    if not with_examples:
+        return summary, top
+    # second scan, but only broadcast-k rows survive it: first occurrence
+    # per top fingerprint, then slice the example out of that doc's text
+    first = (
+        occ.join(F.broadcast(top), occ["_h"] == top["ngram_hash"])
+        .groupBy("ngram_hash")
+        .agg(
+            F.first("n_occurrences").alias("n_occurrences"),
+            F.min(F.struct(F.col("_ss_id").alias("i"),
+                           F.col("_pos").alias("p"))).alias("w"),
+        )
+    )
+    docs = df.select(
+        F.col(id_col).alias("example_doc_id"),
+        F.split(F.col(text_col), " ", -1).alias("_toks"),
+    )
+    top_ex = (
+        docs.join(F.broadcast(first), F.col("w.i") == F.col("example_doc_id"))
+        .select(
+            "ngram_hash", "n_occurrences", "example_doc_id",
+            F.concat_ws(" ", F.slice(
+                F.col("_toks"), F.col("w.p") + 1, n)).alias("example_text"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "ngram_hash")
+    )
+    return summary, top_ex

@@ -47,14 +47,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def duplicate_window_occurrences(
-    df: DataFrame, id_col: str, text_col: str, min_tokens: int = 50,
+def window_fingerprint_occurrences(
+    df: DataFrame, id_col: str, text_col: str, k: int,
 ) -> DataFrame:
-    """All occurrences of duplicated ``min_tokens``-token windows:
-    (id, pos, fingerprint, winner struct w{i,p}, n_occurrences). The
-    diagnostic / building-block half of ``drop_duplicate_substrings`` —
-    winner selection without the text rewrite."""
-    k = min_tokens
+    """EVERY occurrence of every ``k``-token window, as
+    (``_ss_id``, ``_pos``, ``_h``) rows — the shared first stage of
+    ``duplicate_window_occurrences`` and ``ngramstats.ngram_dup_stats``
+    (one fingerprint builder so their window semantics can never
+    diverge). Documents shorter than ``k`` tokens contribute no rows."""
     base = df.select(
         F.col(id_col).alias("_ss_id"),
         F.split(F.col(text_col), " ", -1).alias("_toks"),
@@ -78,7 +78,17 @@ def duplicate_window_occurrences(
             ),
         ).otherwise(F.array().cast("array<bigint>")).alias("_wh"),
     )
-    occ = win.select("_ss_id", F.posexplode("_wh").alias("_pos", "_h"))
+    return win.select("_ss_id", F.posexplode("_wh").alias("_pos", "_h"))
+
+
+def duplicate_window_occurrences(
+    df: DataFrame, id_col: str, text_col: str, min_tokens: int = 50,
+) -> DataFrame:
+    """All occurrences of duplicated ``min_tokens``-token windows:
+    (id, pos, fingerprint, winner struct w{i,p}, n_occurrences). The
+    diagnostic / building-block half of ``drop_duplicate_substrings`` —
+    winner selection without the text rewrite."""
+    occ = window_fingerprint_occurrences(df, id_col, text_col, min_tokens)
     winners = occ.groupBy("_h").agg(
         F.min(F.struct(F.col("_ss_id").alias("i"),
                        F.col("_pos").alias("p"))).alias("w"),

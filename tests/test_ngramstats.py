@@ -1,0 +1,93 @@
+"""Corpus-level duplicate n-gram coverage (operators/ngramstats.py)."""
+
+import pytest
+
+from redactifai_spark.operators.ngramstats import ngram_dup_stats
+
+PASSAGE = "alpha beta gamma delta"  # a 4-gram shared verbatim across docs
+
+
+def _corpus(spark):
+    rows = [
+        (1, PASSAGE + " one two three"),
+        (2, "zero " + PASSAGE + " four five"),
+        (3, "six seven eight nine ten eleven"),
+        (4, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_summary_counts_exact(spark):
+    df = _corpus(spark)
+    summary, _ = ngram_dup_stats(df, n=4, top_k=5)
+    row = summary.collect()[0]
+    # window counts: doc1 7 toks -> 4, doc2 7 -> 4, doc3 6 -> 3, doc4 0
+    assert row.n_window_occurrences == 11
+    # exactly one window (the shared passage) occurs twice
+    assert row.n_dup_occurrences == 1
+    assert row.n_distinct_windows == 10
+    assert row.max_occurrences == 2
+    assert row.dup_window_frac == pytest.approx(1 / 11, abs=1e-6)
+
+
+def test_top_example_is_the_shared_passage(spark):
+    _, top = ngram_dup_stats(_corpus(spark), n=4, top_k=5)
+    rows = top.collect()
+    assert len(rows) == 1
+    assert rows[0].n_occurrences == 2
+    assert rows[0].example_text == PASSAGE
+    assert rows[0].example_doc_id == 1  # first occurrence wins the example
+
+
+def test_within_doc_repeats_count(spark):
+    df = spark.createDataFrame(
+        [(1, "spam ham spam ham spam ham spam ham")],
+        "doc_id long, text string")
+    summary, top = ngram_dup_stats(df, n=2, top_k=3)
+    row = summary.collect()[0]
+    assert row.n_window_occurrences == 7
+    assert row.n_distinct_windows == 2  # "spam ham" and "ham spam"
+    assert row.n_dup_occurrences == 5
+    assert {r.example_text for r in top.collect()} == {"spam ham",
+                                                       "ham spam"}
+
+
+def test_clean_and_empty_corpora(spark):
+    clean = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string")
+    srow = ngram_dup_stats(clean, n=3, top_k=5)[0].collect()[0]
+    assert srow.n_dup_occurrences == 0 and srow.dup_window_frac == 0.0
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    srow = ngram_dup_stats(empty, n=3)[0].collect()[0]
+    assert srow.n_window_occurrences == 0
+    assert srow.dup_window_frac == 0.0
+
+
+def test_without_examples_skips_second_scan(spark):
+    _, top = ngram_dup_stats(_corpus(spark), n=4, top_k=5,
+                             with_examples=False)
+    assert set(top.columns) == {"ngram_hash", "n_occurrences"}
+    assert top.count() == 1
+
+
+def test_validation(spark):
+    df = _corpus(spark)
+    with pytest.raises(ValueError, match="n must"):
+        ngram_dup_stats(df, n=0)
+    with pytest.raises(ValueError, match="top_k"):
+        ngram_dup_stats(df, top_k=-1)
+
+
+def test_predicts_substring_dedup(spark):
+    # the diagnostic and the dedup operator share one fingerprint builder:
+    # dup windows found here == tokens drop_duplicate_substrings removes
+    from redactifai_spark.operators.substring import (
+        drop_duplicate_substrings)
+
+    df = _corpus(spark)
+    summary, _ = ngram_dup_stats(df, n=4)
+    deduped = drop_duplicate_substrings(df, "doc_id", "text", min_tokens=4)
+    dropped = sum(r.n_tokens_dropped for r in deduped.collect())
+    assert summary.collect()[0].n_dup_occurrences > 0
+    assert dropped == 4  # the second copy of the 4-token passage
