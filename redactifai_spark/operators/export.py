@@ -44,6 +44,15 @@ def with_shuffle_order(
     reshuffle. Deterministic for a given (seed, id); null ids hash as ''."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    clash = {"shard", "shuffle_order"} & set(df.columns)
+    if clash:
+        # fail loudly, never clobber: a data column named 'shard' would be
+        # silently replaced by the hash key and lost from the written files
+        # (the importance/classifier re-run-collision hazard family)
+        raise ValueError(
+            f"df already has column(s) {sorted(clash)}; rename them before "
+            "the shard export (they would be overwritten by the shuffle "
+            "keys and dropped from the output)")
     sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
     # two independent streams from one hash family: the literal stream tag
     # makes shard assignment and in-shard order uncorrelated (same trick as

@@ -136,3 +136,9 @@ def test_write_validation_before_touching_df(spark, tmp_path):
     with pytest.raises(ValueError, match="max_records_per_file"):
         write_training_shards(_docs(spark), str(tmp_path / "x"), 4,
                               max_records_per_file=0)
+
+
+def test_existing_shard_column_fails_loudly(spark):
+    df = _docs(spark).withColumn("shard", F.lit(1))
+    with pytest.raises(ValueError, match="already has column"):
+        with_shuffle_order(df, 4)
