@@ -170,6 +170,13 @@ def prepare_training_corpus(
             "prepare_training_corpus: host_ranks without host_rank_min — "
             "the web-graph gate would silently never apply; pass "
             "host_rank_min (hosts absent from the table score 0.0)")
+    if keep_paragraph_langs is not None:
+        from .textstats import validate_keep_langs
+
+        # validate BEFORE the redaction checkpoint write — a typo'd lang
+        # code must not cost the job's dominant per-doc Python pass (the
+        # duplicate-url probe convention below)
+        validate_keep_langs(keep_paragraph_langs)
     if (strip_boilerplate or dedup_paragraphs or lm_score_min is not None
             or dedup_substrings_min_tokens is not None
             or classifier_score_min is not None) \

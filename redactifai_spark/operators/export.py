@@ -41,7 +41,10 @@ def with_shuffle_order(
     """Add ``shard`` (int, pmod of the seeded id hash) and ``shuffle_order``
     (long, an independent seeded hash) columns. Different seeds move docs to
     different shards AND reorder within shards — one knob is a full epoch-level
-    reshuffle. Deterministic for a given (seed, id); null ids hash as ''."""
+    reshuffle. Deterministic for a given (seed, id); a NULL id fails the job
+    loudly at execution time (two null-id rows would share every sort key,
+    leaving their relative order to shuffle arrival — silently breaking the
+    byte-identical re-run contract)."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     clash = {"shard", "shuffle_order"} & set(df.columns)
@@ -53,7 +56,12 @@ def with_shuffle_order(
             f"df already has column(s) {sorted(clash)}; rename them before "
             "the shard export (they would be overwritten by the shuffle "
             "keys and dropped from the output)")
-    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    sid = F.coalesce(
+        F.col(id_col).cast("string"),
+        F.raise_error(F.lit(
+            f"write_training_shards: null {id_col} — deterministic shard "
+            "order requires a non-null unique id")).cast("string"),
+    )
     # two independent streams from one hash family: the literal stream tag
     # makes shard assignment and in-shard order uncorrelated (same trick as
     # the value-salted HLL and the bloom hash set)

@@ -265,6 +265,18 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     }).drop("_rep_lines", "_rep_toks", "_rep_bigrams", "_rep_bg_sorted")
 
 
+def validate_keep_langs(keep_langs: tuple[str, ...]) -> None:
+    """Fail fast on a bad keep-set — callable from argparse so a typo'd
+    code never costs a full redaction pass (run_corpus_job re-uses it)."""
+    if not keep_langs:
+        raise ValueError("keep_langs must be non-empty")
+    unknown = set(keep_langs) - set(STOPWORDS) - {"und"}
+    if unknown:
+        raise ValueError(
+            f"unknown language codes {sorted(unknown)}; "
+            f"known: {sorted(STOPWORDS)} + ['und']")
+
+
 def with_paragraph_languages(
     df: DataFrame,
     text_col: str = "text",
@@ -288,12 +300,17 @@ def with_paragraph_languages(
     pass r"\\n+" for the extraction pipeline's output, where the extractor
     emits one BLOCK PER LINE (the drop_duplicate_paragraphs delim="\\n"
     convention)."""
+    clash = {out_col, paras_col} & set(df.columns)
+    if clash:
+        # fail loudly, never clobber a data column (export.py guard family)
+        raise ValueError(
+            f"df already has column(s) {sorted(clash)}; pass different "
+            "out_col/paras_col or drop them first")
     d = df.withColumn(
         paras_col, F.split(F.col(text_col), para_split, -1)
     ).withColumn(
         "_seg_ptoks",
-        F.transform(F.col(paras_col),
-                    lambda p: F.filter(tokens_of(p), lambda t: t != "")),
+        F.transform(F.col(paras_col), nonempty_tokens_of),
     )
     # closure factory, NOT a default-arg lambda: F.transform treats a 2-arg
     # lambda as (element, index), so `lambda ts, sw=sw:` silently binds the
@@ -343,14 +360,16 @@ def strip_foreign_paragraphs(
     Include 'und' in ``keep_langs`` unless short/signal-free paragraphs
     (headings, code, lists) should be dropped too. Per-row Catalyst only —
     composes with the funnel before the doc-level language/quality gates."""
-    if not keep_langs:
-        raise ValueError("keep_langs must be non-empty")
-    unknown = set(keep_langs) - set(STOPWORDS) - {"und"}
-    if unknown:
-        raise ValueError(
-            f"unknown language codes {sorted(unknown)}; "
-            f"known: {sorted(STOPWORDS)} + ['und']")
+    validate_keep_langs(keep_langs)
     out_col = out_col or text_col
+    clash = ({"n_paragraphs", "n_foreign_paragraphs"} | (
+        {out_col} if out_col != text_col else set())) & set(df.columns)
+    if clash:
+        # fail loudly, never clobber a data column (export.py guard family);
+        # out_col == text_col is the operator's replace contract, not a clash
+        raise ValueError(
+            f"df already has column(s) {sorted(clash)}; drop or rename "
+            "them before the paragraph strip")
     keep = F.array(*[F.lit(lang) for lang in keep_langs])
     d = with_paragraph_languages(
         df, text_col, out_col="_seg_langs", paras_col="_seg_paras",

@@ -211,6 +211,24 @@ def main(argv: list[str] | None = None) -> int:
             or args.export_max_records_per_file is not None):
         p.error("--export-seed/--export-format/--export-max-records-per-file "
                 "require --export-shards")
+    if args.export_shards is not None and args.export_shards <= 0:
+        p.error("--export-shards must be positive")
+    if (args.export_max_records_per_file is not None
+            and args.export_max_records_per_file <= 0):
+        p.error("--export-max-records-per-file must be positive")
+    keep_paragraph_langs = None
+    if args.keep_paragraph_langs:
+        keep_paragraph_langs = tuple(
+            s.strip() for s in args.keep_paragraph_langs.split(",")
+            if s.strip())
+        from redactifai_spark.operators.textstats import validate_keep_langs
+
+        try:
+            # before the session even starts — a typo'd code must not cost
+            # the full redaction pass (prepare_training_corpus re-checks)
+            validate_keep_langs(keep_paragraph_langs)
+        except ValueError as e:
+            p.error(str(e))
     if bool(args.importance_target) != (args.importance_frac is not None):
         # half-configured gates must fail fast, not silently no-op (the
         # classifier flags learned this the hard way)
@@ -315,9 +333,7 @@ def main(argv: list[str] | None = None) -> int:
         boilerplate_df_ratio=args.boilerplate_df_ratio,
         boilerplate_min_docs=args.boilerplate_min_docs,
         lm_score_min=args.lm_score_min,
-        keep_paragraph_langs=(
-            tuple(args.keep_paragraph_langs.split(","))
-            if args.keep_paragraph_langs else None),
+        keep_paragraph_langs=keep_paragraph_langs,
         cluster_near_dups=args.cluster_near_dups,
         cluster_checkpoint_dir=args.cluster_checkpoint_dir,
         max_dup_line_frac=args.max_dup_line_frac,
@@ -369,6 +385,16 @@ def main(argv: list[str] | None = None) -> int:
         from redactifai_spark.operators.textnorm import with_clean_text
 
         corpus = with_clean_text(corpus, text_col="redacted_text")
+    # count the corpus THROUGH the write plan (Observation): no read-back
+    # scan (json read-back would re-scan every shard twice for schema
+    # inference + count), and an EMPTY corpus stays a normal outcome — a
+    # partitionBy shard export writes no data files at 0 rows, so a
+    # read-back would die on UNABLE_TO_INFER_SCHEMA after the whole funnel
+    # had already paid for itself
+    from pyspark.sql import Observation, functions as F
+
+    corpus_obs = Observation("corpus_commit")
+    corpus = corpus.observe(corpus_obs, F.count(F.lit(1)).alias("n_rows"))
     if args.export_shards is not None:
         from redactifai_spark.operators.export import write_training_shards
 
@@ -376,15 +402,21 @@ def main(argv: list[str] | None = None) -> int:
             corpus, args.output, args.export_shards,
             seed=args.export_seed, fmt=args.export_format, id_col="url",
             max_records_per_file=args.export_max_records_per_file)
-        corpus_back = spark.read.format(args.export_format).load(args.output)
     else:
         corpus.write.mode("overwrite").parquet(args.output)
-        corpus_back = spark.read.parquet(args.output)
     stats.write.mode("overwrite").parquet(args.stats)
     unpersist_tracked()
     row = spark.read.parquet(args.stats).collect()[0].asDict()
+    try:
+        n_corpus_rows = corpus_obs.get["n_rows"]
+    except Exception:
+        # a zero-task plan (every row gated away) never materializes its
+        # observed metrics — Observation.get dies on a JVM assertion
+        # (verified live). The corpus write above already succeeded, so
+        # the only way to get here is a genuinely empty corpus.
+        n_corpus_rows = 0
     report = {"stats": row,
-              "corpus_rows": corpus_back.count()}
+              "corpus_rows": n_corpus_rows}
     if warc_obs is not None:
         report["warc_parse_errors"] = warc_obs.get["n_parse_errors"]
     print(json.dumps(report))

@@ -403,3 +403,46 @@ def test_corpus_job_export_shards_flag(spark, tmp_path):
                         text=True, env=env, timeout=120)
     assert rb.returncode == 2
     assert "--export-shards" in rb.stderr
+
+
+def test_corpus_job_empty_corpus_export_is_normal(spark, tmp_path):
+    # gates that drop everything + --export-shards: the job must still exit
+    # 0 with corpus_rows 0 and the stats row written (a partitionBy export
+    # writes no data files at 0 rows, so a read-back would die on schema
+    # inference — the count goes through an Observation instead)
+    import json
+
+    from redactifai_spark.sources.pages import generate_pages
+
+    inp = str(tmp_path / "in")
+    outp, statsp = str(tmp_path / "corpus"), str(tmp_path / "stats")
+    generate_pages(spark, 10, n_partitions=2).write.parquet(inp)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_corpus_job.py"),
+         "--input", inp, "--output", outp, "--stats", statsp,
+         "--quality-min", "0.0", "--langs", "fr",  # corpus is english
+         "--export-shards", "3", "--export-format", "json",
+         "--master", "local[2]"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["corpus_rows"] == 0
+    assert report["stats"]["n_corpus"] == 0
+    assert spark.read.parquet(statsp).count() == 1
+
+    # fail-fast knob validation: typo'd lang code and nonpositive shard
+    # count die at argparse, before any Spark session
+    base = [sys.executable, os.path.join(REPO, "run_corpus_job.py"),
+            "--input", inp, "--output", outp, "--stats", statsp]
+    for bad, msg in (
+            (["--keep-paragraph-langs", "en,deu"], "unknown language"),
+            (["--keep-paragraph-langs", ""], None),
+            (["--export-shards", "0"], "--export-shards"),
+    ):
+        rb = subprocess.run(base + bad, capture_output=True, text=True,
+                            env=env, timeout=120)
+        if bad[1] == "":  # empty value == flag unset: normal (no-op) path
+            continue
+        assert rb.returncode == 2, (bad, rb.stderr[-300:])
+        assert msg in rb.stderr, (bad, rb.stderr[-300:])

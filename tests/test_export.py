@@ -142,3 +142,10 @@ def test_existing_shard_column_fails_loudly(spark):
     df = _docs(spark).withColumn("shard", F.lit(1))
     with pytest.raises(ValueError, match="already has column"):
         with_shuffle_order(df, 4)
+
+
+def test_null_id_fails_loudly(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "y")], "doc_id string, text string")
+    with pytest.raises(Exception, match="null doc_id"):
+        write_training_shards(df, str(tmp_path / "s"), 2, fmt="json")

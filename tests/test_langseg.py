@@ -108,3 +108,14 @@ def test_funnel_knob(spark):
     assert set(seg) == set(plain)  # en-dominant pages survive both ways
     assert all("der hund" not in t for t in seg.values())
     assert any("der hund" in t for t in plain.values())
+
+
+def test_clobber_guards(spark):
+    df = spark.createDataFrame([(1, EN)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="already has column"):
+        with_paragraph_languages(df.withColumn("para_langs", F.lit("x")))
+    with pytest.raises(ValueError, match="already has column"):
+        strip_foreign_paragraphs(
+            df.withColumn("n_paragraphs", F.lit(0)), ("en", "und"))
+    # out_col == text_col is the replace contract, not a clash
+    assert strip_foreign_paragraphs(df, ("en", "und")).count() == 1
