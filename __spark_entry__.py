@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
 from redactifai_spark.kernels.oracle import PipelineConfig
 from redactifai_spark.operators.pipeline import run_pipeline
+from redactifai_spark.operators.sampling import cap_docs_per_host
 from redactifai_spark.sources.pages import wrap_documents_as_pages
 
 _PYFILES_SENT: set[int] = set()
@@ -136,13 +137,27 @@ def _events_recent_page(spark, sf_dir):
 
 
 def _events_error_by_user(spark, sf_dir):
-    # O2: status filter + per-user count (api/main.py:244-246 analog)
-    return (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "error")
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_errors"))
+    # O2: status filter + per-user count (api/main.py:244-246 analog).
+    # Since r7 session 3 also carries the former events_top_users row
+    # (O1 top-k + A4 min/max aggregate) as a grp-tagged leg — both are
+    # per-user aggregations, the sibling-merge pattern.
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .groupBy("user_id").agg(F.count("*").alias("n")).select(
+            F.lit("errors").alias("grp"), "user_id", "n",
+            F.lit(None).cast("double").alias("min_value"),
+            F.lit(None).cast("double").alias("max_value"))
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(50)
+        .select(F.lit("top_user").alias("grp"), "user_id", "n",
+                "min_value", "max_value")
     )
+    return errors.unionByName(top)
 
 
 def _events_first_event(spark, sf_dir):
@@ -160,17 +175,22 @@ def _events_first_event(spark, sf_dir):
     )
 
 
-def _events_top_users(spark, sf_dir):
-    # O1 top-k + A4 aggregate; min/max are float-exact
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n"),
-             F.min("value").alias("min_value"),
-             F.max("value").alias("max_value"))
-        .orderBy(F.desc("n"), F.asc("user_id"))
-        .limit(50)
-    )
+def _docs_source_cap(spark, sf_dir):
+    # X5 skew fan-out + deterministic selection: EXACT per-host document
+    # cap via salted two-level ranking (operators/sampling.py
+    # cap_docs_per_host — the C4-style diversity cap). 'hub' is the
+    # planted skewed host (a third of the corpus, well over the cap and
+    # routed through the (host, salt)-windowed offender branch); the 20
+    # sources stay under the cap and take the window-free anti-join
+    # branch, so BOTH branches are value-hashed. The oracle replays the
+    # semantics as one plain window — the cross-engine md5-substring
+    # order trick (shared with the paragraph-dedup winner oracle).
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "host", F.when(F.col("doc_id") % 3 == 0, F.lit("hub"))
+                 .otherwise(F.col("source")))
+    return cap_docs_per_host(
+        docs, 20, host_col="host", id_col="doc_id",
+    ).select("doc_id", "host")
 
 
 def _docs_token_counts(spark, sf_dir):
@@ -1583,14 +1603,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # events_first_event -> events_recent_page ('first_event' leg); then two
 # more for docs_outlinks + docs_crawl_diff (web-graph/crawl evidence):
 # events_props_json -> events_type_counts ('props_k' leg),
-# orders_top_revenue -> region_rollup ('top_order' leg).
+# orders_top_revenue -> region_rollup ('top_order' leg); then one more for
+# docs_source_cap (skew-aware exact per-host cap):
+# events_top_users -> events_error_by_user ('top_user' leg).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "training_corpus_funnel": _training_corpus,
         "events_type_counts": _events_type_counts,
         "events_recent_page": _events_recent_page,
         "events_error_by_user": _events_error_by_user,
         "docs_substring_dedup": _docs_substring_dedup,
-        "events_top_users": _events_top_users,
+        "docs_source_cap": _docs_source_cap,
         "events_cube": _events_cube,
         "salted_host_counts": _salted_host_counts,
         "per_host_approx_distinct": _per_host_approx_distinct,
@@ -2206,12 +2228,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) t WHERE rn = 1"
         ),
         "events_error_by_user": (
-            "SELECT user_id, COUNT(*) AS n_errors FROM events "
-            "WHERE event_type = 'error' GROUP BY user_id"
+            "SELECT 'errors' AS grp, user_id, COUNT(*) AS n, "
+            "CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value "
+            "FROM events WHERE event_type = 'error' GROUP BY user_id "
+            "UNION ALL "
+            "SELECT 'top_user', user_id, n, min_value, max_value FROM ("
+            "SELECT user_id, COUNT(*) AS n, MIN(value) AS min_value, "
+            "MAX(value) AS max_value FROM events GROUP BY user_id "
+            "ORDER BY n DESC, user_id ASC LIMIT 50)"
         ),
-        "events_top_users": (
-            "SELECT user_id, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value "
-            "FROM events GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 50"
+        "docs_source_cap": (
+            # one plain window replays the salted two-level rank: same
+            # order key (md5 lower half, id tiebreak), same keep rule
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'hub' "
+            "ELSE source END AS host FROM documents), "
+            "r AS (SELECT doc_id, host, row_number() OVER (PARTITION BY host "
+            "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 17, 16), doc_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY host) AS tot FROM d) "
+            "SELECT doc_id, host FROM r WHERE tot <= 20 OR rn <= 20"
         ),
         "docs_token_counts": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "

@@ -54,6 +54,7 @@ def prepare_training_corpus(
     broadcast_host_ranks: bool = False,
     assume_unique_ids: bool = False,
     cluster_checkpoint_dir: str | None = None,
+    max_docs_per_host: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, funnel_stats). corpus: (url, lang_detected, quality_score,
     redacted_text, n_spans); funnel_stats: one row of stage counts
@@ -154,6 +155,13 @@ def prepare_training_corpus(
     standard tradeoff. ``cluster_checkpoint_dir`` is passed through to
     ``duplicate_clusters`` so 10^12-doc runs can use reliable checkpoints
     (executor-loss safety) instead of the local default.
+
+    ``max_docs_per_host``: C4-style diversity cap applied LAST (after both
+    dedup stages): keep at most this many docs per url host, chosen
+    deterministically (sampling.cap_docs_per_host — exact salted two-level
+    rank, no hot-host task). Runs against a materialized pre-cap corpus
+    (checkpoint table or tracked persist) because the cap scans its input
+    up to three times.
     """
     if classifier_weights is None and classifier_score_min is not None:
         raise ValueError(
@@ -170,6 +178,11 @@ def prepare_training_corpus(
             "prepare_training_corpus: host_ranks without host_rank_min — "
             "the web-graph gate would silently never apply; pass "
             "host_rank_min (hosts absent from the table score 0.0)")
+    if max_docs_per_host is not None and max_docs_per_host <= 0:
+        # fail BEFORE the redaction checkpoint write, not when the cap
+        # operator is finally constructed after it
+        raise ValueError(
+            f"max_docs_per_host must be positive, got {max_docs_per_host}")
     if keep_paragraph_langs is not None:
         from .textstats import validate_keep_langs
 
@@ -414,8 +427,31 @@ def prepare_training_corpus(
         "is_complete", "is_gated"
     )
 
+    if max_docs_per_host is not None:
+        from .links import page_host
+        from .sampling import cap_docs_per_host
+
+        # the cap scans its input up to three times (counts + pass/offender
+        # branches) — materialize the near-dup survivors first so the LSH
+        # anti-join chain runs once, not per scan. Host key = page_host
+        # (the rank-gate lesson: lowercased + junk-tolerant, or case
+        # variants split one site across cap groups).
+        if checkpoint_path is not None:
+            precap_path = checkpoint_path.rstrip("/") + "_precap"
+            corpus.write.mode("overwrite").parquet(precap_path)
+            corpus = pages.sparkSession.read.parquet(precap_path)
+        else:
+            corpus = persist_tracked(corpus, eager=False)
+        corpus = cap_docs_per_host(
+            corpus.withColumn("_cap_h", page_host(F.col("url"))),
+            max_docs_per_host, host_col="_cap_h", id_col="url",
+        ).drop("_cap_h")
+
     # Funnel stats: ONE action — a single aggregation over the flags plus the
-    # loser count, cross-joined (both sides are 1-row aggregates).
+    # loser count, cross-joined (both sides are 1-row aggregates). With the
+    # host cap on, n_corpus can no longer be derived arithmetically — a
+    # third 1-row leg counts the capped survivors (one columnar re-scan of
+    # the materialized pre-cap corpus).
     gate_counts = flagged.agg(
         F.count("*").alias("n_input"),
         F.sum(F.col("is_complete").cast("long")).alias("n_complete"),
@@ -425,8 +461,14 @@ def prepare_training_corpus(
         ).alias("n_exact_unique"),
     )
     loser_count = losers.agg(F.count("*").alias("_n_losers"))
-    stats = gate_counts.crossJoin(loser_count).select(
-        "n_input", "n_complete", "n_gated", "n_exact_unique",
-        (F.col("n_exact_unique") - F.col("_n_losers")).alias("n_corpus"),
+    stats = gate_counts.crossJoin(loser_count)
+    if max_docs_per_host is not None:
+        stats = stats.crossJoin(corpus.agg(F.count("*").alias("_n_capped")))
+        n_corpus = F.col("_n_capped").alias("n_corpus")
+    else:
+        n_corpus = (F.col("n_exact_unique") - F.col("_n_losers")) \
+            .alias("n_corpus")
+    stats = stats.select(
+        "n_input", "n_complete", "n_gated", "n_exact_unique", n_corpus,
     )
     return corpus, stats

@@ -26,9 +26,9 @@ row order — that would make the output depend on partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["quality_thresholds", "take_top_quality"]
+__all__ = ["quality_thresholds", "take_top_quality", "cap_docs_per_host"]
 
 
 def quality_thresholds(
@@ -71,3 +71,100 @@ def take_top_quality(
     # in the precomputed frame) contributes nothing — NULL >= x is NULL,
     # filter drops it; same for NULL-scored rows of known sources
     return out.filter(F.col(score_col) >= F.col("threshold")).drop("threshold")
+
+
+def cap_docs_per_host(
+    df: DataFrame,
+    max_docs: int,
+    host_col: str = "host",
+    id_col: str = "url",
+    salt_hex_len: int = 2,
+) -> DataFrame:
+    """Keep at most ``max_docs`` documents per host — the C4-style diversity
+    cap that stops one mega-site from dominating a corpus — with an EXACT,
+    deterministic, partitioning-independent keep set: the ``max_docs`` docs
+    whose ``substr(md5(id), 17, 16)`` order key sorts smallest (id as the
+    tiebreak). Reference analog: deterministic page selection before the
+    expensive per-doc work (src/services/phi_detection_service.py:43-76 —
+    gate first, then pay).
+
+    Scale shape — the naive ``row_number() over (partition by host)`` puts a
+    billion-doc host into ONE task. Here:
+
+      1. one column-pruned scan aggregates ``(host, salt)`` counts, where
+         ``salt`` is the first ``salt_hex_len`` hex chars of the order key
+         itself — so salt-major order IS order-key order and per-salt prefix
+         sums give exact global ranks;
+      2. hosts at or under the cap take a window-free anti-join branch —
+         their rows never shuffle;
+      3. only offender-host rows get ranked, in ``(host, salt)`` windows
+         whose size is bounded by ``n_host / 16^salt_hex_len`` (no hot task),
+         then keep ``prefix_offset + local_rank <= max_docs``.
+
+    The input is scanned up to three times (counts + both branches): hand it
+    a materialized table or persisted frame (the funnel's checkpoint shape),
+    not a raw expensive pipeline. The internal counts frame is registered
+    with ``caching.persist_tracked`` — call ``unpersist_tracked()`` after the
+    consuming action (the CLI jobs already do). NULL ids fail loudly at
+    execution time (export.py contract: a NULL id has no deterministic
+    order). NULL hosts form their own capped group (host joins are
+    null-safe). Duplicate ids tie in the order key: membership count stays
+    exact, but WHICH of the duplicates survives is partition-dependent —
+    dedup by id first (the funnel does).
+    """
+    if max_docs <= 0:
+        raise ValueError(f"max_docs must be positive, got {max_docs}")
+    if not 1 <= salt_hex_len <= 4:
+        raise ValueError(f"salt_hex_len must be in [1, 4], got {salt_hex_len}")
+    internals = ("_cap_okey", "_cap_salt", "_cap_n", "_cap_tot",
+                 "_cap_off", "_cap_rn", "_cap_host", "_cap_osalt")
+    clash = set(internals) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"df already has column(s) {sorted(clash)}; rename them before "
+            "the host cap (they collide with its internal columns)")
+    sid = F.coalesce(
+        F.col(id_col).cast("string"),
+        F.raise_error(F.lit(
+            f"cap_docs_per_host: null {id_col} — deterministic selection "
+            "requires a non-null unique id")).cast("string"),
+    )
+    d = df.withColumn("_cap_okey", F.substring(F.md5(sid), 17, 16)) \
+          .withColumn("_cap_salt", F.substring(F.col("_cap_okey"), 1,
+                                               salt_hex_len))
+    # the ONLY count scan of df; persisted (hosts x occupied salts, far
+    # smaller than df) because offenders/offsets/both branches all derive
+    # from it — unpersisted, each derivation re-scans the full input
+    from .caching import persist_tracked
+
+    salt_counts = persist_tracked(d.groupBy(host_col, "_cap_salt").agg(
+        F.count(F.lit(1)).alias("_cap_n")))
+    offenders = salt_counts.groupBy(host_col).agg(
+        F.sum("_cap_n").alias("_cap_tot"),
+    ).filter(F.col("_cap_tot") > max_docs).select(
+        F.col(host_col).alias("_cap_host"))
+    # host joins are NULL-SAFE: a NULL host is its own capped group, and a
+    # plain equi-join would silently route its rows around the cap
+    is_off = F.col(host_col).eqNullSafe(F.col("_cap_host"))
+    # prefix offsets across an offender's salts, salt-major == key-major;
+    # this frame is (offender hosts x occupied salts) — small by the same
+    # argument as the boilerplate host table, so strategy stays with AQE
+    w_off = Window.partitionBy(host_col).orderBy("_cap_salt")
+    offsets = (
+        salt_counts.join(offenders, is_off, "left_semi")
+        .withColumn("_cap_off", F.sum("_cap_n").over(w_off) - F.col("_cap_n"))
+        .select(F.col(host_col).alias("_cap_host"),
+                F.col("_cap_salt").alias("_cap_osalt"), "_cap_off")
+    )
+    pass_rows = d.join(offenders, is_off, "left_anti")
+    w_rank = Window.partitionBy(host_col, "_cap_salt") \
+                   .orderBy("_cap_okey", id_col)
+    ranked = (
+        d.join(offenders, is_off, "left_semi")
+        .withColumn("_cap_rn", F.row_number().over(w_rank))
+        .join(offsets, F.col(host_col).eqNullSafe(F.col("_cap_host"))
+              & (F.col("_cap_salt") == F.col("_cap_osalt")))
+        .filter(F.col("_cap_off") + F.col("_cap_rn") <= max_docs)
+        .select(*pass_rows.columns)
+    )
+    return pass_rows.unionByName(ranked).drop("_cap_okey", "_cap_salt")

@@ -114,6 +114,11 @@ def main(argv: list[str] | None = None) -> int:
                         "only when the host universe is known-bounded "
                         "(default lets AQE choose; a full crawl's 10^8 "
                         "hosts is gigabytes)")
+    p.add_argument("--max-docs-per-host", type=int, default=None,
+                   help="C4-style diversity cap: keep at most this many "
+                        "docs per url host after dedup, selected "
+                        "deterministically (exact salted rank — no "
+                        "hot-host task)")
     p.add_argument("--block-domains", default=None, metavar="PATH",
                    help="parquet with a 'domain' column (UT1/C4-style "
                         "registrable domains); input docs whose url host "
@@ -216,6 +221,8 @@ def main(argv: list[str] | None = None) -> int:
     if (args.export_max_records_per_file is not None
             and args.export_max_records_per_file <= 0):
         p.error("--export-max-records-per-file must be positive")
+    if args.max_docs_per_host is not None and args.max_docs_per_host <= 0:
+        p.error("--max-docs-per-host must be positive")
     keep_paragraph_langs = None
     if args.keep_paragraph_langs:
         keep_paragraph_langs = tuple(
@@ -349,6 +356,7 @@ def main(argv: list[str] | None = None) -> int:
         host_ranks=_host_ranks,
         host_rank_min=args.host_rank_min,
         broadcast_host_ranks=args.broadcast_host_ranks,
+        max_docs_per_host=args.max_docs_per_host,
         # --canonicalize-urls already deduped on the canonical url
         assume_unique_ids=args.assume_unique_urls or args.canonicalize_urls,
     )

@@ -439,6 +439,7 @@ def test_corpus_job_empty_corpus_export_is_normal(spark, tmp_path):
             (["--keep-paragraph-langs", "en,deu"], "unknown language"),
             (["--keep-paragraph-langs", ""], None),
             (["--export-shards", "0"], "--export-shards"),
+            (["--max-docs-per-host", "0"], "--max-docs-per-host"),
     ):
         rb = subprocess.run(base + bad, capture_output=True, text=True,
                             env=env, timeout=120)

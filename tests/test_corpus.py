@@ -463,3 +463,45 @@ def test_funnel_host_rank_join_strategy_not_forced_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         unpersist_tracked()
     assert free_rows == forced_rows
+
+
+def test_funnel_max_docs_per_host_cap(spark, tmp_path):
+    import pytest
+
+    base = generate_pages(spark, 30, n_partitions=4)
+    # move ~a third of the docs onto ONE host (distinct paths): the C4-style
+    # diversity problem the cap exists for
+    hub = F.concat(F.lit("https://hub.example.com/a/"), F.md5("url"))
+    pages = base.withColumn(
+        "url", F.when(F.pmod(F.xxhash64("url"), F.lit(3)) == 0, hub)
+                .otherwise(F.col("url")))
+
+    kw = dict(quality_min=0.3, langs=("en", "und"))
+    free, _ = prepare_training_corpus(pages, **kw)
+    capped, stats = prepare_training_corpus(
+        pages, max_docs_per_host=4,
+        checkpoint_path=str(tmp_path / "ckpt"), **kw)
+
+    def by_host(df):
+        out = {}
+        for r in df.collect():
+            h = r["url"].split("/")[2]
+            out.setdefault(h, set()).add(r["url"])
+        return out
+
+    f, c = by_host(free), by_host(capped)
+    assert len(f["hub.example.com"]) > 4  # the cap had something to do
+    # every over-cap host (the planted hub AND generate_pages' own skewed
+    # popular-news.com fixture) is cut to exactly the cap with a subset of
+    # the uncapped corpus; under-cap hosts come through untouched
+    for h in f:
+        if len(f[h]) > 4:
+            assert len(c[h]) == 4 and c[h] <= f[h], h
+        else:
+            assert c[h] == f[h], h
+    # stats n_corpus switches to the counted (post-cap) leg
+    assert stats.collect()[0]["n_corpus"] == sum(len(v) for v in c.values())
+
+    # nonpositive cap fails before any work
+    with pytest.raises(ValueError, match="max_docs_per_host"):
+        prepare_training_corpus(pages, max_docs_per_host=0, **kw)

@@ -152,3 +152,93 @@ def test_relative_hrefs_on_unparseable_page_urls_are_dropped(spark):
     assert got == ["https://abs.example.com/ok",
                    "https://cdn.example.com/l.js"]
     assert not [t for t in got if ":///" in t]
+
+
+# --- cap_docs_per_host -------------------------------------------------
+
+from redactifai_spark.operators.sampling import cap_docs_per_host
+
+
+def _capdocs(spark, skew=200, small=5):
+    # one offender host with `skew` docs, two under-cap hosts, a NULL host
+    rows = ([(f"https://big.com/{i}", "big.com", i) for i in range(skew)]
+            + [(f"https://a.org/{i}", "a.org", i) for i in range(small)]
+            + [(f"https://b.org/{i}", "b.org", i) for i in range(small)]
+            + [(f"junk-{i}", None, i) for i in range(20)])
+    return spark.createDataFrame(rows, "url string, host string, payload long")
+
+
+def _naive_keep(rows, cap):
+    # reference semantics: per host keep the cap-smallest (md5-lower-half, id)
+    import hashlib
+    from collections import defaultdict
+    byhost = defaultdict(list)
+    for url, host, _ in rows:
+        byhost[host].append((hashlib.md5(url.encode()).hexdigest()[16:32],
+                             url))
+    keep = set()
+    for host, lst in byhost.items():
+        for _, url in sorted(lst)[:cap]:
+            keep.add(url)
+    return keep
+
+
+def test_cap_docs_per_host_exact_and_deterministic(spark):
+    df = _capdocs(spark)
+    rows = [(r["url"], r["host"], r["payload"]) for r in df.collect()]
+    expect = _naive_keep(rows, 12)
+    got = cap_docs_per_host(df, 12, host_col="host", id_col="url")
+    assert set(got.columns) == {"url", "host", "payload"}
+    kept = {r["url"] for r in got.collect()}
+    assert kept == expect
+    # per-host sizes: offenders cut to exactly the cap, small hosts intact,
+    # NULL host capped too (null-safe joins)
+    sizes = {r["host"]: r["n"] for r in
+             got.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"big.com": 12, "a.org": 5, "b.org": 5, None: 12}
+    # partitioning-independent: same keep set from a different layout
+    kept2 = {r["url"] for r in
+             cap_docs_per_host(df.repartition(13, "payload"), 12,
+                               host_col="host", id_col="url").collect()}
+    assert kept2 == expect
+
+
+def test_cap_docs_per_host_salt_bounds_window(spark):
+    # the rank window must partition by (host, salt), never host alone —
+    # that's the whole skew story
+    df = _capdocs(spark, skew=50)
+    plan = cap_docs_per_host(df, 10, host_col="host", id_col="url",
+                             salt_hex_len=1)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    import re
+    w = [l for l in plan.splitlines() if "row_number" in l]
+    assert w and all("_cap_salt" in l for l in w)
+
+
+def test_cap_docs_per_host_guards(spark):
+    import pytest
+    df = _capdocs(spark, skew=3)
+    with pytest.raises(ValueError, match="max_docs"):
+        cap_docs_per_host(df, 0, host_col="host", id_col="url")
+    with pytest.raises(ValueError, match="salt_hex_len"):
+        cap_docs_per_host(df, 5, host_col="host", id_col="url",
+                          salt_hex_len=0)
+    with pytest.raises(ValueError, match="already has column"):
+        cap_docs_per_host(df.withColumn("_cap_salt", F.lit("x")), 5,
+                          host_col="host", id_col="url")
+    bad = spark.createDataFrame(
+        [("u1", "h", 1), (None, "h", 2)], "url string, host string, p long")
+    with pytest.raises(Exception, match="null url"):
+        cap_docs_per_host(bad, 1, host_col="host", id_col="url").collect()
+
+
+def test_cap_docs_per_host_tracked_cache_drains(spark):
+    from redactifai_spark.operators.caching import (
+        tracked_count, unpersist_tracked,
+    )
+    unpersist_tracked()
+    df = _capdocs(spark, skew=30)
+    out = cap_docs_per_host(df, 10, host_col="host", id_col="url")
+    assert tracked_count() >= 1
+    assert out.count() == 10 + 5 + 5 + 10  # offender+null capped, rest pass
+    assert unpersist_tracked() >= 1 and tracked_count() == 0
