@@ -183,3 +183,97 @@ def filter_confidence(entities: list[SpanEntity], threshold: float) -> list[Span
     """Confidence gate (entity_matcher.py:99-105) — Catalyst F.filter in the
     Spark plan; kept here so the oracle applies the identical rule."""
     return [e for e in entities if e.confidence >= threshold]
+
+
+# ---- Opt-in webtext detector bank -----------------------------------------
+# Beyond the reference's mock bank (which IS the byte-identity parity
+# surface): credential/financial/network identifiers that matter when the
+# input is Common-Crawl-style webtext rather than medical records. OFF by
+# default — enabled per-config via PipelineConfig.extra_detectors, so every
+# default-config golden stays byte-identical. Checksum-validated categories
+# (Luhn, IBAN mod-97) carry higher confidence than pure-shape ones; the
+# masking-level/confidence policies still apply downstream as Catalyst
+# filters, exactly like the core bank.
+
+EXTRA_PATTERNS: dict[str, tuple[str, ...]] = {
+    # 13-19 digits, optional single space/dash separators; \b on both ends
+    # keeps it out of longer digit runs, Luhn keeps it out of ids/versions
+    "CreditCard": (r"\b\d(?:[ -]?\d){12,18}\b",),
+    # strict octets so '3.14.159.265'-style version strings never match
+    "IPAddress": (
+        r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+        r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b",
+    ),
+    "IBAN": (r"\b[A-Z]{2}\d{2}(?: ?[A-Z0-9]){11,30}\b",),
+    "APIKey": (
+        r"\bAKIA[0-9A-Z]{16}\b",              # AWS access key id
+        r"\bghp_[A-Za-z0-9]{36,}\b",          # GitHub personal access token
+        r"\bxox[baprs]-[A-Za-z0-9-]{10,}\b",  # Slack token
+        r"\bsk-[A-Za-z0-9]{32,}\b",           # generic secret-key shape
+        r"-----BEGIN (?:RSA |EC |OPENSSH )?PRIVATE KEY-----",
+    ),
+}
+
+
+def _luhn_ok(s: str) -> bool:
+    digits = [int(c) for c in s if c.isdigit()]
+    if not 13 <= len(digits) <= 19:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _iban_ok(s: str) -> bool:
+    s = s.replace(" ", "")
+    if not 15 <= len(s) <= 34:
+        return False
+    # ISO 13616: rotate the first four chars to the end, A->10..Z->35,
+    # and the resulting integer must be ≡ 1 (mod 97)
+    t = s[4:] + s[:4]
+    return int("".join(str(int(c, 36)) for c in t)) % 97 == 1
+
+
+_EXTRA_VALIDATORS = {"CreditCard": _luhn_ok, "IBAN": _iban_ok}
+_EXTRA_CONFIDENCE = {"CreditCard": 0.99, "IBAN": 0.99,
+                     "APIKey": 0.95, "IPAddress": 0.90}
+# NOT _compile: its auto-IGNORECASE would let 'akia'/'GHP_'/lowercase
+# "ibans" match — these shapes are case-sensitive by specification
+_EXTRA_COMPILED: dict[str, tuple[re.Pattern, ...]] = {
+    cat: tuple(re.compile(p) for p in pats)
+    for cat, pats in EXTRA_PATTERNS.items()
+}
+
+
+def validate_extra_detectors(categories) -> None:
+    """Fail fast on unknown category names (PipelineConfig calls this at
+    construction — a typo'd detector must not silently detect nothing)."""
+    unknown = set(categories) - set(EXTRA_PATTERNS)
+    if unknown:
+        raise ValueError(
+            f"unknown extra detectors {sorted(unknown)}; "
+            f"available: {sorted(EXTRA_PATTERNS)}")
+
+
+def detect_extra(text: str, categories: tuple[str, ...]) -> list[SpanEntity]:
+    """Spans from the opt-in bank, UNSORTED and policy-free — callers merge
+    with the core bank's entities and apply the masking-level/confidence
+    policies downstream, the same split the core detector uses."""
+    entities: list[SpanEntity] = []
+    for cat in categories:
+        validator = _EXTRA_VALIDATORS.get(cat)
+        conf = _EXTRA_CONFIDENCE[cat]
+        for pattern in _EXTRA_COMPILED[cat]:
+            for m in pattern.finditer(text):
+                g = m.group()
+                if validator is not None and not validator(g):
+                    continue
+                entities.append(
+                    SpanEntity(text=g, category=cat, offset=m.start(),
+                               length=len(g), confidence=conf))
+    return entities

@@ -43,6 +43,12 @@ class PipelineConfig:
     # worker loads + builds the automaton locally (the 10M-name shape —
     # shipping the names themselves in the config stops scaling ~10^5 names).
     gazetteer_path: str | None = None
+    # Opt-in webtext detector categories (detect.EXTRA_PATTERNS: CreditCard
+    # with Luhn, IBAN with mod-97, IPAddress strict-octet, APIKey shapes).
+    # None/() keeps the default bank — and the byte-identity goldens —
+    # untouched; the masking-level/confidence policies apply to these
+    # categories downstream exactly like the core bank's.
+    extra_detectors: tuple[str, ...] | None = None
     sniff_format: bool = False  # True: magic-byte routing (HTML vs PDF vs binary)
     # True: re-detect on the masked text until no new spans appear (<=5 passes).
     # Masking is length-preserving, so a mask char can create a fresh word
@@ -73,6 +79,10 @@ class PipelineConfig:
             raise ValueError(f"span_padding must be >= 0 (got {self.span_padding})")
         if self.retry_attempts < 1 or self.retry_backoff_s < 0:
             raise ValueError("retry_attempts must be >= 1 and retry_backoff_s >= 0")
+        if self.extra_detectors:
+            from .detect import validate_extra_detectors
+
+            validate_extra_detectors(self.extra_detectors)
 
 
 def build_detector(config: PipelineConfig):
@@ -85,15 +95,24 @@ def build_detector(config: PipelineConfig):
     if config.gazetteer_path:
         with open(config.gazetteer_path) as f:
             names.extend(line.strip() for line in f if line.strip())
-    if not names:
+    extras = tuple(config.extra_detectors or ())
+    if not names and not extras:
         return lambda text: detect_pii(text, SAFE_HARBOR)
 
-    from .gazetteer import GazetteerDetector
+    gaz = None
+    if names:
+        from .gazetteer import GazetteerDetector
 
-    gaz = GazetteerDetector(names)
+        gaz = GazetteerDetector(names)
 
     def detect(text: str):
-        ents = detect_pii(text, SAFE_HARBOR) + gaz.detect(text)
+        ents = detect_pii(text, SAFE_HARBOR)
+        if extras:
+            from .detect import detect_extra
+
+            ents += detect_extra(text, extras)
+        if gaz is not None:
+            ents += gaz.detect(text)
         ents.sort(key=lambda e: e.sort_key())
         return ents
 

@@ -56,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="same file format, but loaded by each WORKER from a "
                         "shared filesystem — the 10M-name shape (only the "
                         "path string ships)")
+    p.add_argument("--extra-detectors", default=None,
+                   help="comma list of opt-in webtext detector categories "
+                        "(CreditCard, IBAN, IPAddress, APIKey); default "
+                        "bank only when unset")
     p.add_argument("--resume", action="store_true",
                    help="skip urls already present in --output")
     p.add_argument("--resume-bloom", action="store_true",
@@ -107,6 +111,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
+    if args.extra_detectors:
+        from redactifai_spark.kernels.detect import validate_extra_detectors
+
+        try:
+            # before the session starts — a typo'd category must die at
+            # argparse, not after the JVM spin-up (keep-langs convention)
+            validate_extra_detectors(
+                s.strip() for s in args.extra_detectors.split(",")
+                if s.strip())
+        except ValueError as e:
+            p.error(str(e))
+
     from redactifai_spark.kernels.oracle import PipelineConfig
     from redactifai_spark.operators.metrics import resume_filter, run_and_commit
     from redactifai_spark.operators.pipeline import run_pipeline
@@ -127,6 +143,11 @@ def main(argv: list[str] | None = None) -> int:
         confidence_threshold=args.confidence_threshold,
         gazetteer_names=gazetteer,
         gazetteer_path=args.gazetteer_path,
+        extra_detectors=(
+            tuple(s.strip() for s in args.extra_detectors.split(",")
+                  if s.strip())
+            if args.extra_detectors else None
+        ),
         sniff_format=args.sniff_format,
         redact_fixed_point=args.fixed_point,
         retry_attempts=args.retry_attempts,

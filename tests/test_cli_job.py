@@ -447,3 +447,15 @@ def test_corpus_job_empty_corpus_export_is_normal(spark, tmp_path):
             continue
         assert rb.returncode == 2, (bad, rb.stderr[-300:])
         assert msg in rb.stderr, (bad, rb.stderr[-300:])
+
+
+def test_redaction_job_extra_detectors_typo_dies_at_argparse(tmp_path):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_redaction_job.py"),
+         "--input", str(tmp_path / "in"), "--output", str(tmp_path / "out"),
+         "--metrics", str(tmp_path / "met"),
+         "--extra-detectors", "CreditCard,Bitcoin"],
+        capture_output=True, text=True,
+        env=dict(os.environ, PYTHONPATH=REPO), timeout=120)
+    assert r.returncode == 2
+    assert "unknown extra detectors" in r.stderr
