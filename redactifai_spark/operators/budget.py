@@ -1,0 +1,159 @@
+"""Token-budget corpus selection — "give me the best ~N tokens" without a
+global sort.
+
+Training recipes are stated in tokens ("600B tokens of web text, quality-
+ranked"), not rows: the selection operator must keep the highest-quality
+documents until a TOKEN budget is met. The naive plan — global sort by score,
+running-sum window, filter — is a scale-killer (one total ordering of 10^12
+rows through a single window chain). This module gets the same cut with
+bounded driver state and a handful of aggregate passes:
+
+  1. histogram pass: bucket the score range uniformly (``width_bucket``),
+     aggregate per-bucket token sums map-side, collect <= buckets+2 rows;
+  2. walk the histogram best-bucket-first on the driver until the budget
+     crosses inside one BOUNDARY bucket;
+  3. refine: within the boundary bucket only, sub-bucket by a deterministic
+     per-level md5-derived hash of the doc id (uniform by construction, so
+     each level shrinks the boundary mass by ~``buckets``x), re-aggregate,
+     walk again — ``refine_levels`` rounds;
+  4. emit ONE Catalyst predicate (score-bucket above the cut, OR on-the-cut
+     AND hash-prefix below the refined cut) and return ``df.filter(...)``.
+
+Every pass is a map-side-combined groupBy on a bounded key domain; the corpus
+is never sorted, never shuffled by row, and the final selection is a pushable
+filter. Precision: the kept token sum overshoots the budget by at most one
+leaf bucket (~boundary_bucket_tokens / buckets^(refine_levels)), and the rule
+"include whole buckets while below budget, then include the crossing leaf"
+makes the result deterministic and partitioning-independent.
+
+The tie-break hash is md5-derived (``conv(substring(md5(id),...))``) rather
+than xxhash64 so the exact selection replays in any engine with md5 — the
+same portability rule the paragraph-dedup oracle uses.
+
+Reference relation: RedactifAI has no corpus-budget notion (it redacts every
+document it is given); this is training-data-pipeline surface in the spirit of
+quality-stratified sampling (``sampling.py``) — selection by quality prior,
+here under a global token constraint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _id_hash(id_col: str, level: int) -> F.Column:
+    """Uniform 60-bit key from md5(id || ':' || level) — deterministic,
+    partitioning-independent, engine-portable (md5 + hex-to-int exist in
+    every SQL engine; 15 hex chars keep the cast inside a signed 64-bit)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.lit(str(level)))),
+            1, 15),
+        16, 10,
+    ).cast("bigint")
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str,
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    refine_levels: int = 2,
+) -> DataFrame:
+    """Keep the highest-``score_col`` documents until their ``token_col`` sum
+    reaches ``budget_tokens``; return the filtered frame (all columns
+    preserved, no new columns).
+
+    Selection rule (deterministic, partitioning-independent): whole score
+    buckets are kept best-first while the running token sum is below budget;
+    the bucket where the budget crosses is refined ``refine_levels`` times by
+    a per-level id-hash sub-bucketing, and the final crossing leaf is kept
+    WHOLE — so the kept sum is >= min(budget_tokens, corpus total) and
+    overshoots by at most one leaf bucket. Docs tied on score are split by
+    hash, i.e. uniformly at random but reproducibly.
+
+    ``score_col=None`` selects a uniform random (but deterministic) token
+    subsample: every doc scores equal, so the cut is pure hash-prefix.
+    NULL scores rank worst (selected last); NULL token counts count 0.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if refine_levels < 0:
+        raise ValueError(f"refine_levels must be >= 0, got {refine_levels}")
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+
+    if score_col is not None:
+        lo, hi = df.agg(
+            F.min(F.col(score_col).cast("double")),
+            F.max(F.col(score_col).cast("double")),
+        ).first()
+        if lo is None or lo == hi:
+            score_col = None  # all-null or constant score: pure hash cut
+    if score_col is None:
+        # degenerate single score bucket; the hash levels do all the work
+        bucket_expr = F.lit(1)
+    else:
+        # width_bucket is [lo, hi) half-open per step; values at hi land in
+        # buckets+1 — clamp so the best docs sit in the top bucket. NULL
+        # score -> bucket 0, ranked below every real bucket. The null branch
+        # must be an explicit when(): F.least SKIPS nulls (null-safe max-like
+        # semantics), so least(width_bucket(NULL), buckets) would promote
+        # null scores into the TOP bucket.
+        score = F.col(score_col).cast("double")
+        bucket_expr = F.when(score.isNull(), F.lit(0)).otherwise(
+            F.least(
+                F.width_bucket(score, F.lit(float(lo)), F.lit(float(hi)),
+                               F.lit(buckets)),
+                F.lit(buckets),
+            )
+        )
+
+    hist = (
+        df.groupBy(bucket_expr.alias("_b"))
+        .agg(F.sum(tok).alias("_t"))
+        .collect()
+    )
+    # walk best-first (higher score bucket first)
+    rows = sorted(hist, key=lambda r: r["_b"], reverse=True)
+    cum = 0
+    boundary = None
+    for r in rows:
+        if cum + r["_t"] >= budget_tokens:
+            boundary = r["_b"]
+            break
+        cum += r["_t"]
+    if boundary is None:
+        return df  # whole corpus fits the budget
+
+    keep = bucket_expr > boundary
+    scope = bucket_expr == boundary  # rows still undecided
+    remaining = budget_tokens - cum
+    for level in range(refine_levels):
+        sub = F.pmod(_id_hash(id_col, level), F.lit(buckets))
+        sub_hist = (
+            df.filter(scope).groupBy(sub.alias("_s"))
+            .agg(F.sum(tok).alias("_t"))
+            .collect()
+        )
+        sub_rows = sorted(sub_hist, key=lambda r: r["_s"])
+        cut = None
+        cum2 = 0
+        for r in sub_rows:
+            if cum2 + r["_t"] >= remaining:
+                cut = r["_s"]
+                break
+            cum2 += r["_t"]
+        if cut is None:
+            # boundary bucket no longer crosses (can't happen with exact
+            # arithmetic; guard against it by keeping the whole scope)
+            return df.filter(keep | scope)
+        keep = keep | (scope & (sub < cut))
+        scope = scope & (sub == cut)
+        remaining -= cum2
+    # deepest level: keep the crossing leaf whole (>= budget guarantee)
+    return df.filter(keep | scope)

@@ -97,3 +97,71 @@ def decontaminate(
             "is_contaminated", F.coalesce(F.col("_dc_hit"), F.lit(False))
         ).drop("_dc_hit")
     return train_df.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def eval_window_set(
+    eval_df: DataFrame, text_col: str, n: int = 8, lowercase: bool = True,
+) -> DataFrame:
+    """One row per distinct eval ``n``-token window fingerprint under the
+    SUBSTRING-DEDUP hashing scheme (``substring.window_fingerprint_occurrences``
+    xxhash64 chain over single-space tokens) — the broadcastable fingerprint
+    for ``scrub_contaminated_spans``. Not interchangeable with
+    ``eval_ngram_set`` (different tokenizer and hash): doc-level decontamination
+    keys on concat-hashes of ``\\S+`` tokens; span scrubbing needs positions in
+    the lossless single-space split so the cut text can be rebuilt."""
+    from .substring import window_fingerprint_occurrences
+
+    occ = window_fingerprint_occurrences(
+        eval_df, eval_df.columns[0], text_col, n, lowercase=lowercase)
+    return occ.select(F.col("_h").alias("window_hash")).distinct()
+
+
+def scrub_contaminated_spans(
+    train_df: DataFrame,
+    eval_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    lowercase: bool = True,
+    eval_windows: DataFrame | None = None,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Span-level decontamination: instead of DROPPING a training document
+    that shares an ``n``-token window with the eval set (``decontaminate``),
+    cut ONLY the contaminated spans out of ``text_col`` and keep the rest —
+    the surgical variant (OLMo/Dolma-style "remove contaminated paragraphs,
+    keep the document" taken to exact window granularity). A token is removed
+    iff it is covered by at least one eval-matching window, so a contaminated
+    run of >= n tokens is excised end-to-end while the surrounding prose
+    survives. Returns ``train_df`` with ``text_col`` replaced plus
+    (``n_tokens_kept``, ``n_tokens_dropped``) — the
+    ``drop_duplicate_substrings`` contract, so funnel stages compose (note:
+    a later rewrite stage overwrites these counters; they describe the last
+    stage applied).
+
+    ``lowercase`` matches case-insensitively (eval and train sides fold
+    together) while the rebuilt text keeps original casing. ``eval_windows``:
+    a precomputed ``eval_window_set`` frame — pass it to skip
+    re-fingerprinting the eval side per call.
+
+    Scale shape: the asymmetric ``decontaminate`` shape feeding the
+    ``substring`` rebuild — eval windows reduce to a distinct-hash set and
+    BROADCAST; the training side streams one fingerprint pass whose matches
+    become window-start removals; only affected docs explode for the rebuild.
+    The training corpus is never shuffled except for the affected subset's
+    per-doc regroup."""
+    from .substring import rebuild_without_windows, window_fingerprint_occurrences
+
+    if eval_windows is None:
+        if eval_df is None:
+            raise ValueError("need eval_df or eval_windows")
+        eval_windows = eval_window_set(
+            eval_df, eval_text_col or text_col, n, lowercase=lowercase)
+    occ = window_fingerprint_occurrences(
+        train_df, id_col, text_col, n, lowercase=lowercase)
+    removals = (
+        occ.join(F.broadcast(eval_windows),
+                 occ["_h"] == eval_windows["window_hash"], "left_semi")
+        .select("_ss_id", F.col("_pos").alias("_j"), F.lit(1).alias("_st"))
+    )
+    return rebuild_without_windows(train_df, id_col, text_col, removals, n)

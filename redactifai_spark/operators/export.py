@@ -27,9 +27,12 @@ re-runs match byte-for-byte in practice too).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _FORMATS = ("json", "parquet")
+_MANIFEST_NAME = "_MANIFEST.json"
 
 
 def with_shuffle_order(
@@ -105,3 +108,145 @@ def write_training_shards(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.save(out_dir)
     return out_dir
+
+
+def _shard_digests(df: DataFrame, id_col: str) -> list:
+    """Per-shard (shard, n_rows, ids_xor, content_xor) rows — xor of row
+    hashes is order-free (row order inside a shard is derived from ids+seed,
+    so it needs no separate check) and overflow-free, and the whole digest is
+    one map-side-combined groupBy collecting n_shards rows."""
+    cols = [c for c in df.columns if c != "shard"]
+    return (
+        df.groupBy("shard").agg(
+            F.count("*").alias("n_rows"),
+            F.bit_xor(F.xxhash64(F.col(id_col))).alias("ids_xor"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in cols]))
+            .alias("content_xor"),
+        )
+        .collect()
+    )
+
+
+def write_shard_manifest(
+    spark: SparkSession,
+    out_dir: str,
+    fmt: str = "parquet",
+    id_col: str = "doc_id",
+    n_shards: int | None = None,
+    seed: int | None = None,
+) -> dict:
+    """Write ``out_dir/_MANIFEST.json`` describing a ``write_training_shards``
+    export: per-shard row counts and order-free xor digests of the row ids and
+    the full row content, plus the export parameters. A dataloader (or a
+    resumed export job) checks the files it reads against the manifest instead
+    of trusting the filesystem listing — lost, duplicated, or bit-rotted rows
+    surface as a digest mismatch. Returns the manifest dict.
+
+    Scale shape: ONE distributed pass over the written shards (a groupBy on
+    the shard key collecting n_shards digest rows); the manifest itself is
+    O(n_shards) JSON written through the Hadoop FileSystem API, so it lands
+    next to the shards on any storage (local, HDFS, S3A)."""
+    df = _load_export(spark, out_dir, fmt)
+    if df is None:  # empty corpus export: _SUCCESS only, a normal outcome
+        manifest = {"format": fmt, "id_col": id_col, "n_shards": n_shards,
+                    "seed": seed, "total_rows": 0, "shards": []}
+        _write_text_file(spark, f"{out_dir}/{_MANIFEST_NAME}",
+                         json.dumps(manifest, indent=1, sort_keys=True))
+        return manifest
+    if id_col not in df.columns:
+        raise ValueError(
+            f"{id_col!r} not in exported columns {df.columns} — pass the "
+            "id_col the export used")
+    digests = sorted(_shard_digests(df, id_col), key=lambda r: r["shard"])
+    manifest = {
+        "format": fmt,
+        "id_col": id_col,
+        "n_shards": n_shards,
+        "seed": seed,
+        "total_rows": int(sum(r["n_rows"] for r in digests)),
+        "shards": [
+            {"shard": int(r["shard"]), "n_rows": int(r["n_rows"]),
+             "ids_xor": int(r["ids_xor"]),
+             "content_xor": int(r["content_xor"])}
+            for r in digests
+        ],
+    }
+    _write_text_file(spark, f"{out_dir}/{_MANIFEST_NAME}",
+                     json.dumps(manifest, indent=1, sort_keys=True))
+    return manifest
+
+
+def verify_training_shards(
+    spark: SparkSession, out_dir: str,
+) -> dict:
+    """Re-read an exported shard directory and check it against its
+    ``_MANIFEST.json``; returns the manifest on success, raises ``ValueError``
+    naming every mismatched shard otherwise. One distributed digest pass +
+    an O(n_shards) driver compare — run it before pointing a multi-day
+    training job at the export."""
+    manifest = json.loads(_read_text_file(spark, f"{out_dir}/{_MANIFEST_NAME}"))
+    df = _load_export(spark, out_dir, manifest["format"])
+    got = {} if df is None else {
+        int(r["shard"]): r for r in _shard_digests(df, manifest["id_col"])}
+    problems = []
+    for want in manifest["shards"]:
+        g = got.pop(want["shard"], None)
+        if g is None:
+            problems.append(f"shard {want['shard']}: missing")
+        elif g["n_rows"] != want["n_rows"]:
+            problems.append(f"shard {want['shard']}: {g['n_rows']} rows, "
+                            f"manifest says {want['n_rows']}")
+        elif (int(g["ids_xor"]) != want["ids_xor"]
+              or int(g["content_xor"]) != want["content_xor"]):
+            problems.append(f"shard {want['shard']}: content digest differs")
+    problems += [f"shard {s}: not in manifest" for s in sorted(got)]
+    if problems:
+        raise ValueError(
+            "shard export does not match its manifest: " + "; ".join(problems))
+    return manifest
+
+
+def _load_export(spark: SparkSession, out_dir: str, fmt: str):
+    """Read a shard export back; ``None`` for the empty export (only
+    _SUCCESS — both json and parquet readers refuse to infer a schema from
+    zero files, and an empty corpus is a normal funnel outcome)."""
+    from pyspark.errors import AnalysisException
+
+    read = spark.read.format(fmt)
+    if fmt == "json":
+        read = read.option("mode", "FAILFAST")
+    try:
+        return read.load(out_dir)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _write_text_file(spark: SparkSession, path: str, content: str) -> None:
+    """Small driver-side text write through the Hadoop FS API — works on any
+    configured filesystem, unlike ``open()`` (the S3A/HDFS export case)."""
+    fs, jpath = _hadoop_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text_file(spark: SparkSession, path: str) -> str:
+    fs, jpath = _hadoop_path(spark, path)
+    stream = fs.open(jpath)
+    try:
+        jvm = spark.sparkContext._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()

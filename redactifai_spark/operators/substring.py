@@ -49,12 +49,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def window_fingerprint_occurrences(
     df: DataFrame, id_col: str, text_col: str, k: int,
+    lowercase: bool = False,
 ) -> DataFrame:
     """EVERY occurrence of every ``k``-token window, as
     (``_ss_id``, ``_pos``, ``_h``) rows — the shared first stage of
-    ``duplicate_window_occurrences`` and ``ngramstats.ngram_dup_stats``
-    (one fingerprint builder so their window semantics can never
-    diverge). Documents shorter than ``k`` tokens contribute no rows."""
+    ``duplicate_window_occurrences``, ``ngramstats.ngram_dup_stats`` and
+    ``decontaminate.scrub_contaminated_spans`` (one fingerprint builder so
+    their window semantics can never diverge). Documents shorter than ``k``
+    tokens contribute no rows. ``lowercase`` hashes case-folded tokens
+    (case-insensitive matching) while positions still index the ORIGINAL
+    single-space token split, so a rebuild cuts the original text."""
     base = df.select(
         F.col(id_col).alias("_ss_id"),
         F.split(F.col(text_col), " ", -1).alias("_toks"),
@@ -62,8 +66,10 @@ def window_fingerprint_occurrences(
     # Bind the token-hash array; reference it twice (size + slice) so the
     # per-window lambda folds over a precomputed array instead of
     # re-hashing every token once per window position.
+    tok_hash = (lambda t: F.xxhash64(F.lower(t))) if lowercase \
+        else (lambda t: F.xxhash64(t))
     th = base.select(
-        "_ss_id", F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th"))
+        "_ss_id", F.transform("_toks", tok_hash).alias("_th"))
     win = th.select(
         "_ss_id",
         F.when(
@@ -119,15 +125,39 @@ def drop_duplicate_substrings(
     passage reassembly). Documents shorter than ``min_tokens`` tokens are
     never touched.
     """
-    k = min_tokens
     dup = duplicate_window_occurrences(df, id_col, text_col, min_tokens)
     removals = dup.filter(
         ~((F.col("_ss_id") == F.col("w.i")) & (F.col("_pos") == F.col("w.p")))
     ).select("_ss_id", F.col("_pos").alias("_j"), F.lit(1).alias("_st"))
+    return rebuild_without_windows(df, id_col, text_col, removals, min_tokens)
 
-    # Rebuild ONLY affected docs: explode tokens, mark coverage with a
-    # sliding count of removal starts in the trailing k-1 positions, then
-    # regroup in order. Untouched docs never explode.
+
+def rebuild_without_windows(
+    df: DataFrame, id_col: str, text_col: str, removals: DataFrame, k: int,
+) -> DataFrame:
+    """Cut every ``k``-token window whose start position appears in
+    ``removals`` (``_ss_id``, ``_j`` = window start, ``_st`` = 1) out of
+    ``text_col`` and return ``df`` with the text replaced plus
+    (``n_tokens_kept``, ``n_tokens_dropped``) — the shared rewrite stage of
+    ``drop_duplicate_substrings`` and
+    ``decontaminate.scrub_contaminated_spans``. A token is dropped iff it is
+    covered by at least one removed window.
+
+    Scale shape: only AFFECTED documents (semi-join on the unique doc id)
+    explode to token rows; coverage is a per-doc sliding count of removal
+    starts in the trailing k-1 positions, then one order-preserving regroup
+    on the doc id. Untouched documents pass through byte-identical without
+    ever being exploded."""
+    clash = {"n_tokens_kept", "n_tokens_dropped"} & set(df.columns)
+    if clash:
+        # fail loudly, never clobber: re-applying a rewrite stage to its own
+        # output would silently shadow the previous stage's counters AND
+        # duplicate the column names in the final select (the export.py /
+        # importance.py re-run-collision hazard family) — drop or rename
+        # them between stages, as prepare_training_corpus does
+        raise ValueError(
+            f"df already has column(s) {sorted(clash)}; drop or rename them "
+            "before this rewrite stage (its counters would collide)")
     base = df.select(
         F.col(id_col).alias("_ss_id"),
         F.split(F.col(text_col), " ", -1).alias("_toks"),

@@ -1,0 +1,192 @@
+"""Token-budget corpus selection (operators/budget.py).
+
+The strong oracle here is a driver-side Python replay of the documented
+selection rule (md5 hash, width_bucket, best-bucket-first walk, hash-prefix
+refinement) — computed independently of the Spark plan, so a drift in either
+side breaks the test.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.budget import select_token_budget
+
+
+def _id_hash_py(doc_id, level):
+    h = hashlib.md5(f"{doc_id}:{level}".encode()).hexdigest()
+    return int(h[:15], 16)
+
+
+def _width_bucket_py(v, lo, hi, n):
+    if v is None:
+        return 0
+    if v >= hi:
+        return n  # clamped like the Spark side's least()
+    if v < lo:
+        return 0
+    return min(int(math.floor((v - lo) / (hi - lo) * n)) + 1, n)
+
+
+def _reference_selection(rows, budget, buckets=1024, refine_levels=2,
+                         scored=True):
+    """Replay the documented rule on (id, tokens, score) tuples; returns the
+    set of kept ids."""
+    if scored:
+        vals = [r[2] for r in rows if r[2] is not None]
+        lo, hi = (min(vals), max(vals)) if vals else (None, None)
+        if lo is None or lo == hi:
+            scored = False
+    bucket_of = (
+        (lambda r: _width_bucket_py(r[2], lo, hi, buckets))
+        if scored else (lambda r: 1))
+    hist = {}
+    for r in rows:
+        hist[bucket_of(r)] = hist.get(bucket_of(r), 0) + r[1]
+    cum, boundary = 0, None
+    for b in sorted(hist, reverse=True):
+        if cum + hist[b] >= budget:
+            boundary = b
+            break
+        cum += hist[b]
+    if boundary is None:
+        return {r[0] for r in rows}
+    kept = {r[0] for r in rows if bucket_of(r) > boundary}
+    scope = [r for r in rows if bucket_of(r) == boundary]
+    remaining = budget - cum
+    for level in range(refine_levels):
+        sub_hist = {}
+        for r in scope:
+            s = _id_hash_py(r[0], level) % buckets
+            sub_hist[s] = sub_hist.get(s, 0) + r[1]
+        cut, cum2 = None, 0
+        for s in sorted(sub_hist):
+            if cum2 + sub_hist[s] >= remaining:
+                cut = s
+                break
+            cum2 += sub_hist[s]
+        if cut is None:
+            return kept | {r[0] for r in scope}
+        kept |= {r[0] for r in scope
+                 if _id_hash_py(r[0], level) % buckets < cut}
+        scope = [r for r in scope
+                 if _id_hash_py(r[0], level) % buckets == cut]
+        remaining -= cum2
+    return kept | {r[0] for r in scope}
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, n_tokens long, score double")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (f"doc-{i}", 50 + (i * 37) % 400, float((i * 13) % 97))
+        for i in range(120)
+    ]
+    return rows, _frame(spark, rows)
+
+
+def test_matches_python_replay_scored(spark, corpus):
+    rows, df = corpus
+    for budget in (500, 5_000, 17_777):
+        kept = {r["doc_id"] for r in select_token_budget(
+            df, budget, "n_tokens", "score").collect()}
+        assert kept == _reference_selection(rows, budget), budget
+
+
+def test_matches_python_replay_unscored(spark, corpus):
+    rows, df = corpus
+    kept = {r["doc_id"] for r in select_token_budget(
+        df, 6_000, "n_tokens").collect()}
+    assert kept == _reference_selection(rows, 6_000, scored=False)
+
+
+def test_budget_met_and_bounded_overshoot(spark, corpus):
+    rows, df = corpus
+    total = sum(r[1] for r in rows)
+    max_doc = max(r[1] for r in rows)
+    for budget in (1_000, 10_000, total // 2):
+        got = select_token_budget(df, budget, "n_tokens", "score").collect()
+        s = sum(r["n_tokens"] for r in got)
+        assert s >= min(budget, total)
+        # 120 docs vs 1024 sub-buckets: leaves are single docs here, so the
+        # crossing-leaf overshoot bound collapses to one document
+        assert s < budget + max_doc * 3
+
+
+def test_partitioning_independent(spark, corpus):
+    rows, df = corpus
+    a = {r["doc_id"] for r in select_token_budget(
+        df, 9_000, "n_tokens", "score").collect()}
+    b = {r["doc_id"] for r in select_token_budget(
+        df.repartition(17), 9_000, "n_tokens", "score").collect()}
+    assert a == b
+
+
+def test_score_dominance(spark, corpus):
+    """Every kept doc outscores (or ties, inside the boundary bucket) every
+    dropped doc — with 97 distinct scores over 1024 buckets each score is its
+    own bucket, so the sets can only meet at the boundary score."""
+    rows, df = corpus
+    kept = {r["doc_id"] for r in select_token_budget(
+        df, 8_000, "n_tokens", "score").collect()}
+    by_id = {r[0]: r[2] for r in rows}
+    assert kept and len(kept) < len(rows)
+    assert max(by_id[i] for i in by_id if i not in kept) <= \
+        min(by_id[i] for i in kept)
+
+
+def test_whole_corpus_fits(spark, corpus):
+    rows, df = corpus
+    total = sum(r[1] for r in rows)
+    assert select_token_budget(
+        df, total + 1_000, "n_tokens", "score").count() == len(rows)
+
+
+def test_constant_score_falls_back_to_hash_cut(spark):
+    rows = [(f"d{i}", 100, 1.0) for i in range(50)]
+    df = _frame(spark, rows)
+    kept = {r["doc_id"] for r in select_token_budget(
+        df, 1_500, "n_tokens", "score").collect()}
+    assert kept == _reference_selection(rows, 1_500, scored=False)
+    assert 15 <= len(kept) <= 25  # ~budget/100 docs, leaf-whole slack
+
+
+def test_null_scores_rank_worst(spark):
+    rows = [("good", 100, 9.0), ("bad", 100, 1.0), ("unk", 100, None)]
+    df = _frame(spark, rows)
+    kept = {r["doc_id"] for r in select_token_budget(
+        df, 150, "n_tokens", "score").collect()}
+    assert "good" in kept and "unk" not in kept
+
+
+def test_null_tokens_count_zero(spark):
+    df = spark.createDataFrame(
+        [("a", None, 5.0), ("b", 100, 4.0), ("c", 100, 3.0)],
+        "doc_id string, n_tokens long, score double")
+    got = {r["doc_id"] for r in select_token_budget(
+        df, 100, "n_tokens", "score").collect()}
+    # 'a' costs nothing and outranks everything; budget crosses at 'b'
+    assert got == {"a", "b"}
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="budget_tokens"):
+        select_token_budget(None, 0, "n_tokens")
+    with pytest.raises(ValueError, match="buckets"):
+        select_token_budget(None, 10, "n_tokens", buckets=1)
+    with pytest.raises(ValueError, match="refine_levels"):
+        select_token_budget(None, 10, "n_tokens", refine_levels=-1)
+
+
+def test_no_new_columns_and_pushable_filter(spark, corpus):
+    rows, df = corpus
+    out = select_token_budget(df, 5_000, "n_tokens", "score")
+    assert out.columns == df.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # selection is a pure per-row filter

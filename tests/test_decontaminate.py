@@ -77,3 +77,74 @@ def test_decontaminate_training_side_never_shuffled(spark, frames):
     assert count_python_eval_nodes(
         decontaminate(train, eval_df, "doc_id", "text")) == 0
     assert "BroadcastHashJoin" in plan
+
+
+# ---- span-level decontamination (scrub_contaminated_spans) ----
+
+from redactifai_spark.operators.decontaminate import (  # noqa: E402
+    eval_window_set, scrub_contaminated_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def span_frames(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "intro text " + EVAL_Q + " plus trailing discussion"),
+            (2, "completely unrelated training document about spark "
+                "catalyst optimizer internals and codegen stages here"),
+            (3, "capital of france"),  # < n tokens: untouchable
+            (4, EVAL_Q.upper()),  # pure contamination, case-folded
+        ],
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame([(100, EVAL_Q)], "doc_id long, text string")
+    return train, eval_df
+
+
+def test_scrub_cuts_span_keeps_prose(spark, span_frames):
+    train, eval_df = span_frames
+    out = {r["doc_id"]: r for r in scrub_contaminated_spans(
+        train, eval_df, "doc_id", "text").collect()}
+    # doc 1: the 16-token eval run excised end-to-end, prose survives
+    assert out[1]["text"] == "intro text plus trailing discussion"
+    assert out[1]["n_tokens_dropped"] == len(EVAL_Q.split(" "))
+    assert out[1]["n_tokens_kept"] == 5
+    # doc 2: clean — byte-identical passthrough, zero dropped
+    assert out[2]["text"].startswith("completely unrelated")
+    assert out[2]["n_tokens_dropped"] == 0
+    # doc 3: shorter than the window — never touched
+    assert out[3]["text"] == "capital of france"
+    # doc 4: wholly contaminated (case-insensitively) -> cut to ""
+    assert out[4]["text"] == ""
+    assert out[4]["n_tokens_kept"] == 0
+
+
+def test_scrub_case_sensitive_mode(spark, span_frames):
+    train, eval_df = span_frames
+    out = {r["doc_id"]: r["text"] for r in scrub_contaminated_spans(
+        train, eval_df, "doc_id", "text", lowercase=False).collect()}
+    assert out[4] == EVAL_Q.upper()  # no case folding: uppercase copy survives
+    assert out[1] == "intro text plus trailing discussion"
+
+
+def test_scrub_precomputed_windows_equals_direct(spark, span_frames):
+    train, eval_df = span_frames
+    direct = scrub_contaminated_spans(train, eval_df, "doc_id", "text")
+    pre = eval_window_set(eval_df, "text")
+    via = scrub_contaminated_spans(
+        train, None, "doc_id", "text", eval_windows=pre)
+    assert sorted(map(tuple, direct.collect())) == \
+        sorted(map(tuple, via.collect()))
+
+
+def test_scrub_counter_clobber_guard(spark, span_frames):
+    train, eval_df = span_frames
+    once = scrub_contaminated_spans(train, eval_df, "doc_id", "text")
+    with pytest.raises(ValueError, match="already has column"):
+        scrub_contaminated_spans(once, eval_df, "doc_id", "text")
+
+
+def test_scrub_needs_eval_side(spark, span_frames):
+    train, _ = span_frames
+    with pytest.raises(ValueError, match="eval_df or eval_windows"):
+        scrub_contaminated_spans(train, None, "doc_id", "text")

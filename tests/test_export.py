@@ -149,3 +149,100 @@ def test_null_id_fails_loudly(spark, tmp_path):
         [("a", "x"), (None, "y")], "doc_id string, text string")
     with pytest.raises(Exception, match="null doc_id"):
         write_training_shards(df, str(tmp_path / "s"), 2, fmt="json")
+
+
+# ---- shard manifest + verification (write_shard_manifest) ----
+
+from redactifai_spark.operators.export import (  # noqa: E402
+    verify_training_shards,
+    write_shard_manifest,
+)
+
+
+def _export_with_manifest(spark, tmp_path, fmt="json", n=60, n_shards=5):
+    out = str(tmp_path / f"mf_{fmt}")
+    write_training_shards(_docs(spark, n), out, n_shards=n_shards, seed=2,
+                          fmt=fmt)
+    manifest = write_shard_manifest(spark, out, fmt=fmt, id_col="doc_id",
+                                    n_shards=n_shards, seed=2)
+    return out, manifest
+
+
+def test_manifest_roundtrip_and_verify(spark, tmp_path):
+    out, manifest = _export_with_manifest(spark, tmp_path)
+    assert manifest["total_rows"] == 60
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 60
+    on_disk = json.loads(open(os.path.join(out, "_MANIFEST.json")).read())
+    assert on_disk == manifest
+    assert verify_training_shards(spark, out) == manifest
+
+
+def test_manifest_parquet_verify(spark, tmp_path):
+    out, _ = _export_with_manifest(spark, tmp_path, fmt="parquet")
+    verify_training_shards(spark, out)
+
+
+def _drop_crc_sidecar(f):
+    # Hadoop's LocalFileSystem keeps a .<name>.crc sidecar; a tampered data
+    # file would fail the checksum read before our digest compare runs.
+    # Object stores / HDFS have no client-side sidecar, so drop it to model
+    # the "consistent bytes, wrong content" case the manifest exists for.
+    crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_verify_catches_content_tamper(spark, tmp_path):
+    out, _ = _export_with_manifest(spark, tmp_path)
+    f = sorted(glob.glob(os.path.join(out, "shard=*", "part-*")))[0]
+    lines = open(f).read().splitlines()
+    row = json.loads(lines[0])
+    row["text"] = row["text"] + " TAMPERED"
+    lines[0] = json.dumps(row)
+    open(f, "w").write("\n".join(lines) + "\n")
+    _drop_crc_sidecar(f)
+    with pytest.raises(ValueError, match="content digest differs"):
+        verify_training_shards(spark, out)
+
+
+def test_verify_catches_missing_shard(spark, tmp_path):
+    import shutil
+    out, _ = _export_with_manifest(spark, tmp_path)
+    shutil.rmtree(sorted(glob.glob(os.path.join(out, "shard=*")))[0])
+    with pytest.raises(ValueError, match="missing"):
+        verify_training_shards(spark, out)
+
+
+def test_verify_catches_extra_shard(spark, tmp_path):
+    import shutil
+    out, _ = _export_with_manifest(spark, tmp_path)
+    src = sorted(glob.glob(os.path.join(out, "shard=*")))[0]
+    shutil.copytree(src, os.path.join(out, "shard=99"))
+    with pytest.raises(ValueError, match="not in manifest"):
+        verify_training_shards(spark, out)
+
+
+def test_verify_catches_lost_rows(spark, tmp_path):
+    out, _ = _export_with_manifest(spark, tmp_path)
+    f = sorted(glob.glob(os.path.join(out, "shard=*", "part-*")))[0]
+    lines = open(f).read().splitlines()
+    open(f, "w").write("\n".join(lines[1:]) + "\n")
+    _drop_crc_sidecar(f)
+    with pytest.raises(ValueError, match="rows, manifest says"):
+        verify_training_shards(spark, out)
+
+
+def test_manifest_empty_export(spark, tmp_path):
+    out = str(tmp_path / "empty")
+    write_training_shards(_docs(spark).filter("doc_id = 'nope'"), out,
+                          n_shards=3, seed=0, fmt="json")
+    manifest = write_shard_manifest(spark, out, fmt="json")
+    assert manifest["total_rows"] == 0 and manifest["shards"] == []
+    assert verify_training_shards(spark, out)["total_rows"] == 0
+
+
+def test_manifest_bad_id_col(spark, tmp_path):
+    out = str(tmp_path / "badid")
+    write_training_shards(_docs(spark), out, n_shards=2, seed=0, fmt="json")
+    with pytest.raises(ValueError, match="not in exported columns"):
+        write_shard_manifest(spark, out, fmt="json", id_col="nope")
