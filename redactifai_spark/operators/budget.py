@@ -77,7 +77,16 @@ def select_token_budget(
 
     ``score_col=None`` selects a uniform random (but deterministic) token
     subsample: every doc scores equal, so the cut is pure hash-prefix.
-    NULL scores rank worst (selected last); NULL token counts count 0.
+    NULL and NaN scores rank worst (selected last); NULL token counts
+    count 0.
+
+    The histogram/refine passes run over an internally PERSISTED
+    (id, tokens, score) projection, so the expensive upstream plan executes
+    once for the passes; the returned filter still re-evaluates ``df`` when
+    consumed (persist ``df`` itself to avoid that too). The upstream plan
+    must be deterministic — a ``rand()``/``monotonically_increasing_id``
+    upstream would feed the passes and the final filter different data and
+    silently void the budget guarantee.
     """
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
@@ -87,24 +96,50 @@ def select_token_budget(
         raise ValueError(f"refine_levels must be >= 0, got {refine_levels}")
     tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
 
+    # Narrow projection for the aggregate passes: the (possibly very
+    # expensive) upstream plan runs once, not once per pass.
+    pass_cols = list(dict.fromkeys(
+        [id_col, token_col] + ([score_col] if score_col is not None else [])))
+    narrow = df.select(*pass_cols).persist()
+    try:
+        return _select_token_budget(
+            df, narrow, budget_tokens, tok, score_col, id_col,
+            buckets, refine_levels)
+    finally:
+        narrow.unpersist()
+
+
+def _sanitize_score(score_col: str) -> F.Column:
+    """Score as double with NaN folded into NULL (rank-worst). Without the
+    fold a single NaN poisons the histogram: max() returns NaN (NaN sorts
+    above every double), width_bucket with a NaN bound returns NULL for
+    EVERY row, and selection silently degrades to a pure hash cut."""
+    score = F.col(score_col).cast("double")
+    return F.when(F.isnan(score), F.lit(None).cast("double")).otherwise(score)
+
+
+def _select_token_budget(
+    df: DataFrame, narrow: DataFrame, budget_tokens: int, tok: F.Column,
+    score_col: str | None, id_col: str, buckets: int, refine_levels: int,
+) -> DataFrame:
     if score_col is not None:
-        lo, hi = df.agg(
-            F.min(F.col(score_col).cast("double")),
-            F.max(F.col(score_col).cast("double")),
+        lo, hi = narrow.agg(
+            F.min(_sanitize_score(score_col)),
+            F.max(_sanitize_score(score_col)),
         ).first()
         if lo is None or lo == hi:
-            score_col = None  # all-null or constant score: pure hash cut
+            score_col = None  # all-null/NaN or constant score: pure hash cut
     if score_col is None:
         # degenerate single score bucket; the hash levels do all the work
         bucket_expr = F.lit(1)
     else:
         # width_bucket is [lo, hi) half-open per step; values at hi land in
-        # buckets+1 — clamp so the best docs sit in the top bucket. NULL
+        # buckets+1 — clamp so the best docs sit in the top bucket. NULL/NaN
         # score -> bucket 0, ranked below every real bucket. The null branch
         # must be an explicit when(): F.least SKIPS nulls (null-safe max-like
         # semantics), so least(width_bucket(NULL), buckets) would promote
         # null scores into the TOP bucket.
-        score = F.col(score_col).cast("double")
+        score = _sanitize_score(score_col)
         bucket_expr = F.when(score.isNull(), F.lit(0)).otherwise(
             F.least(
                 F.width_bucket(score, F.lit(float(lo)), F.lit(float(hi)),
@@ -114,7 +149,7 @@ def select_token_budget(
         )
 
     hist = (
-        df.groupBy(bucket_expr.alias("_b"))
+        narrow.groupBy(bucket_expr.alias("_b"))
         .agg(F.sum(tok).alias("_t"))
         .collect()
     )
@@ -136,7 +171,7 @@ def select_token_budget(
     for level in range(refine_levels):
         sub = F.pmod(_id_hash(id_col, level), F.lit(buckets))
         sub_hist = (
-            df.filter(scope).groupBy(sub.alias("_s"))
+            narrow.filter(scope).groupBy(sub.alias("_s"))
             .agg(F.sum(tok).alias("_t"))
             .collect()
         )

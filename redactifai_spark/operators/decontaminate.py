@@ -101,6 +101,7 @@ def decontaminate(
 
 def eval_window_set(
     eval_df: DataFrame, text_col: str, n: int = 8, lowercase: bool = True,
+    normalize_ws: bool = False,
 ) -> DataFrame:
     """One row per distinct eval ``n``-token window fingerprint under the
     SUBSTRING-DEDUP hashing scheme (``substring.window_fingerprint_occurrences``
@@ -111,9 +112,15 @@ def eval_window_set(
     the lossless single-space split so the cut text can be rebuilt."""
     from .substring import window_fingerprint_occurrences
 
+    if normalize_ws:
+        eval_df = eval_df.withColumn(text_col, _ws_normalized(text_col))
     occ = window_fingerprint_occurrences(
         eval_df, eval_df.columns[0], text_col, n, lowercase=lowercase)
     return occ.select(F.col("_h").alias("window_hash")).distinct()
+
+
+def _ws_normalized(text_col: str) -> F.Column:
+    return F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
 
 
 def scrub_contaminated_spans(
@@ -125,6 +132,7 @@ def scrub_contaminated_spans(
     lowercase: bool = True,
     eval_windows: DataFrame | None = None,
     eval_text_col: str | None = None,
+    normalize_ws: bool = False,
 ) -> DataFrame:
     """Span-level decontamination: instead of DROPPING a training document
     that shares an ``n``-token window with the eval set (``decontaminate``),
@@ -135,9 +143,21 @@ def scrub_contaminated_spans(
     run of >= n tokens is excised end-to-end while the surrounding prose
     survives. Returns ``train_df`` with ``text_col`` replaced plus
     (``n_tokens_kept``, ``n_tokens_dropped``) — the
-    ``drop_duplicate_substrings`` contract, so funnel stages compose (note:
-    a later rewrite stage overwrites these counters; they describe the last
-    stage applied).
+    ``drop_duplicate_substrings`` contract, so funnel stages compose.
+    Rewrite stages fail loudly on a frame that already carries these
+    counters: drop or rename them between stages (as the funnel does) —
+    they describe only the last stage applied.
+
+    RECALL CAVEAT: matching is exact on the single-space token split (the
+    lossless split the rebuild needs), so a training copy that differs from
+    the eval text by ANY whitespace — a line break, a double space — is NOT
+    matched, while doc-level ``decontaminate`` (``\\S+`` tokens) still
+    catches it. Span mode has strictly weaker recall on raw web text; either
+    run it on whitespace-normalized text or pass ``normalize_ws=True``,
+    which rewrites ``text_col`` as single-space-joined (destructive but
+    whitespace-robust — both sides fold, recall matches doc-level for
+    whitespace variants). A precomputed ``eval_windows`` frame must have
+    been built by ``eval_window_set`` with the SAME ``normalize_ws``.
 
     ``lowercase`` matches case-insensitively (eval and train sides fold
     together) while the rebuilt text keeps original casing. ``eval_windows``:
@@ -156,7 +176,10 @@ def scrub_contaminated_spans(
         if eval_df is None:
             raise ValueError("need eval_df or eval_windows")
         eval_windows = eval_window_set(
-            eval_df, eval_text_col or text_col, n, lowercase=lowercase)
+            eval_df, eval_text_col or text_col, n, lowercase=lowercase,
+            normalize_ws=normalize_ws)
+    if normalize_ws:
+        train_df = train_df.withColumn(text_col, _ws_normalized(text_col))
     occ = window_fingerprint_occurrences(
         train_df, id_col, text_col, n, lowercase=lowercase)
     removals = (

@@ -114,14 +114,21 @@ def _shard_digests(df: DataFrame, id_col: str) -> list:
     """Per-shard (shard, n_rows, ids_xor, content_xor) rows — xor of row
     hashes is order-free (row order inside a shard is derived from ids+seed,
     so it needs no separate check) and overflow-free, and the whole digest is
-    one map-side-combined groupBy collecting n_shards rows."""
+    one map-side-combined groupBy collecting n_shards rows.
+
+    The row hash interleaves a position marker and an isnull flag per column
+    (the crawldiff pattern): xxhash64 SKIPS null children without advancing
+    its state, so a bare multi-column hash cannot see a value migrating
+    between nullable columns ({a:"x", b:null} vs {a:null, b:"x"})."""
     cols = [c for c in df.columns if c != "shard"]
+    content_parts = []
+    for i, c in enumerate(cols):
+        content_parts += [F.lit(i), F.col(c).isNull(), F.col(c)]
     return (
         df.groupBy("shard").agg(
             F.count("*").alias("n_rows"),
             F.bit_xor(F.xxhash64(F.col(id_col))).alias("ids_xor"),
-            F.bit_xor(F.xxhash64(*[F.col(c) for c in cols]))
-            .alias("content_xor"),
+            F.bit_xor(F.xxhash64(*content_parts)).alias("content_xor"),
         )
         .collect()
     )
@@ -158,6 +165,15 @@ def write_shard_manifest(
             f"{id_col!r} not in exported columns {df.columns} — pass the "
             "id_col the export used")
     digests = sorted(_shard_digests(df, id_col), key=lambda r: r["shard"])
+    if n_shards is not None and digests and int(digests[-1]["shard"]) >= n_shards:
+        # the manifest records export provenance (a resume job trusts these
+        # parameters to reproduce the shuffle) — a shard id at or above the
+        # claimed n_shards proves the caller passed a different value than
+        # the export used, so refuse to bless it
+        raise ValueError(
+            f"export contains shard {int(digests[-1]['shard'])} but "
+            f"n_shards={n_shards} was claimed — pass the n_shards the "
+            "export actually used")
     manifest = {
         "format": fmt,
         "id_col": id_col,

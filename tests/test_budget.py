@@ -190,3 +190,47 @@ def test_no_new_columns_and_pushable_filter(spark, corpus):
     assert out.columns == df.columns
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # selection is a pure per-row filter
+
+
+def test_nan_scores_rank_worst_not_poison(spark):
+    """A single NaN used to poison the whole histogram: max() returns NaN
+    (NaN sorts above every double), width_bucket with a NaN bound returns
+    NULL for EVERY row, and selection silently degraded to a hash cut."""
+    rows = [("good", 100, 9.0), ("bad", 100, 1.0), ("nan", 100, float("nan"))]
+    df = _frame(spark, rows)
+    kept = {r["doc_id"] for r in select_token_budget(
+        df, 150, "n_tokens", "score").collect()}
+    assert "good" in kept and "nan" not in kept
+
+
+def test_all_nan_falls_back_to_hash_cut(spark):
+    rows = [(f"d{i}", 100, float("nan")) for i in range(50)]
+    df = _frame(spark, rows)
+    kept = {r["doc_id"] for r in select_token_budget(
+        df, 1_500, "n_tokens", "score").collect()}
+    null_rows = [(i, t, None) for i, t, _ in rows]
+    assert kept == _reference_selection(null_rows, 1_500, scored=False)
+
+
+def test_aggregate_passes_share_one_upstream_eval(spark):
+    """The histogram/refine passes run over an internally persisted narrow
+    projection: the upstream plan executes once for ALL passes plus once for
+    the returned filter — not once per aggregate pass."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def _scored(v):
+        acc.add(1)
+        return float(v % 97)
+
+    # nondeterministic so Catalyst can't clone the eval into each consumer
+    scored = F.udf(_scored, "double").asNondeterministic()
+    n = 120
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit(100).alias("n_tokens"),
+        scored(F.col("id")).alias("score"),
+    )
+    out = select_token_budget(df, 4_000, "n_tokens", "score")
+    out.collect()
+    # one eval per row for the persisted passes + one for the final filter
+    assert acc.value <= 2 * n

@@ -148,3 +148,38 @@ def test_scrub_needs_eval_side(spark, span_frames):
     train, _ = span_frames
     with pytest.raises(ValueError, match="eval_df or eval_windows"):
         scrub_contaminated_spans(train, None, "doc_id", "text")
+
+
+def test_scrub_whitespace_variant_needs_normalize_ws(spark, span_frames):
+    """Span matching is exact on the single-space split (the lossless split
+    the rebuild needs), so a copy that differs by a line break is missed by
+    default — normalize_ws=True folds both sides and recovers it."""
+    _, eval_df = span_frames
+    toks = EVAL_Q.split(" ")  # 16 tokens; break the middle space so neither
+    # half carries a full 8-token window under the single-space split
+    variant = " ".join(toks[:8]) + "\n" + " ".join(toks[8:])
+    train = spark.createDataFrame(
+        [(9, "intro " + variant + " outro")], "doc_id long, text string")
+    missed = scrub_contaminated_spans(
+        train, eval_df, "doc_id", "text").collect()[0]
+    assert missed["n_tokens_dropped"] == 0  # documented recall caveat
+    got = scrub_contaminated_spans(
+        train, eval_df, "doc_id", "text", normalize_ws=True).collect()[0]
+    assert got["n_tokens_dropped"] == len(EVAL_Q.split(" "))
+    assert got["text"] == "intro outro"
+
+
+def test_scrub_normalize_ws_precomputed_windows_parity(spark, span_frames):
+    train, eval_df = span_frames
+    ragged_eval = eval_df.withColumn(
+        "text", F.regexp_replace("text", " ", "\n"))
+    direct = scrub_contaminated_spans(
+        train, ragged_eval, "doc_id", "text", normalize_ws=True)
+    pre = eval_window_set(ragged_eval, "text", normalize_ws=True)
+    via = scrub_contaminated_spans(
+        train, None, "doc_id", "text", eval_windows=pre, normalize_ws=True)
+    assert sorted(map(tuple, direct.collect())) == \
+        sorted(map(tuple, via.collect()))
+    # the normalized eval side still nukes doc 1's embedded eval run
+    out = {r["doc_id"]: r for r in direct.collect()}
+    assert out[1]["n_tokens_dropped"] == len(EVAL_Q.split(" "))

@@ -246,3 +246,25 @@ def test_manifest_bad_id_col(spark, tmp_path):
     write_training_shards(_docs(spark), out, n_shards=2, seed=0, fmt="json")
     with pytest.raises(ValueError, match="not in exported columns"):
         write_shard_manifest(spark, out, fmt="json", id_col="nope")
+
+
+def test_shard_digest_sees_null_migration(spark):
+    """xxhash64 SKIPS null children without advancing state, so a bare
+    multi-column hash reads {a:"x", b:null} == {a:null, b:"x"} — the digest
+    interleaves position markers and isnull flags (the crawldiff pattern)."""
+    from redactifai_spark.operators.export import _shard_digests
+    schema = "shard int, doc_id string, a string, b string"
+    left = spark.createDataFrame([(0, "d0", "x", None)], schema)
+    right = spark.createDataFrame([(0, "d0", None, "x")], schema)
+    assert _shard_digests(left, "doc_id")[0]["content_xor"] != \
+        _shard_digests(right, "doc_id")[0]["content_xor"]
+
+
+def test_manifest_rejects_wrong_n_shards_claim(spark, tmp_path):
+    """The manifest records export provenance a resume job trusts — blessing
+    a wrong n_shards claim would make the shuffle unreproducible."""
+    out = str(tmp_path / "claim")
+    write_training_shards(_docs(spark), out, n_shards=5, seed=2, fmt="json")
+    with pytest.raises(ValueError, match="n_shards=3 was claimed"):
+        write_shard_manifest(spark, out, fmt="json", id_col="doc_id",
+                             n_shards=3, seed=2)
