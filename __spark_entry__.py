@@ -188,8 +188,11 @@ def _docs_source_cap(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn(
         "host", F.when(F.col("doc_id") % 3 == 0, F.lit("hub"))
                  .otherwise(F.col("source")))
+    # persist=False: a query builder has no post-action hook to run
+    # unpersist_tracked(), so an eager tracked persist here would leak one
+    # cached counts frame per invocation for the life of the session
     return cap_docs_per_host(
-        docs, 20, host_col="host", id_col="doc_id",
+        docs, 20, host_col="host", id_col="doc_id", persist=False,
     ).select("doc_id", "host")
 
 

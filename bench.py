@@ -158,7 +158,7 @@ def _bench_queries(
     # verify is a correctness demo (driver gate at sf0.01), not a throughput one
     picks = [
         "span_interval_union", "span_overlap_join", "embeddings_cosine_topk",
-        "docs_token_counts", "events_top_users", "docs_word_match_counts",
+        "docs_token_counts", "events_error_by_user", "docs_word_match_counts",
         "docs_prefix_dedup",
     ]
     q = mod.queries()

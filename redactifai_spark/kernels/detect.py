@@ -240,6 +240,24 @@ def _iban_ok(s: str) -> bool:
 
 
 _EXTRA_VALIDATORS = {"CreditCard": _luhn_ok, "IBAN": _iban_ok}
+
+
+def _shrink_candidates(g: str):
+    """Progressively drop trailing separator-delimited groups, longest
+    candidate first. The greedy regexes over-extend into adjacent grouped
+    text ('DE44 5001 ... 31 BIC' absorbs 'BIC'; '4111 1111 1111 1111 12'
+    absorbs the trailing '12'), the checksum then rejects the whole span,
+    and the real PII leaks — regex matching never retries shorter spans on
+    validator failure, so the detector must. Shrinking ONLY at separator
+    boundaries preserves the \\b anti-embedding design: a PAN embedded in a
+    longer CONTIGUOUS digit run (an id, a version) still never matches."""
+    cut = len(g)
+    while True:
+        sep = max(g.rfind(" ", 0, cut), g.rfind("-", 0, cut))
+        if sep <= 0:
+            return
+        yield g[:sep].rstrip(" -")
+        cut = sep
 _EXTRA_CONFIDENCE = {"CreditCard": 0.99, "IBAN": 0.99,
                      "APIKey": 0.95, "IPAddress": 0.90}
 # NOT _compile: its auto-IGNORECASE would let 'akia'/'GHP_'/lowercase
@@ -272,7 +290,15 @@ def detect_extra(text: str, categories: tuple[str, ...]) -> list[SpanEntity]:
             for m in pattern.finditer(text):
                 g = m.group()
                 if validator is not None and not validator(g):
-                    continue
+                    # retry progressively shorter prefixes at separator
+                    # boundaries (see _shrink_candidates); each candidate
+                    # must still fully match the pattern (min lengths/shape)
+                    for cand in _shrink_candidates(g):
+                        if pattern.fullmatch(cand) and validator(cand):
+                            g = cand
+                            break
+                    else:
+                        continue
                 entities.append(
                     SpanEntity(text=g, category=cat, offset=m.start(),
                                length=len(g), confidence=conf))

@@ -77,8 +77,8 @@ def select_token_budget(
 
     ``score_col=None`` selects a uniform random (but deterministic) token
     subsample: every doc scores equal, so the cut is pure hash-prefix.
-    NULL and NaN scores rank worst (selected last); NULL token counts
-    count 0.
+    NULL and NaN scores rank worst (selected last); +inf ranks with the top
+    bucket and -inf with the bottom; NULL token counts count 0.
 
     The histogram/refine passes run over an internally PERSISTED
     (id, tokens, score) projection, so the expensive upstream plan executes
@@ -118,17 +118,46 @@ def _sanitize_score(score_col: str) -> F.Column:
     return F.when(F.isnan(score), F.lit(None).cast("double")).otherwise(score)
 
 
+def _finite_score(score_col: str) -> F.Column:
+    """Like ``_sanitize_score`` but also folds ±inf into NULL — for the
+    HISTOGRAM BOUNDS only. width_bucket clamps infinite VALUES correctly
+    (+inf -> buckets+1, -inf -> 0, verified on Spark 4) but returns NULL for
+    every row under an infinite BOUND, which — because F.least skips NULLs —
+    silently promoted everything into the top bucket and degraded selection
+    to a hash cut the moment one score was inf (e.g. a degenerate log-ratio)."""
+    s = _sanitize_score(score_col)
+    return F.when(
+        (s == F.lit(float("inf"))) | (s == F.lit(float("-inf"))),
+        F.lit(None).cast("double"),
+    ).otherwise(s)
+
+
 def _select_token_budget(
     df: DataFrame, narrow: DataFrame, budget_tokens: int, tok: F.Column,
     score_col: str | None, id_col: str, buckets: int, refine_levels: int,
 ) -> DataFrame:
     if score_col is not None:
-        lo, hi = narrow.agg(
+        lo, hi, rlo, rhi = narrow.agg(
+            F.min(_finite_score(score_col)),
+            F.max(_finite_score(score_col)),
             F.min(_sanitize_score(score_col)),
             F.max(_sanitize_score(score_col)),
         ).first()
-        if lo is None or lo == hi:
-            score_col = None  # all-null/NaN or constant score: pure hash cut
+        has_inf = rhi == float("inf") or rlo == float("-inf")
+        if lo is None:
+            if has_inf:
+                # ±inf are the only real scores: any finite bounds work —
+                # the width_bucket branch only ever sees ±inf (-> 0 / top)
+                lo, hi = 0.0, 1.0
+            else:
+                score_col = None  # all-null/NaN: pure hash cut
+        elif lo == hi:
+            if has_inf:
+                # constant finite score plus ±inf outliers: widen so the
+                # constant lands mid-histogram and the infs take the extremes
+                lo, hi = lo - 0.5, hi + 0.5
+            else:
+                score_col = None  # constant score: pure hash cut
     if score_col is None:
         # degenerate single score bucket; the hash levels do all the work
         bucket_expr = F.lit(1)

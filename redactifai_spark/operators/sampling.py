@@ -79,6 +79,7 @@ def cap_docs_per_host(
     host_col: str = "host",
     id_col: str = "url",
     salt_hex_len: int = 2,
+    persist: bool = True,
 ) -> DataFrame:
     """Keep at most ``max_docs`` documents per host — the C4-style diversity
     cap that stops one mega-site from dominating a corpus — with an EXACT,
@@ -105,7 +106,10 @@ def cap_docs_per_host(
     a materialized table or persisted frame (the funnel's checkpoint shape),
     not a raw expensive pipeline. The internal counts frame is registered
     with ``caching.persist_tracked`` — call ``unpersist_tracked()`` after the
-    consuming action (the CLI jobs already do). NULL ids fail loudly at
+    consuming action (the CLI jobs already do); callers that cannot free the
+    registry (one-shot query builders) pass ``persist=False`` and pay up to
+    two extra count scans instead of leaking a cached frame. NULL ids fail
+    loudly at
     execution time (export.py contract: a NULL id has no deterministic
     order). NULL hosts form their own capped group (host joins are
     null-safe). Duplicate ids tie in the order key: membership count stays
@@ -135,10 +139,12 @@ def cap_docs_per_host(
     # the ONLY count scan of df; persisted (hosts x occupied salts, far
     # smaller than df) because offenders/offsets/both branches all derive
     # from it — unpersisted, each derivation re-scans the full input
-    from .caching import persist_tracked
+    salt_counts = d.groupBy(host_col, "_cap_salt").agg(
+        F.count(F.lit(1)).alias("_cap_n"))
+    if persist:
+        from .caching import persist_tracked
 
-    salt_counts = persist_tracked(d.groupBy(host_col, "_cap_salt").agg(
-        F.count(F.lit(1)).alias("_cap_n")))
+        salt_counts = persist_tracked(salt_counts)
     offenders = salt_counts.groupBy(host_col).agg(
         F.sum("_cap_n").alias("_cap_tot"),
     ).filter(F.col("_cap_tot") > max_docs).select(

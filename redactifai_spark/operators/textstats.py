@@ -300,9 +300,10 @@ def with_paragraph_languages(
     pass r"\\n+" for the extraction pipeline's output, where the extractor
     emits one BLOCK PER LINE (the drop_duplicate_paragraphs delim="\\n"
     convention)."""
-    clash = {out_col, paras_col} & set(df.columns)
+    clash = {out_col, paras_col, "_seg_ptoks"} & set(df.columns)
     if clash:
-        # fail loudly, never clobber a data column (export.py guard family)
+        # fail loudly, never clobber a data column (export.py guard family);
+        # _seg_ptoks is this function's internal scratch column
         raise ValueError(
             f"df already has column(s) {sorted(clash)}; pass different "
             "out_col/paras_col or drop them first")

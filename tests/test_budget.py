@@ -234,3 +234,38 @@ def test_aggregate_passes_share_one_upstream_eval(spark):
     out.collect()
     # one eval per row for the persisted passes + one for the final filter
     assert acc.value <= 2 * n
+
+
+def test_inf_scores_do_not_poison_histogram(spark):
+    """One +/-inf score used to make the histogram bounds infinite:
+    width_bucket returned NULL for every row and — because F.least skips
+    NULLs — everything landed in the top bucket, silently degrading
+    quality-ranked selection to a hash cut. Bounds are now finite-only;
+    +inf ranks top, -inf ranks bottom."""
+    rows = [("best", 100, float("inf")), ("good", 100, 9.0),
+            ("bad", 100, 1.0), ("ninf", 100, float("-inf")),
+            ("unk", 100, None)]
+    df = _frame(spark, rows)
+    kept = {r["doc_id"] for r in select_token_budget(
+        df, 250, "n_tokens", "score").collect()}
+    assert {"best", "good"} <= kept
+    assert "ninf" not in kept and "unk" not in kept
+
+
+def test_all_inf_scores_still_rank(spark):
+    rows = [("p1", 100, float("inf")), ("p2", 100, float("inf")),
+            ("n1", 100, float("-inf")), ("u", 100, None)]
+    df = _frame(spark, rows)
+    kept = {r["doc_id"] for r in select_token_budget(
+        df, 150, "n_tokens", "score").collect()}
+    assert kept == {"p1", "p2"}
+
+
+def test_constant_score_with_inf_outliers_still_ordered(spark):
+    rows = ([("top", 100, float("inf"))]
+            + [(f"c{i}", 100, 5.0) for i in range(10)]
+            + [("low", 100, float("-inf"))])
+    df = _frame(spark, rows)
+    kept = {r["doc_id"] for r in select_token_budget(
+        df, 150, "n_tokens", "score").collect()}
+    assert "top" in kept and "low" not in kept

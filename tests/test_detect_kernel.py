@@ -150,3 +150,30 @@ def test_extra_detectors_compose_with_core_and_gazetteer():
     # sorted by the total key (the byte-identity ordering contract)
     keys = [e.sort_key() for e in ents]
     assert keys == sorted(keys)
+
+
+def test_extra_bank_shrinks_overextended_matches():
+    """The greedy IBAN/CreditCard regexes absorb adjacent grouped text; the
+    checksum then rejected the WHOLE span and the real PII leaked. The
+    detector now retries shorter prefixes at separator boundaries."""
+    from redactifai_spark.kernels.detect import detect_extra
+
+    t1 = "wire to DE89 3704 0044 0532 0130 00 BIC MARKDEF1100 please"
+    got = {(e.category, e.text) for e in detect_extra(t1, ("IBAN",))}
+    assert ("IBAN", "DE89 3704 0044 0532 0130 00") in got
+    t2 = "card 4111 1111 1111 1111 12 on file"
+    got2 = {(e.category, e.text) for e in detect_extra(t2, ("CreditCard",))}
+    assert ("CreditCard", "4111 1111 1111 1111") in got2
+    # offsets still index into the text after shrinking
+    for t, cats in ((t1, ("IBAN",)), (t2, ("CreditCard",))):
+        for e in detect_extra(t, cats):
+            assert t[e.offset:e.offset + e.length] == e.text
+
+
+def test_extra_bank_never_excavates_contiguous_runs():
+    """Shrinking happens ONLY at separator boundaries: a Luhn-valid PAN
+    embedded in a longer contiguous digit run (an id, a version) must stay
+    unmatched — that anti-embedding property is the \\b design."""
+    from redactifai_spark.kernels.detect import detect_extra
+
+    assert not detect_extra("order 411111111111111112 x", ("CreditCard",))

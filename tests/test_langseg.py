@@ -119,3 +119,11 @@ def test_clobber_guards(spark):
             df.withColumn("n_paragraphs", F.lit(0)), ("en", "und"))
     # out_col == text_col is the replace contract, not a clash
     assert strip_foreign_paragraphs(df, ("en", "und")).count() == 1
+
+
+def test_internal_scratch_column_clash_fails_loudly(spark):
+    # _seg_ptoks is the function's internal scratch column: a caller frame
+    # that already carries it must not be silently clobbered-then-dropped
+    df = spark.createDataFrame([(1, EN)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="_seg_ptoks"):
+        with_paragraph_languages(df.withColumn("_seg_ptoks", F.lit("x")))

@@ -242,3 +242,23 @@ def test_cap_docs_per_host_tracked_cache_drains(spark):
     assert tracked_count() >= 1
     assert out.count() == 10 + 5 + 5 + 10  # offender+null capped, rest pass
     assert unpersist_tracked() >= 1 and tracked_count() == 0
+
+
+def test_cap_docs_per_host_persist_false_leaves_no_tracked_cache(spark):
+    """One-shot query builders (e.g. __spark_entry__) have no post-action
+    hook to run unpersist_tracked(), so persist=False must not register a
+    cached frame — the leak was one frame per invocation, session-lifetime."""
+    from redactifai_spark.operators.caching import (
+        tracked_count, unpersist_tracked,
+    )
+    unpersist_tracked()
+    df = _capdocs(spark, skew=30)
+    free = cap_docs_per_host(df, 10, host_col="host", id_col="url",
+                             persist=False)
+    n_free = free.count()
+    assert tracked_count() == 0  # persist=False registers nothing
+    tracked = cap_docs_per_host(df, 10, host_col="host", id_col="url")
+    assert tracked_count() >= 1  # default registers (eagerly, at build)
+    assert tracked.count() == n_free  # identical keep set either way
+    unpersist_tracked()
+    assert tracked_count() == 0
