@@ -55,6 +55,11 @@ def prepare_training_corpus(
     assume_unique_ids: bool = False,
     cluster_checkpoint_dir: str | None = None,
     max_docs_per_host: int | None = None,
+    eval_decontaminate: DataFrame | None = None,
+    decontaminate_mode: str = "drop",
+    decontaminate_n: int = 8,
+    decontaminate_fuzzy_threshold: float = 0.8,
+    eval_text_col: str = "text",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, funnel_stats). corpus: (url, lang_detected, quality_score,
     redacted_text, n_spans); funnel_stats: one row of stage counts
@@ -162,7 +167,29 @@ def prepare_training_corpus(
     rank, no hot-host task). Runs against a materialized pre-cap corpus
     (checkpoint table or tracked persist) because the cap scans its input
     up to three times.
+
+    ``eval_decontaminate``: an eval-suite frame (first column = id,
+    ``eval_text_col`` = text) switches on EVAL-SET DECONTAMINATION of the
+    near-dup survivors — hygiene before the diversity cap, after every
+    text rewrite so the check sees the corpus text that will actually
+    ship. ``decontaminate_mode``: ``"drop"`` removes any doc sharing an
+    exact ``decontaminate_n``-token window with the eval set
+    (decontaminate.decontaminate); ``"scrub"`` excises only the
+    contaminated spans and keeps the prose (scrub_contaminated_spans with
+    the structure-preserving exact split — an eval window crossing a
+    corpus LINE BREAK is not scrubbed; use "drop" when whitespace-variant
+    recall matters more than keeping the doc. Counters are dropped, the
+    corpus schema is stable); ``"fuzzy"`` removes MinHash
+    near-duplicates of eval docs at ``decontaminate_fuzzy_threshold``
+    Jaccard (decontaminate_fuzzy — catches paraphrased leaks exact
+    windows miss; run a second funnel pass with "drop" for belt-and-
+    braces). The eval side is fingerprint-broadcast; the corpus side is
+    never reshuffled (drop/scrub) or band-joined once (fuzzy).
     """
+    if decontaminate_mode not in ("drop", "scrub", "fuzzy"):
+        raise ValueError(
+            f"decontaminate_mode must be drop|scrub|fuzzy, "
+            f"got {decontaminate_mode!r}")
     if classifier_weights is None and classifier_score_min is not None:
         raise ValueError(
             "prepare_training_corpus: classifier_score_min requires "
@@ -192,7 +219,10 @@ def prepare_training_corpus(
         validate_keep_langs(keep_paragraph_langs)
     if (strip_boilerplate or dedup_paragraphs or lm_score_min is not None
             or dedup_substrings_min_tokens is not None
-            or classifier_score_min is not None) \
+            or classifier_score_min is not None
+            # scrub rebuilds each doc from its windows — a per-url regroup
+            or (eval_decontaminate is not None
+                and decontaminate_mode == "scrub")) \
             and not assume_unique_ids:
         # fail loudly on duplicate doc ids BEFORE the per-url regroup/join
         # stages corrupt documents (ADVICE r5: raw crawls routinely repeat
@@ -427,6 +457,39 @@ def prepare_training_corpus(
         "is_complete", "is_gated"
     )
 
+    if eval_decontaminate is not None:
+        # hygiene before the diversity cap, after every text rewrite —
+        # the check must see the corpus text that will actually ship
+        if decontaminate_mode == "drop":
+            from .decontaminate import decontaminate as _decon
+
+            corpus = _decon(
+                corpus, eval_decontaminate, "url", "redacted_text",
+                n=decontaminate_n, eval_text_col=eval_text_col)
+        elif decontaminate_mode == "scrub":
+            from .decontaminate import scrub_contaminated_spans
+
+            corpus = scrub_contaminated_spans(
+                corpus, eval_decontaminate, "url", "redacted_text",
+                n=decontaminate_n, eval_text_col=eval_text_col,
+            ).drop("n_tokens_kept", "n_tokens_dropped")
+        else:
+            from .decontaminate import decontaminate_fuzzy
+
+            # fuzzy featurizes the corpus side for bands AND verify, then
+            # joins the contaminated set back — materialize so the near-dup
+            # anti-join chain doesn't recompute once per consumer
+            if checkpoint_path is not None:
+                dc_path = checkpoint_path.rstrip("/") + "_predecon"
+                corpus.write.mode("overwrite").parquet(dc_path)
+                corpus = pages.sparkSession.read.parquet(dc_path)
+            else:
+                corpus = persist_tracked(corpus, eager=False)
+            corpus = decontaminate_fuzzy(
+                corpus, eval_decontaminate, "url", "redacted_text",
+                threshold=decontaminate_fuzzy_threshold,
+                eval_text_col=eval_text_col)
+
     if max_docs_per_host is not None:
         from .links import page_host
         from .sampling import cap_docs_per_host
@@ -462,7 +525,14 @@ def prepare_training_corpus(
     )
     loser_count = losers.agg(F.count("*").alias("_n_losers"))
     stats = gate_counts.crossJoin(loser_count)
-    if max_docs_per_host is not None:
+    # drop/fuzzy decontamination removes docs after the loser arithmetic
+    # (scrub only rewrites text, so the derived count stays exact)
+    drops_docs = (
+        max_docs_per_host is not None
+        or (eval_decontaminate is not None
+            and decontaminate_mode in ("drop", "fuzzy"))
+    )
+    if drops_docs:
         stats = stats.crossJoin(corpus.agg(F.count("*").alias("_n_capped")))
         n_corpus = F.col("_n_capped").alias("n_corpus")
     else:

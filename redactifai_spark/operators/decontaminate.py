@@ -188,3 +188,84 @@ def scrub_contaminated_spans(
         .select("_ss_id", F.col("_pos").alias("_j"), F.lit(1).alias("_st"))
     )
     return rebuild_without_windows(train_df, id_col, text_col, removals, n)
+
+
+def decontaminate_fuzzy(
+    train_df: DataFrame,
+    eval_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    n_bands: int = 32,
+    shingle_n: int = 3,
+    flag_only: bool = False,
+    eval_features: DataFrame | None = None,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Fuzzy decontamination: drop (or flag) training documents that are
+    MinHash-Jaccard NEAR-duplicates of an eval document — the paraphrased /
+    lightly-edited / reformatted contamination the exact ``n``-gram window
+    check (``decontaminate``) cannot see, because a single changed word
+    breaks every window crossing it. The standard companion step (Dolma,
+    GPT-3 appendix C use fuzzy overlap for exactly this reason); run BOTH:
+    exact windows for verbatim leaks, fuzzy Jaccard for mutated ones.
+
+    Pure composition over ``dedup.near_duplicates_against`` with the eval
+    set in the (small, precomputable) corpus role and the training side in
+    the streaming role: LSH bands bound the candidate pairs, exact shingle
+    Jaccard verifies, and the training corpus is never shuffled beyond the
+    band join (whose eval side is small enough for AQE to broadcast). The
+    final join-back broadcasts the contaminated-id set — bounded by the
+    docs that actually near-match the eval suite, the same contract as
+    ``decontaminate`` (a corpus where MILLIONS of docs near-match eval is a
+    curation failure upstream of this operator).
+
+    Eval ids are internally prefixed (``eval:``) so an id value shared by a
+    training and an eval row can never be mistaken for a self-pair (the
+    underlying operator excludes same-id pairs). Defaults are the
+    RECALL-oriented LSH configuration (64 hashes / 32 two-row bands — the
+    setting equivalence-tested against brute force in the dedup suite):
+    missing contamination silently inflates benchmark scores, so decon
+    pays 2x signature cost for near-exhaustive candidate recall, unlike
+    dedup where a missed low-J pair merely keeps one extra copy.
+    ``eval_features``: a
+    precomputed ``dedup.featurize`` frame of the PREFIXED eval side (build
+    with the same ``n_hashes``/``shingle_n``); pass it to skip
+    re-featurizing the eval suite per call. ``flag_only`` keeps every row
+    and adds ``is_contaminated`` plus ``eval_match_jaccard`` (max Jaccard
+    against any eval doc; NULL when clean)."""
+    from .dedup import near_duplicates_against
+
+    if eval_features is None:
+        if eval_df is None:
+            raise ValueError("need eval_df or eval_features")
+        eval_id = eval_df.columns[0]
+        eval_side = eval_df.select(
+            F.concat(F.lit("eval:"), F.col(eval_id).cast("string"))
+            .alias(id_col),
+            F.col(eval_text_col or text_col).alias(text_col),
+        )
+    else:
+        eval_side = None
+    pairs = near_duplicates_against(
+        corpus_df=eval_side,
+        new_df=train_df.select(
+            F.col(id_col).cast("string").alias(id_col), text_col),
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        shingle_n=shingle_n,
+        corpus_features=eval_features,
+    )
+    contaminated = pairs.groupBy("new_id").agg(
+        F.max("jaccard").alias("eval_match_jaccard"))
+    hit = F.col(id_col).cast("string") == F.col("new_id")
+    if flag_only:
+        flagged = train_df.join(F.broadcast(contaminated), hit, "left")
+        return flagged.withColumn(
+            "is_contaminated", F.col("new_id").isNotNull()
+        ).drop("new_id")
+    return train_df.join(F.broadcast(contaminated), hit, "left_anti")

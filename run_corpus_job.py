@@ -161,10 +161,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="skip the duplicate-url probe that guards the "
                         "boilerplate/LM stages (input already deduped)")
     p.add_argument("--decontaminate-eval", default=None, metavar="PATH",
-                   help="eval-set parquet dir / table (text column): drop "
-                        "corpus docs sharing any 8-gram with it (broadcast "
-                        "fingerprint; the corpus side is never shuffled)")
+                   help="eval-set parquet dir / table (text column): "
+                        "decontaminate the corpus against it before the "
+                        "host cap (broadcast fingerprint; the corpus side "
+                        "is never shuffled in drop/scrub mode); n_corpus "
+                        "in the stats reflects the removals")
     p.add_argument("--decontaminate-ngram", type=int, default=8)
+    p.add_argument("--decontaminate-mode", default="drop",
+                   choices=["drop", "scrub", "fuzzy"],
+                   help="drop: remove docs sharing an exact n-token window "
+                        "with the eval set; scrub: excise only the "
+                        "contaminated spans, keep the prose; fuzzy: remove "
+                        "MinHash near-duplicates of eval docs (catches "
+                        "paraphrased leaks exact windows miss)")
+    p.add_argument("--decontaminate-fuzzy-threshold", type=float,
+                   default=0.8, help="Jaccard cut for --decontaminate-mode "
+                                     "fuzzy")
     p.add_argument("--cluster-near-dups", action="store_true",
                    help="resolve near-dup chains into clusters and keep one "
                         "representative per cluster (vs the cheaper pairwise "
@@ -357,17 +369,15 @@ def main(argv: list[str] | None = None) -> int:
         host_rank_min=args.host_rank_min,
         broadcast_host_ranks=args.broadcast_host_ranks,
         max_docs_per_host=args.max_docs_per_host,
+        eval_decontaminate=(
+            _read_target(spark, args.decontaminate_eval)
+            if args.decontaminate_eval else None),
+        decontaminate_mode=args.decontaminate_mode,
+        decontaminate_n=args.decontaminate_ngram,
+        decontaminate_fuzzy_threshold=args.decontaminate_fuzzy_threshold,
         # --canonicalize-urls already deduped on the canonical url
         assume_unique_ids=args.assume_unique_urls or args.canonicalize_urls,
     )
-    if args.decontaminate_eval:
-        from redactifai_spark.operators.decontaminate import decontaminate
-
-        corpus = decontaminate(
-            corpus, _read_target(spark, args.decontaminate_eval),
-            "url", "redacted_text", n=args.decontaminate_ngram,
-            eval_text_col="text",
-        )
     if args.importance_target:
         from redactifai_spark.operators.importance import (
             importance_weights, resample_by_importance)

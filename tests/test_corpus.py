@@ -505,3 +505,106 @@ def test_funnel_max_docs_per_host_cap(spark, tmp_path):
     # nonpositive cap fails before any work
     with pytest.raises(ValueError, match="max_docs_per_host"):
         prepare_training_corpus(pages, max_docs_per_host=0, **kw)
+
+
+# ---- eval-set decontamination knobs ----
+
+_MARK = ("zebra quokka wombat narwhal axolotl pangolin capybara lemur "
+         "gecko iguana")
+
+
+def _decon_pages(spark):
+    """8 generated pages; page /article/3 gets a doc-unique marker paragraph
+    (padded on both sides so the full marker survives the extractor's
+    line-join as clean single-space tokens)."""
+    pages = generate_pages(spark, 8, n_partitions=2)
+    return pages.withColumn(
+        "html",
+        F.when(
+            F.col("url").endswith("/article/3"),
+            F.encode(F.concat(F.decode("html", "UTF-8"),
+                              F.lit("<p>padstart " + _MARK + " padend</p>")),
+                     "UTF-8"),
+        ).otherwise(F.col("html")),
+    )
+
+
+def test_funnel_decontaminate_drop_and_scrub(spark):
+    from redactifai_spark.kernels.oracle import PipelineConfig
+
+    pages = _decon_pages(spark)
+    eval_df = spark.createDataFrame(
+        [(1, _MARK)], "eval_id long, text string")
+    kw = dict(quality_min=0.0, langs=("en", "und"), assume_unique_ids=True)
+    base, _ = prepare_training_corpus(pages, PipelineConfig(), **kw)
+    base_rows = {r["url"]: r["redacted_text"] for r in base.collect()}
+    marked = [u for u, t in base_rows.items() if "zebra quokka" in t]
+    assert len(marked) == 1
+    n0 = len(base_rows)
+
+    # drop: the marked doc is gone; stats switch to the counted n_corpus leg
+    dropped, stats = prepare_training_corpus(
+        pages, PipelineConfig(), eval_decontaminate=eval_df, **kw)
+    kept = {r["url"] for r in dropped.collect()}
+    assert marked[0] not in kept and len(kept) == n0 - 1
+    assert stats.collect()[0]["n_corpus"] == n0 - 1
+
+    # scrub: every doc survives; only the contaminated span is excised
+    scrubbed, stats2 = prepare_training_corpus(
+        pages, PipelineConfig(), eval_decontaminate=eval_df,
+        decontaminate_mode="scrub", **kw)
+    texts = {r["url"]: r["redacted_text"] for r in scrubbed.collect()}
+    assert set(texts) == set(base_rows)
+    assert "zebra" not in texts[marked[0]]
+    assert "padstart" in texts[marked[0]]  # surrounding prose survives
+    assert stats2.collect()[0]["n_corpus"] == n0  # derived count still exact
+    # clean docs are byte-identical through the scrub stage
+    clean = next(u for u in base_rows if u != marked[0])
+    assert texts[clean] == base_rows[clean]
+
+
+def test_funnel_decontaminate_fuzzy_catches_mutated_copy(spark):
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu one "
+            "two three four")
+    toks = base.split(" ")
+    for p in (3, 10, 17, 24):  # every <8 tokens: no exact window survives
+        toks[p] = f"MUT{p}"
+    mutated = " ".join(toks)
+    rows = [("https://ex.com/a", None, None, mutated, "en"),
+            ("https://ex.com/b", None, None,
+             "a wholly different training document about catalyst stages "
+             "and arrow batch transfer costs in the executor", "en")]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    eval_df = spark.createDataFrame([(1, base)], "eval_id long, text string")
+    kw = dict(quality_min=0.0, langs=("en", "und"), assume_unique_ids=True)
+
+    exact, _ = prepare_training_corpus(
+        pages, eval_decontaminate=eval_df, **kw)
+    assert {r["url"] for r in exact.collect()} == \
+        {"https://ex.com/a", "https://ex.com/b"}  # exact windows all broken
+
+    fuzzy, stats = prepare_training_corpus(
+        pages, eval_decontaminate=eval_df, decontaminate_mode="fuzzy",
+        decontaminate_fuzzy_threshold=0.4, **kw)
+    assert {r["url"] for r in fuzzy.collect()} == {"https://ex.com/b"}
+    assert stats.collect()[0]["n_corpus"] == 1
+
+
+def test_funnel_decontaminate_validation_and_probe(spark):
+    import pytest
+
+    pages = generate_pages(spark, 4, n_partitions=1)
+    eval_df = spark.createDataFrame([(1, "x")], "eval_id long, text string")
+    with pytest.raises(ValueError, match="decontaminate_mode"):
+        prepare_training_corpus(
+            pages, eval_decontaminate=eval_df, decontaminate_mode="nuke")
+    # scrub regroups per url: duplicate urls must trip the probe
+    dup = pages.unionByName(pages.limit(1))
+    with pytest.raises(ValueError, match="duplicate urls"):
+        prepare_training_corpus(
+            dup, eval_decontaminate=eval_df, decontaminate_mode="scrub",
+            quality_min=0.0, langs=("en", "und"))

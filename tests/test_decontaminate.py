@@ -183,3 +183,92 @@ def test_scrub_normalize_ws_precomputed_windows_parity(spark, span_frames):
     # the normalized eval side still nukes doc 1's embedded eval run
     out = {r["doc_id"]: r for r in direct.collect()}
     assert out[1]["n_tokens_dropped"] == len(EVAL_Q.split(" "))
+
+
+# ---- fuzzy (MinHash-Jaccard) decontamination ----
+
+from redactifai_spark.operators.decontaminate import (  # noqa: E402
+    decontaminate_fuzzy,
+)
+
+_BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+         "kilo lima mike november oscar papa quebec romeo sierra tango "
+         "uniform victor whiskey xray yankee zulu one two three four")
+
+
+def _mutate(text, positions, repl="MUT"):
+    toks = text.split(" ")
+    for i, p in enumerate(positions):
+        toks[p] = f"{repl}{i}"
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def fuzzy_frames(spark):
+    # mutations every <8 tokens: NO intact 8-token window survives, so the
+    # exact n-gram check is blind to this copy — fuzzy Jaccard is not
+    mutated = _mutate(_BASE, (3, 10, 17, 24))
+    train = spark.createDataFrame(
+        [(1, mutated),
+         (2, "an entirely different training document about catalyst "
+             "query optimization stages and arrow batch transfer costs")],
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(100, _BASE)], "doc_id long, text string")
+    return train, eval_df, mutated
+
+
+def test_fuzzy_catches_what_exact_misses(spark, fuzzy_frames):
+    train, eval_df, mutated = fuzzy_frames
+    exact_kept = {r["doc_id"] for r in decontaminate(
+        train, eval_df, "doc_id", "text").collect()}
+    assert exact_kept == {1, 2}  # exact windows all broken: blind
+    fuzzy_kept = {r["doc_id"] for r in decontaminate_fuzzy(
+        train, eval_df, "doc_id", "text", threshold=0.4).collect()}
+    assert fuzzy_kept == {2}  # the mutated copy is gone, the clean doc stays
+
+
+def test_fuzzy_flag_mode_reports_jaccard(spark, fuzzy_frames):
+    train, eval_df, _ = fuzzy_frames
+    out = {r["doc_id"]: r for r in decontaminate_fuzzy(
+        train, eval_df, "doc_id", "text", threshold=0.4,
+        flag_only=True).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["is_contaminated"] and not out[2]["is_contaminated"]
+    assert 0.4 <= out[1]["eval_match_jaccard"] <= 1.0
+    assert out[2]["eval_match_jaccard"] is None
+
+
+def test_fuzzy_id_collision_with_eval_is_not_a_self_pair(spark):
+    # identical text AND identical id value on both sides: the internal
+    # eval: prefix must keep the pair from being excluded as a self-match
+    train = spark.createDataFrame([(100, _BASE)], "doc_id long, text string")
+    eval_df = spark.createDataFrame([(100, _BASE)], "doc_id long, text string")
+    assert decontaminate_fuzzy(
+        train, eval_df, "doc_id", "text", threshold=0.9).count() == 0
+
+
+def test_fuzzy_precomputed_features_equivalent(spark, fuzzy_frames):
+    from pyspark.sql import functions as F
+    from redactifai_spark.operators.dedup import featurize
+
+    train, eval_df, _ = fuzzy_frames
+    prefixed = eval_df.select(
+        F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))
+        .alias("doc_id"), "text")
+    # MUST be built with the consumer's (n_hashes, shingle_n) — here the
+    # fuzzy-decon defaults (64 hashes), not featurize's dedup default (32)
+    feats = featurize(prefixed, "doc_id", "text", n_hashes=64)
+    direct = decontaminate_fuzzy(
+        train, eval_df, "doc_id", "text", threshold=0.4, flag_only=True)
+    via = decontaminate_fuzzy(
+        train, None, "doc_id", "text", threshold=0.4, flag_only=True,
+        eval_features=feats)
+    assert sorted(map(tuple, direct.collect())) == \
+        sorted(map(tuple, via.collect()))
+
+
+def test_fuzzy_needs_eval_side(spark, fuzzy_frames):
+    train, _, _ = fuzzy_frames
+    with pytest.raises(ValueError, match="eval_df or eval_features"):
+        decontaminate_fuzzy(train, None, "doc_id", "text")
