@@ -338,13 +338,35 @@ def _docs_decontaminate(spark, sf_dir):
     # results because a false flag needs an xxhash64 collision between two
     # distinct corpus n-grams (~1e-10 at this scale), same reasoning as the
     # LSH==bruteforce oracles.
-    from redactifai_spark.operators.decontaminate import decontaminate
+    # Since r7 session 4 the row also gate-grades SPAN-LEVEL decontamination
+    # (scrub_contaminated_spans) as a grp-tagged leg: same eval suite, but
+    # instead of flagging whole docs it excises exactly the contaminated
+    # >= 8-token runs and rebuilds the text (the substring-dedup rebuild
+    # machinery, eval windows as removals). The oracle replays the full
+    # rebuild on window STRINGS — the docs_substring_dedup chain with the
+    # dup-rank predicate swapped for eval-set membership (and lowercased
+    # window keys, scrub's case-insensitive default).
+    from redactifai_spark.operators.decontaminate import (
+        decontaminate, scrub_contaminated_spans)
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     eval_df = docs.filter(F.col("doc_id") % 17 == 3)
-    return decontaminate(
+    doc_leg = decontaminate(
         docs, eval_df, "doc_id", "text", n=8, flag_only=True,
-    ).select("doc_id", "is_contaminated")
+    ).select(
+        F.lit("doc").alias("grp"), "doc_id", "is_contaminated",
+        F.lit(None).cast("string").alias("scrub_text"),
+        F.lit(None).cast("long").alias("n_dropped"),
+    )
+    scrub_leg = scrub_contaminated_spans(
+        docs, eval_df, "doc_id", "text", n=8,
+    ).select(
+        F.lit("scrub").alias("grp"), "doc_id",
+        (F.col("n_tokens_dropped") > 0).alias("is_contaminated"),
+        F.col("text").alias("scrub_text"),
+        F.col("n_tokens_dropped").cast("long").alias("n_dropped"),
+    )
+    return doc_leg.unionByName(scrub_leg)
 
 
 def _docs_prefix_dedup(spark, sf_dir):
@@ -2377,9 +2399,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM b LEFT JOIN t USING (doc_id)"
         ),
         "docs_decontaminate": (
-            # string-level 8-gram containment — the xxhash64 join's twin
-            # (false flags need a 64-bit hash collision between distinct
-            # corpus n-grams: ~1e-10 here; same argument as LSH==bruteforce)
+            # leg 1 ('doc'): string-level 8-gram containment — the xxhash64
+            # join's twin (false flags need a 64-bit hash collision between
+            # distinct corpus n-grams: ~1e-10 here; LSH==bruteforce argument)
             "WITH t AS (SELECT doc_id, "
             "regexp_extract_all(trim(lower(text)), '\\S+') AS toks "
             "FROM documents), "
@@ -2389,8 +2411,46 @@ def oracle_sql() -> dict[str, str]:
             "ELSE CAST([] AS VARCHAR[]) END) AS ng FROM t), "
             "ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 17 = 3), "
             "c AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (ng)) "
-            "SELECT d.doc_id, (c.doc_id IS NOT NULL) AS is_contaminated "
-            "FROM documents d LEFT JOIN c USING (doc_id)"
+            "SELECT 'doc' AS grp, d.doc_id, "
+            "(c.doc_id IS NOT NULL) AS is_contaminated, "
+            "CAST(NULL AS VARCHAR) AS scrub_text, "
+            "CAST(NULL AS BIGINT) AS n_dropped "
+            "FROM documents d LEFT JOIN c USING (doc_id) "
+            "UNION ALL "
+            # leg 2 ('scrub'): full span-level rebuild on window STRINGS —
+            # the docs_substring_dedup chain (single-space split, coverage
+            # via the RANGE 7-PRECEDING window) with removals = windows in
+            # the eval set (lowercased keys: scrub's case-insensitive mode)
+            "SELECT * FROM ("
+            "WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk "
+            "  FROM documents), "
+            "occ AS (SELECT doc_id, "
+            "  unnest(range(0, greatest(len(tk) - 7, 0))) AS pos, "
+            "  unnest(list_transform(range(0, greatest(len(tk) - 7, 0)), "
+            "    j -> lower(array_to_string(tk[j+1:j+8], ' ')))) AS w "
+            "  FROM toks), "
+            "ev2 AS (SELECT DISTINCT w FROM occ WHERE doc_id % 17 = 3), "
+            "removals AS (SELECT o.doc_id, o.pos FROM occ o "
+            "  JOIN ev2 USING (w)), "
+            "tokrows AS (SELECT doc_id, unnest(range(0, len(tk))) AS j, "
+            "  unnest(tk) AS tok FROM toks), "
+            "marked AS (SELECT tr.doc_id, tr.j, tr.tok, "
+            "  sum(CASE WHEN r.pos IS NULL THEN 0 ELSE 1 END) "
+            "    OVER (PARTITION BY tr.doc_id ORDER BY tr.j "
+            "    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) > 0 AS cov "
+            "  FROM tokrows tr LEFT JOIN removals r "
+            "    ON tr.doc_id = r.doc_id AND tr.j = r.pos), "
+            "rebuilt AS (SELECT doc_id, "
+            "  coalesce(string_agg(tok, ' ' ORDER BY j) "
+            "    FILTER (WHERE NOT cov), '') AS nt, "
+            "  count(*) FILTER (WHERE cov) AS dropped "
+            "  FROM marked GROUP BY doc_id) "
+            "SELECT 'scrub' AS grp, d.doc_id, "
+            "(coalesce(r.dropped, 0) > 0) AS is_contaminated, "
+            "CASE WHEN coalesce(r.dropped, 0) > 0 THEN r.nt ELSE d.text END "
+            "  AS scrub_text, "
+            "CAST(coalesce(r.dropped, 0) AS BIGINT) AS n_dropped "
+            "FROM documents d LEFT JOIN rebuilt r USING (doc_id))"
         ),
         "docs_prefix_dedup": (
             "SELECT md5(substr(text, 1, 40)) AS group_key, MIN(doc_id) AS keeper_id, "
