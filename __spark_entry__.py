@@ -259,13 +259,24 @@ def _docs_boilerplate_strip(spark, sf_dir):
 def _docs_lm_logprob(spark, sf_dir):
     # bigram LM quality score (operators/lm.py): add-one-smoothed
     # self-perplexity with log-probs quantized to exact integer micronats —
-    # order-independent sums, bit-replayable by the SQL twin.
+    # order-independent sums, bit-replayable by the SQL twin. Since r7
+    # session 5 also carries the former docs_top_bigrams row (corpus-level
+    # bigram frequency, deterministic top-20) as a grp-tagged leg — both
+    # are corpus bigram statistics, the sibling-merge pattern.
     from redactifai_spark.operators.lm import bigram_lm_score
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return bigram_lm_score(docs, "doc_id", "text").select(
-        "doc_id", "n_bigrams", "lp_micro_sum", "lm_score"
-    )
+    lm = bigram_lm_score(docs, "doc_id", "text").select(
+        F.lit("lm").alias("grp"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_bigrams").alias("n"),
+        "lp_micro_sum", "lm_score")
+    top = _top_bigrams_leg(docs).select(
+        F.lit("top_bigram").alias("grp"),
+        F.col("bigram").alias("key"), "n",
+        F.lit(None).cast("long").alias("lp_micro_sum"),
+        F.lit(None).cast("double").alias("lm_score"))
+    return lm.unionByName(top)
 
 
 def _docs_paragraph_dedup(spark, sf_dir):
@@ -614,19 +625,6 @@ def _lineitem_pricing_summary(spark, sf_dir):
     )
 
 
-def _events_hourly_windows(spark, sf_dir):
-    # event-time tumbling window aggregation (the batch twin of the
-    # watermark+window streaming path in streaming/windows.py)
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
-            "event_type",
-        )
-        .agg(F.count("*").alias("n"))
-    )
-
-
 def _pair_jaccard_leg(spark, sf_dir):
     # token-set Jaccard on deterministic doc pairs — the exact-verify kernel
     # of the near-dup pipeline; since round 6 a method leg of
@@ -926,6 +924,71 @@ def _docs_crawl_diff(spark, sf_dir):
     return delta.select("url", "change")
 
 
+def _docs_host_pagerank(spark, sf_dir):
+    # host-graph PageRank (operators/pagerank.py — the web-graph leg's
+    # quality prior): a deterministic link fixture (doc_id arithmetic, two
+    # out-edges per page: one within the 37-host 'h' cluster, one to a
+    # 97-host dangling 's' sink cluster) runs through the REAL chain
+    # host_edges -> pagerank. tol=0.0 pins the iteration count at exactly
+    # 3, so the oracle can replay the three rounds as unrolled SQL
+    # (init 1/n, dangling-mass redistribution, damping 0.85 — the same
+    # formulation). ROUND(rank, 6) absorbs float-sum order variance on
+    # both engines (the repetition-stats precedent); rank magnitudes are
+    # ~1e-2 over the 134-host graph, so 6 decimals keep 4 significant
+    # digits of signal.
+    from redactifai_spark.operators.pagerank import host_edges, pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    src_host = F.concat(F.lit("https://h"),
+                        (F.col("doc_id") % 37).cast("string"),
+                        F.lit(".example.com"))
+    page_url = F.concat(src_host, F.lit("/d"), F.col("doc_id").cast("string"))
+    t1 = F.concat(F.lit("https://h"),
+                  ((F.col("doc_id") * 3 + 1) % 37).cast("string"),
+                  F.lit(".example.com/x"))
+    t2 = F.concat(F.lit("https://s"),
+                  ((F.col("doc_id") * 31) % 97).cast("string"),
+                  F.lit(".example.com/y"))
+    links = docs.select(page_url.alias("url"), t1.alias("target_url")) \
+        .unionByName(docs.select(page_url.alias("url"), t2.alias("target_url")))
+    ranks = pagerank(host_edges(links), damping=0.85,
+                     max_iterations=3, tol=0.0)
+    return ranks.select("host", F.round("rank", 6).alias("rank_r"))
+
+
+def _docs_blocklist(spark, sf_dir):
+    # domain-blocklist gate (operators/blocklist.py filter_blocked_domains):
+    # deterministic two-level hosts from doc_id arithmetic, with case
+    # variants (%13: uppercased host — RFC 3986 hosts are case-insensitive)
+    # and FQDN trailing-root-dot variants (%17) planted to exercise both
+    # normalization branches; one blocklist entry is mixed-case to exercise
+    # the list-side fold. Both gate directions are returned as grp-tagged
+    # legs (kept = left_anti, blocked = left_semi — together they must
+    # partition the input exactly). The oracle is the semantic twin: the
+    # dot-suffix explode + exact-key join equals endswith matching on the
+    # normalized host, replayed per fixed entry.
+    from redactifai_spark.operators.blocklist import filter_blocked_domains
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("sub"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".h"), (F.col("doc_id") % 11).cast("string"),
+                    F.lit(".example.org"))
+    host = F.when(F.col("doc_id") % 13 == 0, F.upper(host)).otherwise(host)
+    host = F.when(F.col("doc_id") % 17 == 0,
+                  F.concat(host, F.lit("."))).otherwise(host)
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    bl = spark.createDataFrame(
+        [("h3.example.org",), ("H7.Example.Org",), ("sub1.h2.example.org",)],
+        "domain string")
+    kept = filter_blocked_domains(pages, bl).select(
+        F.lit("kept").alias("grp"), "url")
+    blocked = filter_blocked_domains(pages, bl, keep_blocked=True).select(
+        F.lit("blocked").alias("grp"), "url")
+    return kept.unionByName(blocked)
+
+
 def _docs_bpe_token_counts(spark, sf_dir):
     # distributed BPE encode (operators/bpe.py bpe_token_counts): per-doc
     # token counts under a FIXED merge list — the corpus side is explode/
@@ -1034,15 +1097,17 @@ def _docs_importance_weights(spark, sf_dir):
     )
 
 
-def _docs_top_bigrams(spark, sf_dir):
+def _top_bigrams_leg(docs):
     # corpus-level n-gram frequency: explode word bigrams -> count ->
-    # deterministic top-20. The shuffle key (bigram) is Zipf-ish but the
-    # partial (map-side) aggregation absorbs the skew before the exchange.
-    # regexp_extract_all (not split): [] for blank docs, matching the oracle.
-    # The token array is BOUND to a column before the per-element lambda —
-    # an inline expression would re-run the regex per bigram (the winnowing
-    # re-eval trap; measured 1.5x at sf0.1, worse the longer the doc).
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    # deterministic top-20; since r7 session 5 a grp-tagged leg of
+    # docs_lm_logprob (registry-cap merge). The shuffle key (bigram) is
+    # Zipf-ish but the partial (map-side) aggregation absorbs the skew
+    # before the exchange. regexp_extract_all (not split): [] for blank
+    # docs, matching the oracle. The token array is BOUND to a column
+    # before the per-element lambda — an inline expression would re-run the
+    # regex per bigram (the winnowing re-eval trap; measured 1.5x at sf0.1,
+    # worse the longer the doc).
+    docs = docs.withColumn(
         "_toks", F.regexp_extract_all(F.trim("text"), F.lit(r"\S+"), 0))
     toks = F.col("_toks")
     # sequence(1, 0) would default to step -1 and yield [1, 0] (then
@@ -1590,13 +1655,31 @@ def _per_host_approx_distinct(spark, sf_dir):
 def _events_cube(spark, sf_dir):
     # CUBE + grouping_id (completes the grouping-sets surface next to
     # events_rollup): all four (event_type, user_bucket) grouping levels in
-    # one pass — at scale one shuffle producing every marginal.
+    # one pass — at scale one shuffle producing every marginal. Since r7
+    # session 5 also carries the former events_hourly_windows row (tumbling
+    # event-time window counts, the batch twin of streaming/windows.py) as
+    # a grp-tagged leg — both are count-by-small-key marginal aggregations,
+    # the sibling-merge pattern.
     ev = _t(spark, sf_dir, "events").withColumn(
         "user_bucket", (F.col("user_id") % 5))
-    return (
+    cube = (
         ev.cube("event_type", "user_bucket")
         .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
-    )
+        .select(F.lit("cube").alias("grp"),
+                F.col("event_type").alias("k1"),
+                F.col("user_bucket").cast("string").alias("k2"),
+                "n", "gid"))
+    hourly = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("hourly").alias("grp"),
+                F.col("event_type").alias("k1"),
+                F.col("hour").alias("k2"),
+                "n", F.lit(None).cast("long").alias("gid")))
+    return cube.unionByName(hourly)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1630,7 +1713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # events_props_json -> events_type_counts ('props_k' leg),
 # orders_top_revenue -> region_rollup ('top_order' leg); then one more for
 # docs_source_cap (skew-aware exact per-host cap):
-# events_top_users -> events_error_by_user ('top_user' leg).
+# events_top_users -> events_error_by_user ('top_user' leg); then two more
+# for docs_host_pagerank + docs_blocklist (web-graph rank prior + domain
+# gate): events_hourly_windows -> events_cube ('hourly' leg),
+# docs_top_bigrams -> docs_lm_logprob ('top_bigram' leg).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "training_corpus_funnel": _training_corpus,
         "events_type_counts": _events_type_counts,
@@ -1660,9 +1746,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "docs_token_packing": _docs_token_packing,
         "docs_train_eval_split": _docs_train_eval_split,
         "docs_importance_weights": _docs_importance_weights,
-        "docs_top_bigrams": _docs_top_bigrams,
+        "docs_host_pagerank": _docs_host_pagerank,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
-        "events_hourly_windows": _events_hourly_windows,
+        "docs_blocklist": _docs_blocklist,
         "docs_bm25_topk": _docs_bm25_topk,
         "docs_classifier_scores": _docs_classifier_scores,
         "docs_quality_scores": _docs_quality_scores,
@@ -2316,7 +2402,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_lm_logprob": (
             # the micronat quantization (round(ln(p)*1e6) AS BIGINT) makes
             # every per-doc sum an exact integer — identical regardless of
-            # aggregation order on either engine
+            # aggregation order on either engine; the 'top_bigram' leg is
+            # the former docs_top_bigrams oracle wrapped in a subquery
+            # (the UNION-ALL merge pattern)
+            "SELECT 'lm' AS grp, CAST(doc_id AS VARCHAR) AS key, "
+            "n_bigrams AS n, lp_micro_sum, lm_score FROM ("
             "WITH t AS (SELECT doc_id, "
             "regexp_extract_all(trim(lower(text)), '\\S+') AS toks "
             "FROM documents), "
@@ -2339,7 +2429,17 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(s.lp_micro_sum, 0) AS lp_micro_sum, "
             "CASE WHEN COALESCE(s.n_bigrams, 0) > 0 "
             "THEN round(s.lp_micro_sum / 1e6 / s.n_bigrams, 6) END AS lm_score "
-            "FROM documents d LEFT JOIN scored s USING (doc_id)"
+            "FROM documents d LEFT JOIN scored s USING (doc_id)) "
+            "UNION ALL "
+            "SELECT 'top_bigram' AS grp, bigram AS key, n, "
+            "CAST(NULL AS BIGINT) AS lp_micro_sum, "
+            "CAST(NULL AS DOUBLE) AS lm_score FROM ("
+            "WITH t AS (SELECT regexp_extract_all(trim(text), '\\S+') AS toks "
+            "FROM documents), "
+            "b AS (SELECT unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t) "
+            "SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram "
+            "ORDER BY n DESC, bigram ASC LIMIT 20)"
         ),
         "docs_paragraph_dedup": (
             # full replay of the global-first-occurrence paragraph chain:
@@ -2523,11 +2623,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_cube": (
             # GROUPING(a, b): lowest bit = last argument in both engines,
-            # matching Spark's grouping_id() bit order
-            "SELECT event_type, user_bucket, COUNT(*) AS n, "
+            # matching Spark's grouping_id() bit order; the 'hourly' leg is
+            # the former events_hourly_windows oracle wrapped in a subquery
+            # (the UNION-ALL merge pattern)
+            "SELECT 'cube' AS grp, event_type AS k1, "
+            "CAST(user_bucket AS VARCHAR) AS k2, n, gid "
+            "FROM (SELECT event_type, user_bucket, COUNT(*) AS n, "
             "CAST(GROUPING(event_type, user_bucket) AS BIGINT) AS gid "
             "FROM (SELECT event_type, user_id % 5 AS user_bucket FROM events) "
-            "GROUP BY CUBE(event_type, user_bucket)"
+            "GROUP BY CUBE(event_type, user_bucket)) "
+            "UNION ALL "
+            "SELECT 'hourly' AS grp, event_type AS k1, hour AS k2, n, "
+            "CAST(NULL AS BIGINT) AS gid "
+            "FROM (SELECT strftime(date_trunc('hour', ts), "
+            "'%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2)"
         ),
         "salted_host_counts": (
             # the salted two-phase agg must be invisible: plain host counts
@@ -2627,13 +2737,67 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(sums.s, 0) AS iw_micro_sum "
             "FROM documents d LEFT JOIN sums USING (doc_id)"
         ),
-        "docs_top_bigrams": (
-            "WITH t AS (SELECT regexp_extract_all(trim(text), '\\S+') AS toks "
+        "docs_host_pagerank": (
+            # unrolled 3-iteration replay of the pagerank loop (tol=0.0 on
+            # the Spark side pins the count): same edge fixture from doc_id
+            # arithmetic, same uniform init / dangling redistribution /
+            # 0.85 damping; ROUND(rank, 6) absorbs float-sum order variance
+            "WITH e0 AS ("
+            "SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS src, "
+            "'h' || CAST((doc_id * 3 + 1) % 37 AS VARCHAR) || '.example.com' AS dst "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com', "
+            "'s' || CAST((doc_id * 31) % 97 AS VARCHAR) || '.example.com' "
             "FROM documents), "
-            "b AS (SELECT unnest(list_transform(range(1, len(toks)), "
-            "i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t) "
-            "SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram "
-            "ORDER BY n DESC, bigram ASC LIMIT 20"
+            "edges AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w "
+            "FROM e0 WHERE src <> dst GROUP BY src, dst), "
+            "nodes AS (SELECT host FROM (SELECT src AS host FROM edges "
+            "UNION SELECT dst FROM edges)), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+            "outw AS (SELECT src, SUM(w) AS wt FROM edges GROUP BY src), "
+            "ne AS (SELECT e.src, e.dst, e.w / o.wt AS p "
+            "FROM edges e JOIN outw o USING (src)), "
+            "r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes), "
+            + "".join(
+                f"d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dang FROM r{i-1} "
+                f"WHERE host NOT IN (SELECT src FROM ne)), "
+                f"c{i} AS (SELECT ne.dst AS dst, SUM(r{i-1}.rank * ne.p) AS inflow "
+                f"FROM r{i-1} JOIN ne ON r{i-1}.host = ne.src GROUP BY ne.dst), "
+                f"r{i} AS (SELECT nodes.host AS host, "
+                f"0.15 / (SELECT n FROM nn) "
+                f"+ 0.85 * (SELECT dang FROM d{i}) / (SELECT n FROM nn) "
+                f"+ 0.85 * COALESCE(c{i}.inflow, 0.0) AS rank "
+                f"FROM nodes LEFT JOIN c{i} ON nodes.host = c{i}.dst)"
+                + (", " if i < 3 else " ")
+                for i in (1, 2, 3))
+            + "SELECT host, round(rank, 6) AS rank_r FROM r3"
+        ),
+        "docs_blocklist": (
+            # semantic twin of the dot-suffix explode + exact-key join:
+            # blocked(host, entry) == host = entry OR host ends with
+            # '.' || entry, on the normalized (lowercased, root-dot-
+            # stripped) host, per fixed blocklist entry
+            "WITH p AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 17 = 0 THEN h0 || '.' ELSE h0 END AS host0 "
+            "FROM (SELECT doc_id, "
+            "CASE WHEN doc_id % 13 = 0 THEN upper(h) ELSE h END AS h0 "
+            "FROM (SELECT doc_id, "
+            "'sub' || CAST(doc_id % 5 AS VARCHAR) || '.h' "
+            "|| CAST(doc_id % 11 AS VARCHAR) || '.example.org' AS h "
+            "FROM documents) s1) s2), "
+            "f AS (SELECT 'https://' || host0 || '/p' "
+            "|| CAST(doc_id AS VARCHAR) AS url, "
+            "rtrim(lower(host0), '.') AS h FROM p) "
+            "SELECT 'kept' AS grp, url FROM f "
+            "WHERE NOT (h = 'h3.example.org' OR h LIKE '%.h3.example.org' "
+            "OR h = 'h7.example.org' OR h LIKE '%.h7.example.org' "
+            "OR h = 'sub1.h2.example.org' OR h LIKE '%.sub1.h2.example.org') "
+            "UNION ALL "
+            "SELECT 'blocked' AS grp, url FROM f "
+            "WHERE (h = 'h3.example.org' OR h LIKE '%.h3.example.org' "
+            "OR h = 'h7.example.org' OR h LIKE '%.h7.example.org' "
+            "OR h = 'sub1.h2.example.org' OR h LIKE '%.sub1.h2.example.org')"
         ),
         "docs_train_eval_split": (
             "SELECT lang, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
@@ -2653,10 +2817,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR((running - n_tokens) / 500.0) AS BIGINT) AS pack_id, "
             "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
             "FROM r GROUP BY 1, 2"
-        ),
-        "events_hourly_windows": (
-            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
-            "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2"
         ),
         # full SQL replay of the BM25 chain (tokenizer parity: DuckDB
         # regexp_replace needs the 'g' flag to match Spark's replace-all);

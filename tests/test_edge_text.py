@@ -34,15 +34,18 @@ def test_token_count_zero_for_blank(spark, edge_docs):
 
 def test_bigrams_survive_blank_and_one_token_docs(spark, edge_docs, tmp_path):
     # write the edge corpus as a documents table and run the driver query
-    # end-to-end: before the guard, sequence(1, 0) -> element_at(toks, 0)
-    # threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode
+    # end-to-end (the 'top_bigram' leg of docs_lm_logprob since the r7
+    # registry merge): before the guard, sequence(1, 0) ->
+    # element_at(toks, 0) threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT under
+    # ANSI mode
     import __spark_entry__ as entry
 
     sf_dir = str(tmp_path)
     edge_docs.write.parquet(f"{sf_dir}/documents.parquet")
     got = {
-        (r["bigram"], r["n"])
-        for r in entry.queries()["docs_top_bigrams"](spark, sf_dir).collect()
+        (r["key"], r["n"])
+        for r in entry.queries()["docs_lm_logprob"](spark, sf_dir).collect()
+        if r["grp"] == "top_bigram"
     }
     assert got == {("a b", 1), ("b c", 1), ("two tokens", 1),
                    ("Trailing space", 1)}
@@ -52,8 +55,9 @@ def test_bigrams_survive_blank_and_one_token_docs(spark, edge_docs, tmp_path):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
     )
-    oracle = {tuple(r) for r in
-              con.execute(entry.oracle_sql()["docs_top_bigrams"]).fetchall()}
+    oracle = {(r[1], r[2]) for r in
+              con.execute(entry.oracle_sql()["docs_lm_logprob"]).fetchall()
+              if r[0] == "top_bigram"}
     assert got == oracle
 
 
