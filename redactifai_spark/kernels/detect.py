@@ -287,7 +287,13 @@ def detect_extra(text: str, categories: tuple[str, ...]) -> list[SpanEntity]:
         validator = _EXTRA_VALIDATORS.get(cat)
         conf = _EXTRA_CONFIDENCE[cat]
         for pattern in _EXTRA_COMPILED[cat]:
-            for m in pattern.finditer(text):
+            # manual search loop, NOT finditer: when a greedy match shrinks
+            # (or fails validation), the scan must resume at the end of the
+            # ACCEPTED span (or one char past the failed start) so PII that
+            # the over-extended match absorbed — e.g. a second adjacent
+            # IBAN — is re-scanned instead of silently leaking
+            pos = 0
+            while (m := pattern.search(text, pos)) is not None:
                 g = m.group()
                 if validator is not None and not validator(g):
                     # retry progressively shorter prefixes at separator
@@ -298,8 +304,10 @@ def detect_extra(text: str, categories: tuple[str, ...]) -> list[SpanEntity]:
                             g = cand
                             break
                     else:
+                        pos = m.start() + 1
                         continue
                 entities.append(
                     SpanEntity(text=g, category=cat, offset=m.start(),
                                length=len(g), confidence=conf))
+                pos = max(m.start() + len(g), m.start() + 1)
     return entities

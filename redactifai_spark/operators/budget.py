@@ -154,8 +154,15 @@ def _select_token_budget(
         elif lo == hi:
             if has_inf:
                 # constant finite score plus ±inf outliers: widen so the
-                # constant lands mid-histogram and the infs take the extremes
-                lo, hi = lo - 0.5, hi + 0.5
+                # constant lands mid-histogram and the infs take the
+                # extremes. Additive ±0.5 is a floating-point NO-OP for
+                # |score| >= 2^53 (lo would stay == hi and width_bucket
+                # would return NULL for every row — a silent hash cut), so
+                # widen to the adjacent representable doubles at minimum
+                import math
+
+                lo = min(lo - 0.5, math.nextafter(lo, -math.inf))
+                hi = max(hi + 0.5, math.nextafter(hi, math.inf))
             else:
                 score_col = None  # constant score: pure hash cut
     if score_col is None:

@@ -460,6 +460,18 @@ def prepare_training_corpus(
     if eval_decontaminate is not None:
         # hygiene before the diversity cap, after every text rewrite —
         # the check must see the corpus text that will actually ship
+        if decontaminate_mode in ("drop", "fuzzy"):
+            # both doc-dropping modes make the funnel-stats count a SECOND
+            # consumer of the corpus (drops_docs -> counted n_corpus leg),
+            # and fuzzy additionally featurizes the corpus side for bands
+            # AND verify — materialize so the LSH near-dup anti-join chain
+            # runs once, not once per consumer (the _gated/_precap lesson)
+            if checkpoint_path is not None:
+                dc_path = checkpoint_path.rstrip("/") + "_predecon"
+                corpus.write.mode("overwrite").parquet(dc_path)
+                corpus = pages.sparkSession.read.parquet(dc_path)
+            else:
+                corpus = persist_tracked(corpus, eager=False)
         if decontaminate_mode == "drop":
             from .decontaminate import decontaminate as _decon
 
@@ -476,15 +488,6 @@ def prepare_training_corpus(
         else:
             from .decontaminate import decontaminate_fuzzy
 
-            # fuzzy featurizes the corpus side for bands AND verify, then
-            # joins the contaminated set back — materialize so the near-dup
-            # anti-join chain doesn't recompute once per consumer
-            if checkpoint_path is not None:
-                dc_path = checkpoint_path.rstrip("/") + "_predecon"
-                corpus.write.mode("overwrite").parquet(dc_path)
-                corpus = pages.sparkSession.read.parquet(dc_path)
-            else:
-                corpus = persist_tracked(corpus, eager=False)
             corpus = decontaminate_fuzzy(
                 corpus, eval_decontaminate, "url", "redacted_text",
                 threshold=decontaminate_fuzzy_threshold,

@@ -190,6 +190,13 @@ def scrub_contaminated_spans(
     return rebuild_without_windows(train_df, id_col, text_col, removals, n)
 
 
+# internal id namespaces for the fuzzy pair join — both sides prefixed so
+# the underlying same-id self-pair exclusion can never swallow a genuine
+# train-vs-eval match (e.g. a training id that literally reads 'eval:100')
+_TRAIN_PREFIX = "train:"
+_EVAL_PREFIX = "eval:"
+
+
 def decontaminate_fuzzy(
     train_df: DataFrame,
     eval_df: DataFrame | None,
@@ -221,9 +228,12 @@ def decontaminate_fuzzy(
     ``decontaminate`` (a corpus where MILLIONS of docs near-match eval is a
     curation failure upstream of this operator).
 
-    Eval ids are internally prefixed (``eval:``) so an id value shared by a
-    training and an eval row can never be mistaken for a self-pair (the
-    underlying operator excludes same-id pairs). Defaults are the
+    BOTH sides are internally prefixed (eval ids with ``eval:``, training
+    ids with ``train:``) so no id value — including a training id that
+    literally reads ``eval:<x>`` — can ever be mistaken for a self-pair
+    (the underlying operator excludes same-id pairs); the training prefix
+    is stripped before the join-back, so callers only ever see their own
+    ids. Defaults are the
     RECALL-oriented LSH configuration (64 hashes / 32 two-row bands — the
     setting equivalence-tested against brute force in the dedup suite):
     missing contamination silently inflates benchmark scores, so decon
@@ -242,7 +252,7 @@ def decontaminate_fuzzy(
             raise ValueError("need eval_df or eval_features")
         eval_id = eval_df.columns[0]
         eval_side = eval_df.select(
-            F.concat(F.lit("eval:"), F.col(eval_id).cast("string"))
+            F.concat(F.lit(_EVAL_PREFIX), F.col(eval_id).cast("string"))
             .alias(id_col),
             F.col(eval_text_col or text_col).alias(text_col),
         )
@@ -251,7 +261,8 @@ def decontaminate_fuzzy(
     pairs = near_duplicates_against(
         corpus_df=eval_side,
         new_df=train_df.select(
-            F.col(id_col).cast("string").alias(id_col), text_col),
+            F.concat(F.lit(_TRAIN_PREFIX),
+                     F.col(id_col).cast("string")).alias(id_col), text_col),
         id_col=id_col,
         text_col=text_col,
         threshold=threshold,
@@ -262,8 +273,21 @@ def decontaminate_fuzzy(
     )
     contaminated = pairs.groupBy("new_id").agg(
         F.max("jaccard").alias("eval_match_jaccard"))
+    # the train side carried its own 'train:' prefix through the pair join
+    # (see above) — strip it here so the join-back keys on the caller's ids
+    contaminated = contaminated.withColumn(
+        "new_id", F.col("new_id").substr(F.lit(len(_TRAIN_PREFIX) + 1),
+                                         F.length("new_id")))
     hit = F.col(id_col).cast("string") == F.col("new_id")
     if flag_only:
+        clashes = {"new_id", "is_contaminated",
+                   "eval_match_jaccard"} & set(train_df.columns)
+        if clashes:
+            raise ValueError(
+                f"flag_only output columns {sorted(clashes)} already exist "
+                "on the input frame — rename or drop them first (re-running "
+                "flag-mode decontamination on its own output is the usual "
+                "cause)")
         flagged = train_df.join(F.broadcast(contaminated), hit, "left")
         return flagged.withColumn(
             "is_contaminated", F.col("new_id").isNotNull()

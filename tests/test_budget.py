@@ -269,3 +269,18 @@ def test_constant_score_with_inf_outliers_still_ordered(spark):
     kept = {r["doc_id"] for r in select_token_budget(
         df, 150, "n_tokens", "score").collect()}
     assert "top" in kept and "low" not in kept
+
+
+def test_huge_constant_score_with_inf_outliers_still_ordered(spark):
+    # additive ±0.5 widening is a floating-point NO-OP at |score| >= 2^53:
+    # lo stayed == hi, width_bucket returned NULL for every row, and the
+    # selection silently degraded to a hash cut that could keep -inf and
+    # drop +inf — the widening must fall back to adjacent representable
+    # doubles (math.nextafter)
+    rows = ([("top", 100, float("inf"))]
+            + [(f"c{i}", 100, 1e17) for i in range(10)]
+            + [("low", 100, float("-inf"))])
+    df = _frame(spark, rows)
+    kept = {r["doc_id"] for r in select_token_budget(
+        df, 150, "n_tokens", "score").collect()}
+    assert "top" in kept and "low" not in kept

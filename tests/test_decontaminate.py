@@ -272,3 +272,35 @@ def test_fuzzy_needs_eval_side(spark, fuzzy_frames):
     train, _, _ = fuzzy_frames
     with pytest.raises(ValueError, match="eval_df or eval_features"):
         decontaminate_fuzzy(train, None, "doc_id", "text")
+
+
+def test_fuzzy_train_id_literally_eval_prefixed_is_still_checked(spark):
+    # a training doc whose STRING id literally reads 'eval:<x>' collided
+    # with the prefixed eval id and was excluded as a self-pair — both
+    # sides now carry their own namespace prefix, so the pair survives and
+    # the verbatim eval copy is dropped; the caller's own id comes back
+    # un-prefixed in flag mode
+    train = spark.createDataFrame(
+        [("eval:100", _BASE), ("clean", "totally different words here "
+                               "nothing shared with the suite at all")],
+        "doc_id string, text string")
+    eval_df = spark.createDataFrame(
+        [(100, _BASE)], "doc_id long, text string")
+    kept = {r["doc_id"] for r in decontaminate_fuzzy(
+        train, eval_df, "doc_id", "text", threshold=0.4).collect()}
+    assert kept == {"clean"}
+    flagged = {r["doc_id"]: r["is_contaminated"] for r in decontaminate_fuzzy(
+        train, eval_df, "doc_id", "text", threshold=0.4,
+        flag_only=True).collect()}
+    assert flagged == {"eval:100": True, "clean": False}
+
+
+def test_fuzzy_flag_mode_rerun_fails_loudly(spark):
+    train = spark.createDataFrame(
+        [("a", _BASE)], "doc_id string, text string")
+    eval_df = spark.createDataFrame([(1, _BASE)], "doc_id long, text string")
+    once = decontaminate_fuzzy(train, eval_df, "doc_id", "text",
+                               threshold=0.4, flag_only=True)
+    with pytest.raises(ValueError, match="already exist"):
+        decontaminate_fuzzy(once, eval_df, "doc_id", "text",
+                            threshold=0.4, flag_only=True)

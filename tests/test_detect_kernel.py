@@ -177,3 +177,19 @@ def test_extra_bank_never_excavates_contiguous_runs():
     from redactifai_spark.kernels.detect import detect_extra
 
     assert not detect_extra("order 411111111111111112 x", ("CreditCard",))
+
+
+def test_extra_bank_adjacent_pii_rescanned_after_shrink():
+    # the greedy IBAN pattern over-extends into a SECOND adjacent IBAN;
+    # after the shrink accepts the first, the scan must resume at the end
+    # of the ACCEPTED span — with finditer it resumed at the end of the
+    # over-extended match and the second IBAN leaked entirely
+    from redactifai_spark.kernels.detect import detect_extra
+
+    t = "GB29 NWBK 6016 1331 9268 19 DE89 3704 0044 0532 0130 00"
+    got = [(e.text, e.offset) for e in detect_extra(t, ("IBAN",))]
+    assert got == [("GB29 NWBK 6016 1331 9268 19", 0),
+                   ("DE89 3704 0044 0532 0130 00", 28)]
+    # offsets still index into the source text (masking depends on it)
+    for e in detect_extra(t, ("IBAN",)):
+        assert t[e.offset:e.offset + e.length] == e.text
