@@ -16,7 +16,7 @@ registration order (SURVEY.md §7 "What's hard").
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from typing import NamedTuple
 
 SAFE_HARBOR = "safe_harbor"
 LIMITED_DATASET = "limited_dataset"
@@ -91,9 +91,13 @@ SKIP_PHRASES = frozenset(
 _PROVIDER_TITLES = ("Dr.", "Dr ", "Doctor", "Physician")
 
 
-@dataclass(frozen=True)
-class SpanEntity:
-    """Detected span — the 1-D PHIEntity (/root/reference/src/models/domain.py:132-167)."""
+class SpanEntity(NamedTuple):
+    """Detected span — the 1-D PHIEntity (/root/reference/src/models/domain.py:132-167).
+
+    A NamedTuple rather than a frozen dataclass: construction is tuple-fast
+    (the detector builds one per span on the hottest path in the engine), while
+    field access, equality, hashing and immutability semantics are unchanged.
+    """
 
     text: str
     category: str
@@ -135,12 +139,178 @@ def should_include_category(category: str, masking_level: str,
     raise ValueError(f"unknown masking level: {masking_level}")
 
 
+# ---- Anchored candidate scan ------------------------------------------------
+# The stock patterns start with \b\d / a char class, i.e. no literal prefix, so
+# a plain finditer makes sre try every position of the text per pattern —
+# measured ~93 us/doc for the 11 scans on ~420-char pages, the single hottest
+# loop in the engine. detect_pii instead enumerates every POSSIBLE match start
+# from one shared C-level pre-scan (digit runs / literal find) and probes with
+# pattern.match(text, pos) — the pattern itself still validates everything
+# (including \b, which match() evaluates against the full surrounding text), so
+# the accepted spans are exactly finditer's. A per-pattern ``last`` cursor
+# reproduces finditer's non-overlap rule (resume at the previous match's end).
+# _detect_pii_scan below keeps the naive scan as the differential-test oracle;
+# patterns not in _ANCHOR_PLANS (e.g. user-modified banks) fall back to it
+# per-pattern, so the fast path is an optimization, never a semantic fork.
+#
+# Candidate-completeness arguments, per plan kind:
+# - run_next(max_len, ch): pattern \b\d{1,max}ch...  — \b before a digit means
+#   the match starts at a maximal digit run's start; a run longer than max_len
+#   leaves a digit after \d{1,max} where ``ch`` is required, so only runs with
+#   len <= max_len followed by ``ch`` can match.
+# - run_exact_next(k, ch): pattern \b\d{k}ch... — same, run length exactly k.
+# - dash_tail(k): pattern \d{k}-... with NO leading \b — a match start q needs
+#   text[q:q+k] digits and text[q+k] == '-', so q is exactly (end - k) of a
+#   digit run of length >= k that ends at a '-'.
+# - run_space: pattern \b\d+\s... — \b start means run start; greedy \d+ must
+#   consume the whole run, so the run must be followed by whitespace
+#   (str.isspace() == regex \s for every codepoint, verified exhaustively).
+# - find(lit): pattern carries the case-insensitive literal ``lit`` at its
+#   head; candidates are lowered.find(lit) positions.
+# - email: every match contains exactly one '@' (neither side's class admits
+#   it); for each '@' walk back over local-part chars to the earliest start,
+#   then probe forward — the first accepted start is finditer's leftmost.
+
+_DIGIT_RUN_RE = re.compile(r"\d+")
+
+_EMAIL_LOCAL_CHARS = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789._%+-")
+
+_ANCHOR_PLANS: dict[str, tuple] = {
+    r"\b\d{1,2}/\d{1,2}/\d{4}\b": ("run_next", 2, "/"),
+    r"\b\d{1,2}-\d{1,2}-\d{4}\b": ("run_next", 2, "-"),
+    # \(\d{3}\)... : literal '(' prefix — sre's own fast literal scan, no plan
+    r"\d{3}-\d{3}-\d{4}": ("dash_tail", 3),
+    r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b": ("email",),
+    r"\b\d{3}-\d{2}-\d{4}\b": ("run_exact_next", 3, "-"),
+    r"\bMRN:\s*\d+\b": ("find", "mrn:"),
+    r"\bMedical Record\s*#?:?\s*\d+\b": ("find", "medical record"),
+    r"\bMember ID:\s*[A-Z0-9]+\b": ("find", "member id:"),
+    r"\b\d+\s+[A-Z][a-z]+\s+(?:Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd)"
+    r"[,\s]+[A-Z][a-z]+[,\s]+[A-Z]{2}\s+\d{5}\b": ("run_space",),
+}
+
+_COMPILED_FAST: list[tuple[str, re.Pattern, tuple[str, ...] | None, tuple | None]] = [
+    (cat, _compile(p), _GATES.get(p), _ANCHOR_PLANS.get(p))
+    for cat, pats in PATTERNS.items() for p in pats
+]
+
+
 def detect_pii(
     text: str,
     masking_level: str = SAFE_HARBOR,
     custom_categories: frozenset[str] | None = None,
 ) -> list[SpanEntity]:
-    """Detect PII spans in ``text``; sorted by (offset, length, category, text)."""
+    """Detect PII spans in ``text``; sorted by (offset, length, category, text).
+
+    Byte-equal to ``_detect_pii_scan`` (the naive per-pattern finditer spec,
+    differential-tested corpus-wide) — see the anchored-candidate notes above.
+    """
+    entities: list[SpanEntity] = []
+    append = entities.append
+    lowered = text.lower()
+    n = len(text)
+    runs: list[tuple[int, int]] | None = None
+    safe_harbor = masking_level == SAFE_HARBOR
+    for category, pattern, gate, plan in _COMPILED_FAST:
+        if not safe_harbor and not should_include_category(
+                category, masking_level, custom_categories):
+            continue
+        if plan is None:
+            if gate is not None and not any(g in lowered for g in gate):
+                continue
+            for m in pattern.finditer(text):
+                s, e = m.span()
+                append(SpanEntity(m[0], category, s, e - s, 0.95))
+            continue
+        kind = plan[0]
+        if kind == "find":
+            lit = plan[1]
+            pos = 0
+            last = 0
+            while (p := lowered.find(lit, pos)) >= 0:
+                m = pattern.match(text, p) if p >= last else None
+                if m is not None:
+                    e = m.end()
+                    append(SpanEntity(m[0], category, p, e - p, 0.95))
+                    last = e
+                    pos = e
+                else:
+                    pos = p + 1
+            continue
+        if kind == "email":
+            pos = 0
+            last = 0
+            while (d := text.find("@", pos)) >= 0:
+                q = d
+                while q > 0 and text[q - 1] in _EMAIL_LOCAL_CHARS:
+                    q -= 1
+                if q < last:
+                    q = last
+                m = None
+                while q < d:
+                    m = pattern.match(text, q)
+                    if m is not None:
+                        break
+                    q += 1
+                if m is not None:
+                    e = m.end()
+                    append(SpanEntity(m[0], category, q, e - q, 0.95))
+                    last = e
+                    pos = e
+                else:
+                    pos = d + 1
+            continue
+        if runs is None:
+            runs = [dm.span() for dm in _DIGIT_RUN_RE.finditer(text)]
+        last = 0
+        if kind == "run_next":
+            mx, ch = plan[1], plan[2]
+            for s, e in runs:
+                if e - s <= mx and e < n and text[e] == ch and s >= last:
+                    m = pattern.match(text, s)
+                    if m is not None:
+                        me = m.end()
+                        append(SpanEntity(m[0], category, s, me - s, 0.95))
+                        last = me
+        elif kind == "run_exact_next":
+            k, ch = plan[1], plan[2]
+            for s, e in runs:
+                if e - s == k and e < n and text[e] == ch and s >= last:
+                    m = pattern.match(text, s)
+                    if m is not None:
+                        me = m.end()
+                        append(SpanEntity(m[0], category, s, me - s, 0.95))
+                        last = me
+        elif kind == "dash_tail":
+            k = plan[1]
+            for s, e in runs:
+                if e - s >= k and e < n and text[e] == "-" and e - k >= last:
+                    m = pattern.match(text, e - k)
+                    if m is not None:
+                        me = m.end()
+                        append(SpanEntity(m[0], category, e - k, me - e + k, 0.95))
+                        last = me
+        else:  # run_space
+            for s, e in runs:
+                if e < n and text[e].isspace() and s >= last:
+                    m = pattern.match(text, s)
+                    if m is not None:
+                        me = m.end()
+                        append(SpanEntity(m[0], category, s, me - s, 0.95))
+                        last = me
+    entities.extend(_detect_names(text, masking_level, custom_categories))
+    entities.sort(key=SpanEntity.sort_key)
+    return entities
+
+
+def _detect_pii_scan(
+    text: str,
+    masking_level: str = SAFE_HARBOR,
+    custom_categories: frozenset[str] | None = None,
+) -> list[SpanEntity]:
+    """Reference implementation: per-pattern full-text finditer. Semantically
+    authoritative spec for detect_pii; kept for differential tests."""
     entities: list[SpanEntity] = []
     lowered = text.lower()
     for category, pattern, gate in _COMPILED:
@@ -159,23 +329,38 @@ def detect_pii(
     return entities
 
 
+# Compiled literal alternations for the per-match checks below: one C-level
+# search instead of a Python any()-genexpr over the phrase tuple. Semantics
+# identical (same literals, plain substring containment).
+_SKIP_PHRASE_RE = re.compile("|".join(re.escape(p) for p in sorted(SKIP_PHRASES)))
+_PROVIDER_TITLE_RE = re.compile("|".join(re.escape(t) for t in _PROVIDER_TITLES))
+
+
 def _detect_names(
     text: str, masking_level: str, custom_categories: frozenset[str] | None
 ) -> list[SpanEntity]:
     names: list[SpanEntity] = []
+    include_person = should_include_category(
+        "Person", masking_level, custom_categories)
+    include_provider = should_include_category(
+        "HealthcareProfessional", masking_level, custom_categories)
+    if not include_person and not include_provider:
+        return names
     for m in _NAME_RE.finditer(text):
         matched = m.group()
-        if any(skip in matched for skip in SKIP_PHRASES):
+        if _SKIP_PHRASE_RE.search(matched) is not None:
             continue
-        lookbehind = text[max(0, m.start() - 10):m.start()]  # :123-129
-        is_provider = any(t in lookbehind for t in _PROVIDER_TITLES)
-        category = "HealthcareProfessional" if is_provider else "Person"
-        if should_include_category(category, masking_level, custom_categories):
+        s = m.start()
+        lookbehind = text[s - 10 if s >= 10 else 0:s]  # :123-129
+        if _PROVIDER_TITLE_RE.search(lookbehind) is not None:
+            if include_provider:
+                names.append(
+                    SpanEntity(matched, "HealthcareProfessional", s,
+                               len(matched), 0.90, "PersonName"))
+        elif include_person:
             names.append(
-                SpanEntity(text=matched, category=category, offset=m.start(),
-                           length=len(matched), confidence=0.90,
-                           subcategory="PersonName")
-            )
+                SpanEntity(matched, "Person", s, len(matched), 0.90,
+                           "PersonName"))
     return names
 
 

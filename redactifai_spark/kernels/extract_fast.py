@@ -16,6 +16,12 @@ from html import unescape
 from .extract import BLOCK_TAGS, SKIP_TAGS, Block, ExtractConfig
 
 _WS_RE = re.compile(r"\s+")
+# Equivalent to _WS_RE.sub(" ", x): a maximal whitespace run of length >= 2
+# collapses via the first branch, a single non-space whitespace char maps to
+# " " via the second, and a lone " " needs no rewrite — so text that is
+# already normalized (the common case at flush time) is returned unchanged
+# without a rebuild.
+_WS_COLLAPSE_RE = re.compile(r"\s{2,}|[^\S ]")
 
 _MARKUP_RE = re.compile(
     r"<!--.*?(?:-->|$)"                      # comments
@@ -57,36 +63,44 @@ def extract_blocks_fast(
     def flush() -> None:
         nonlocal parts, link_chars
         if parts:
-            joined = _WS_RE.sub(" ", "".join(parts)).strip()
+            joined = _WS_COLLAPSE_RE.sub(" ", "".join(parts)).strip()
             if joined:
                 raw_blocks.append((joined, min(link_chars, len(joined))))
             parts = []
             link_chars = 0
 
     def data(seg: str) -> None:
+        # Whitespace normalization is deferred to flush(): collapsing runs is
+        # idempotent under concatenation, so one _WS_RE.sub over the joined
+        # block equals per-segment subs — and str.isspace()/str.split() agree
+        # with regex \s for every codepoint (verified exhaustively), so the
+        # all-whitespace test and the link-char count are byte-equivalent to
+        # the spec collector's len(collapsed.strip()).
         nonlocal link_chars
         if skip_depth or not seg:
             return
         if "&" in seg:
             seg = unescape(seg)
-        norm = _WS_RE.sub(" ", seg)
-        if norm and norm != " ":
-            parts.append(norm)
+        if not seg.isspace():
+            parts.append(seg)
             if link_depth:
-                link_chars += len(norm.strip())
-        elif norm == " " and parts:
+                toks = seg.split()
+                link_chars += sum(map(len, toks)) + len(toks) - 1
+        elif parts:
             parts.append(" ")
 
     pos = 0
     n = len(html)
+    find = html.find  # bound-method hoists: this loop runs once per tag
+    markup_match = _MARKUP_RE.match
     while pos < n:
-        lt = html.find("<", pos)
+        lt = find("<", pos)
         if lt < 0:
             data(html[pos:])
             break
         if lt > pos:
             data(html[pos:lt])
-        m = _MARKUP_RE.match(html, lt)
+        m = markup_match(html, lt)
         if m is None:
             data("<")
             pos = lt + 1
@@ -96,8 +110,7 @@ def extract_blocks_fast(
         if tag is None:
             continue  # comment / doctype / CDATA / PI
         tag = tag.lower()
-        closing = closing == "/"
-        self_closing = self_closing == "/"
+        # closing / self_closing are '' or '/' — truthiness suffices
 
         if not closing and tag in _RAWTEXT and not self_closing:
             # skip raw content until the stdlib-accepted close form
@@ -106,7 +119,7 @@ def extract_blocks_fast(
             cm = _RAWTEXT_CLOSE[tag].search(html, pos)
             pos = n if cm is None else cm.end()
             # script/style are both SKIP_TAGS: content always dropped
-            if tag in BLOCK_TAGS:
+            if tag in BLOCK_TAGS and parts:
                 flush()
             continue
 
@@ -119,7 +132,7 @@ def extract_blocks_fast(
                 continue
             if tag == "a" and not self_closing:
                 link_depth += 1
-            if tag in BLOCK_TAGS:
+            if tag in BLOCK_TAGS and parts:
                 flush()
         else:
             if tag in SKIP_TAGS:
@@ -131,9 +144,10 @@ def extract_blocks_fast(
             if tag == "a":
                 if link_depth:
                     link_depth -= 1
-            if tag in BLOCK_TAGS:
+            if tag in BLOCK_TAGS and parts:
                 flush()
-    flush()
+    if parts:
+        flush()
 
     kept: list[Block] = []
     offset = 0

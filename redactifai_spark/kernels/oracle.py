@@ -175,6 +175,9 @@ def process_document(
                 attempts=config.retry_attempts, backoff_s=config.retry_backoff_s,
             )
             blocks = [None] * n_blocks_routed  # only the count is surfaced
+        elif config.retry_attempts == 1:
+            # hot path: no retry wrapper frame per document
+            extracted, blocks = extract_blocks(html, config.extract)
         else:
             from .retry import call_with_retries
 
@@ -184,11 +187,16 @@ def process_document(
             )
         if detector is None:
             detector = build_detector(config)
-        entities = [
-            e for e in detector(extracted)
-            if should_include(e.category, config)
-        ]
-        entities = filter_confidence(entities, config.confidence_threshold)
+        if config.masking_level == SAFE_HARBOR and config.confidence_threshold <= 0.0:
+            # safe_harbor includes every category and confidences are all > 0:
+            # both filters are identity — skip the two per-entity passes
+            entities = detector(extracted)
+        else:
+            entities = [
+                e for e in detector(extracted)
+                if should_include(e.category, config)
+            ]
+            entities = filter_confidence(entities, config.confidence_threshold)
         raw_intervals = [(e.offset, e.end_offset) for e in entities]
         merged = merge_spans(raw_intervals, padding=config.span_padding,
                              clamp_len=len(extracted))

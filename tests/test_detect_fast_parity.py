@@ -1,0 +1,60 @@
+"""Differential parity: the anchored-candidate detect_pii fast path must be
+byte-equal to the naive per-pattern finditer spec (_detect_pii_scan) on
+adversarial corpora — overlapping candidates, shared separators, boundary
+cases around every anchor plan (digit runs, '@', case-folded literals)."""
+
+import random
+
+from redactifai_spark.kernels import detect as D
+
+PIECES = [
+    "123-45-6789", "12/31/2020", "1-2-2020", "555-123-4567", "(555) 123-4567",
+    "MRN: 12345", "Medical Record #: 99", "Member ID: ABC123",
+    "john.doe@example.com", "a@b.co", "@nope", "x@@y.com", ".+tag@ex.com",
+    "123 Main Street, Boston, MA 02101", "Dr. Alice Johnson",
+    "Chief Complaint noted", "Blue Cross Blue Shield",
+    "12345-678-9012-345-6789", "1/2/2003/4/2005",
+    "999 Elm Avenue, Salem, OR 97301", "a" * 30,
+    "....................@x.com", "a@b.comx@y.com", "mrn:7", "MRN:8",
+    "12-34-5678-9-1234", "00/00/0000", "123-456-78901", "SSN 000-00-0000.",
+    "tel:111-222-3333", " ", "Ünïcode Wörds", "5 Oak Road, X, AB 12345",
+    "-", "/", "@", "9" * 25, "1-1-11111", "123-12-12345", "99 St. Paul",
+    "Dr Bob Smith", "Doctor Jane Roe", "History Of Illness",
+    "Mary Smith Jones", "Physician Jane Doe", "New England Journal",
+    "Past Medical Aa Bb", "_123-45-6789", "x123-45-6789",
+    "MRN: 123MRN: 4", "mrn:  77 end",
+]
+
+LEVELS = [
+    (D.SAFE_HARBOR, None),
+    (D.LIMITED_DATASET, None),
+    (D.CUSTOM, frozenset({"SSN", "Date", "Person"})),
+    (D.CUSTOM, None),
+]
+
+
+def test_fast_detect_matches_scan_on_adversarial_fuzz():
+    rng = random.Random(42)
+    for _ in range(8000):
+        k = rng.randint(1, 8)
+        sep = rng.choice([" ", "", "\n", "-", "/", ".", ",", "  "])
+        t = sep.join(rng.choice(PIECES) for _ in range(k))
+        for lvl, cc in LEVELS:
+            assert D.detect_pii(t, lvl, cc) == D._detect_pii_scan(t, lvl, cc), (
+                t, lvl, cc)
+
+
+def test_fast_detect_matches_scan_on_singletons_and_empties():
+    for t in ["", " ", "@", "-", "1", *PIECES]:
+        for lvl, cc in LEVELS:
+            assert D.detect_pii(t, lvl, cc) == D._detect_pii_scan(t, lvl, cc)
+
+
+def test_anchor_plans_cover_the_stock_bank():
+    # Every stock pattern either has an anchor plan or a literal prefix the
+    # regex engine can fast-scan; a PATTERNS edit that breaks this silently
+    # falls back to the (correct, slower) finditer path — assert the stock
+    # bank stays on the fast path so a regression is loud.
+    unplanned = [p for _, pats in D.PATTERNS.items() for p in pats
+                 if p not in D._ANCHOR_PLANS]
+    assert unplanned == [r"\(\d{3}\)\s*\d{3}-\d{4}"]
