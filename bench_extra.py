@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Round-8 optimization harness (bench.py is FROZEN for the driver; this file
+carries the extra instrumentation the optimization round needs).
+
+Modes:
+  default         — per-leg best-of-N walls for every driver-timed query at
+                    $SPARK_GRAFT_SF_DIR, same methodology as bench.py
+                    (agg(count(*)).collect() for picks; _consume_pipeline for
+                    the redaction legs), plus noop-sink isolation rows for the
+                    heavy legs (guide §1.4) and setJobDescription labels.
+  --plans DIR     — write .explain("formatted") for each declared bench query
+                    to DIR/<name>.txt (no timing).
+
+Output: one JSON line {"legs": {name: best_sec}, "noop": {...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.kernels.oracle import PipelineConfig
+from redactifai_spark.operators.pipeline import run_pipeline
+from redactifai_spark.session import get_spark
+from redactifai_spark.sources.pages import generate_pages, wrap_documents_as_pages
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("SPARK_GRAFT_EXTRA_REPS", "3"))
+
+PICKS = [
+    "span_interval_union", "span_overlap_join", "embeddings_cosine_topk",
+    "docs_token_counts", "events_error_by_user", "docs_word_match_counts",
+    "docs_prefix_dedup",
+]
+
+
+def _timed(fn, reps=REPS):
+    walls = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn()
+        walls.append(time.monotonic() - t0)
+    return round(min(walls), 3), [round(w, 3) for w in walls]
+
+
+def main() -> None:
+    import __spark_entry__ as mod
+    from bench import _consume_pipeline, _run_redaction
+    from redactifai_spark.operators.partitioning import per_host_doc_counts
+
+    spark = get_spark(app_name="bench-extra", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    sc = spark.sparkContext
+    q = mod.queries()
+
+    if "--plans" in sys.argv:
+        out_dir = sys.argv[sys.argv.index("--plans") + 1]
+        os.makedirs(out_dir, exist_ok=True)
+        pages = wrap_documents_as_pages(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+        frames = {name: q[name](spark, SF_DIR).agg(F.count("*")) for name in PICKS}
+        frames["redact_pages"] = run_pipeline(pages, PipelineConfig())
+        frames["salted_host_counts"] = per_host_doc_counts(
+            generate_pages(spark, 100_000, n_partitions=64))
+        for name, df in frames.items():
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+            with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+                f.write(plan)
+            print("wrote", name)
+        spark.stop()
+        return
+
+    legs: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    pages = wrap_documents_as_pages(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    skewed = generate_pages(spark, 100_000, n_partitions=64)
+
+    # warm both UDF worker pools out of the timed region (same as bench.py)
+    _run_redaction(spark, 2000, CPUS, fused=True)
+    _run_redaction(spark, 2000, CPUS, fused=False)
+
+    for name in PICKS:
+        sc.setJobDescription(f"pick:{name}")
+        legs[name], samples[name] = _timed(
+            lambda: q[name](spark, SF_DIR).agg(F.count("*")).collect())
+    sc.setJobDescription("redact_pages")
+    legs["redact_pages"], samples["redact_pages"] = _timed(
+        lambda: _consume_pipeline(run_pipeline(pages, PipelineConfig())))
+    sc.setJobDescription("salted_host_counts")
+    legs["salted_host_counts"], samples["salted_host_counts"] = _timed(
+        lambda: per_host_doc_counts(skewed).collect())
+
+    # redaction pipeline legs over the same materialized parquet bench.py uses
+    import re as _re
+    m = _re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else 0.1
+    n_docs = max(2000, int(1_500_000 * sf))
+    input_dir = os.path.join("/tmp", f"rfai_bench_input_{n_docs}")
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        generate_pages(spark, n_docs, n_partitions=CPUS * 4).write.mode(
+            "overwrite").parquet(input_dir)
+    inp = spark.read.parquet(input_dir)
+    sc.setJobDescription("redact_pipeline_fused")
+    legs["redact_pipeline_fused"], samples["redact_pipeline_fused"] = _timed(
+        lambda: _consume_pipeline(run_pipeline(inp, PipelineConfig(), fused=True)))
+    sc.setJobDescription("redact_pipeline_staged")
+    legs["redact_pipeline_staged"], samples["redact_pipeline_staged"] = _timed(
+        lambda: _consume_pipeline(run_pipeline(inp, PipelineConfig(), fused=False)))
+
+    # noop-sink isolation for the heavy legs (no result aggregation in the
+    # timed window; guide §1.4)
+    noop = {}
+    sc.setJobDescription("noop:redact_pages")
+    noop["redact_pages"], _ = _timed(
+        lambda: run_pipeline(pages, PipelineConfig()).write.format("noop")
+        .mode("overwrite").save())
+    sc.setJobDescription("noop:redact_pipeline_fused")
+    noop["redact_pipeline_fused"], _ = _timed(
+        lambda: run_pipeline(inp, PipelineConfig(), fused=True).write
+        .format("noop").mode("overwrite").save())
+    sc.setJobDescription(None)
+
+    print(json.dumps({"legs": legs, "noop": noop, "samples": samples,
+                      "sf": sf, "cores": CPUS, "sf_dir": SF_DIR}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

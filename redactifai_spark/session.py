@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import re
 from pathlib import Path
 
 from pyspark.sql import SparkSession
@@ -41,6 +42,12 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    # session core count, for scale-derived defaults (local[N] -> N; anything
+    # else -> machine cores as a conservative stand-in)
+    _m = re.match(r"local\[(\d+|\*)\]", master)
+    session_cores = (
+        int(_m.group(1)) if _m and _m.group(1) != "*" else (os.cpu_count() or 8)
+    )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -61,6 +68,16 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Scan-parallelism floor, derived from the session's own parallelism
+        # (never a hard-coded core count): a CPU-bound Arrow-UDF pipeline over
+        # a modest input otherwise reads as ~1 split per core (bytesPerCore
+        # packing) — one task wave with a straggler tail and no batch
+        # pipelining. ~3 splits/core keeps every core busy through the tail;
+        # on big inputs maxPartitionBytes still caps split size so large
+        # sequential scans are unaffected.
+        .config("spark.sql.files.minPartitionNum",
+                os.environ.get("SPARK_GRAFT_MIN_SCAN_PARTITIONS",
+                               str(3 * session_cores)))
         # X3 task-level retry (the engine half of tasks.py:45-52 parity; the
         # row-level half is PipelineConfig.retry_attempts). Honored by cluster
         # schedulers; plain local[N] always uses 1 — use local[N,F] to test.

@@ -134,7 +134,22 @@ def wrap_documents_as_pages(docs: DataFrame) -> DataFrame:
     Deterministic function of (doc_id, text): boilerplate chrome around an
     <article> holding the document text plus a PII-bearing contact paragraph
     derived arithmetically from doc_id — the flagship `entry` input.
+
+    Scale-adaptive re-balance: the documents table frequently arrives as a
+    single small parquet file (one row group — unsplittable by
+    maxPartitionBytes), which would pin the whole downstream CPU-bound
+    redaction pipeline to ONE core of the cluster. When the scan's
+    partitioning is far below the session's parallelism, hash-repartition the
+    narrow doc rows on doc_id BEFORE the page columns are built (the heavy
+    html strings are then synthesized post-shuffle, so the exchange carries
+    only the raw documents). Deterministic key (no round-robin), and a no-op
+    on any well-partitioned production input.
     """
+    if not docs.isStreaming:
+        sc = docs.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        if docs.rdd.getNumPartitions() * 4 <= target:
+            docs = docs.repartition(target * 2, F.col("doc_id"))
     did = F.col("doc_id")
     host = (
         F.when(F.pmod(did, 16) < 8, F.lit("popular-news.com"))
