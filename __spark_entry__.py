@@ -437,6 +437,11 @@ def _span_overlap_join(spark, sf_dir):
         (F.col("o_custkey") % 40).alias("ss_"),
         (F.col("o_custkey") % 40 + 5 + F.col("o_orderkey") % 10).alias("se_"),
     )
+    # r8 note: a SHUFFLE_HASH hint on the spans side was A/B'd at sf1 scale
+    # (6 interleaved reps) and LOST to the planner's sort-merge (min 0.92 s vs
+    # 0.83 s): both tables arrive clustered by orderkey so the merge sort is
+    # nearly free, while the hash build pays per-partition allocation.
+    # Deliberately left on the planner default.
     joined = tok.join(sp, "doc_id").filter(
         (F.col("ts_") < F.col("se_")) & (F.col("ss_") < F.col("te_"))
     )

@@ -36,11 +36,31 @@ def brute_force_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector. One scan, one
-    global top-k (Spark's takeOrdered-style limit — no full sort shuffle)."""
+    global top-k (Spark's takeOrdered-style limit — no full sort shuffle).
+
+    The query is a CONSTANT, so its self-dot is folded on the driver instead
+    of re-aggregating the literal array per row, and the row-side norm folds
+    the raw float array directly (cast inside the lambda) instead of
+    materializing transform()/zip_with() copies — 1 zip_with + 2 aggregates
+    per row instead of 3 + 3. Bit-identical to cosine(_as_double(v), q):
+    identical element ops in the identical left-fold order (the driver-side
+    Python fold over the same doubles matches the Catalyst fold IEEE-exactly),
+    and sqrt/try_divide shapes unchanged — so NULL propagation for
+    zero-norm/ragged/null vectors is unchanged too."""
     q = F.array(*[F.lit(float(x)) for x in query])
+    qq = 0.0
+    for x in query:  # same left-fold order as the Catalyst aggregate
+        qq += float(x) * float(x)
+    v = F.col(vec_col)
+    dot_vq = F.aggregate(
+        F.zip_with(v, q, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    dot_vv = F.aggregate(
+        v, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"))
     sims = df.select(
         F.col(id_col),
-        cosine(_as_double(F.col(vec_col)), q).alias("cos"),
+        F.try_divide(dot_vq, F.sqrt(dot_vv * F.lit(qq))).alias("cos"),
     )
     return (
         sims.orderBy(F.desc("cos"), F.asc(id_col))
