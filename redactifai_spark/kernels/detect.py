@@ -489,7 +489,22 @@ def detect_extra(text: str, categories: tuple[str, ...]) -> list[SpanEntity]:
                             g = cand
                             break
                     else:
-                        pos = m.start() + 1
+                        # No prefix validates. Both validated categories'
+                        # patterns are \b-anchored, and inside the first
+                        # separator-delimited group every position is
+                        # word-preceded (no \b), so the next POSSIBLE match
+                        # start is right after the first separator — or past
+                        # the whole span when it has none. Equivalent to the
+                        # old +1 resume (the skipped positions provably can't
+                        # match) but bounds the adversarial worst case of
+                        # long non-validating separator-grouped digit runs,
+                        # which re-ran the regex + shrink chain at nearly
+                        # every character.
+                        first_sep = min(
+                            (p for p in (g.find(" "), g.find("-")) if p > 0),
+                            default=-1)
+                        pos = (m.start() + first_sep + 1 if first_sep > 0
+                               else m.end())
                         continue
                 entities.append(
                     SpanEntity(text=g, category=cat, offset=m.start(),

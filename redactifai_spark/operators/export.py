@@ -34,6 +34,46 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _FORMATS = ("json", "parquet")
 _MANIFEST_NAME = "_MANIFEST.json"
 
+# write_training_shards identity distribution: above this shard count the
+# per-shard probe literal array would bloat the physical plan.
+_IDENTITY_PROBE_MAX = 4096
+
+
+def _murmur3_hash_int32(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt(x, 42) — the hash HashPartitioning
+    applies to an int column (same as F.hash on IntegerType). Pure-Python
+    replica so the driver can invert the partition mapping without a job;
+    equality with F.hash is pinned by a test."""
+    k = (x & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = k * 0x1B873593 & 0xFFFFFFFF
+    h = seed ^ k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # total byte length
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h & (1 << 31) else h
+
+
+def _identity_probe_ints(n: int) -> list[int]:
+    """probes[s] = smallest non-negative int whose murmur3-pmod partition is
+    s, so repartition(n, probes[shard]) sends shard s to partition s.
+    Deterministic; expected O(n log n) probes (coupon collector)."""
+    probes: list[int | None] = [None] * n
+    found = 0
+    x = 0
+    while found < n:
+        s = _murmur3_hash_int32(x) % n  # Python % is already non-negative pmod
+        if probes[s] is None:
+            probes[s] = x
+            found += 1
+        x += 1
+    return probes  # type: ignore[return-value]
+
 
 def with_shuffle_order(
     df: DataFrame,
@@ -98,9 +138,26 @@ def write_training_shards(
         raise ValueError("max_records_per_file must be positive, got "
                          f"{max_records_per_file}")
     keyed = with_shuffle_order(df, n_shards, seed=seed, id_col=id_col)
+    # r8: repartition(n_shards, "shard") hashes the shard VALUE into
+    # n_shards partitions — balls-in-bins leaves ~1/e of the tasks empty and
+    # some carrying 2-3 shards, capping export parallelism at ~63% of
+    # n_shards. Instead distribute on a probe value chosen per shard so that
+    # Spark's own murmur3-pmod partitioner maps shard s EXACTLY to partition
+    # s: one shard per task, parallelism == n_shards. Output bytes are
+    # unchanged either way (partitionBy splits by value; the within-shard
+    # sort key is unchanged); this is purely task-placement. Above the probe
+    # cap the literal array would bloat the plan — fall back to the old
+    # distribution with the documented ~63% parallelism.
+    if n_shards <= _IDENTITY_PROBE_MAX:
+        probes = _identity_probe_ints(n_shards)
+        dist = F.element_at(
+            F.array(*[F.lit(p).cast("int") for p in probes]),
+            F.col("shard") + 1)
+        out = keyed.repartition(n_shards, dist)
+    else:
+        out = keyed.repartition(n_shards, "shard")
     out = (
-        keyed.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "shuffle_order", id_col)
+        out.sortWithinPartitions("shard", "shuffle_order", id_col)
         .drop("shuffle_order")
     )
     writer = out.write.mode("overwrite").partitionBy("shard").format(fmt)

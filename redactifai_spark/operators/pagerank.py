@@ -79,13 +79,30 @@ def pagerank(
     ).repartition(npart, "src").persist()
     norm_edges.count()
 
+    # r8: a per-host has_out flag (computed once) replaces the per-round
+    # left_anti dangling join, and the rank frame carries the flag so the
+    # convergence delta AND the next round's dangling mass come out of ONE
+    # scalar aggregate over the just-checkpointed frame. Per iteration this
+    # drops from 4 joins + 3 driver actions to 2 joins + 2 actions — at tiny
+    # host counts each Spark job is pure fixed cost, so iteration latency
+    # roughly halves (the r7 verdict's 33.7 s / 998-host observation); at
+    # 10^8 hosts the removed joins still shuffle real bytes. Rank values are
+    # unchanged up to float-sum order (callers quantize; the gate query
+    # rounds to 6 decimals by design).
+    flagged = nodes.join(
+        norm_edges.select(F.col("src").alias("host")).distinct()
+        .withColumn("has_out", F.lit(True)), "host", "left").select(
+        "host", F.coalesce("has_out", F.lit(False)).alias("has_out"),
+    ).repartition(npart, "host").persist()
+    flagged.count()
+    nodes.unpersist()  # superseded by the flagged frame
+
     from .checkpointing import (
         hadoop_rm, restore_checkpoint_dir, round_checkpoint,
         saved_checkpoint_dir,
     )
 
     sc = spark.sparkContext
-    sources = norm_edges.select("src").distinct()
     orig_ckpt_dir = saved_checkpoint_dir(sc) if checkpoint_dir else None
 
     def _rm(sub: int) -> None:
@@ -94,41 +111,48 @@ def pagerank(
     def _ckpt(df: DataFrame, it: int) -> DataFrame:
         return round_checkpoint(sc, df, checkpoint_dir, f"iter_{it}")
 
-    ranks = nodes.select("host", (F.lit(1.0) / n).alias("rank"))
+    ranks = flagged.select("host", "has_out", (F.lit(1.0) / n).alias("rank"))
     ranks = _ckpt(ranks.repartition(npart, "host"), 0)
+    # rank mass sitting on dangling hosts entering round 1 (the loop's fused
+    # aggregate maintains it for every later round)
+    dangling = ranks.filter(~F.col("has_out")).agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0]
     base = (1.0 - damping) / n
     try:
         for it in range(1, max_iterations + 1):
-            # scalar: rank mass sitting on dangling hosts this round
-            dangling = ranks.join(sources, ranks.host == sources.src,
-                                  "left_anti").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0]
             contribs = ranks.join(
                 norm_edges, ranks.host == norm_edges.src).groupBy("dst").agg(
                 F.sum(F.col("rank") * F.col("p")).alias("inflow"))
-            new_ranks = nodes.join(
-                contribs, nodes.host == contribs.dst, "left").select(
-                "host",
+            new_ranks = ranks.select(
+                "host", "has_out", F.col("rank").alias("_prev")).join(
+                contribs, F.col("host") == F.col("dst"), "left").select(
+                "host", "has_out", "_prev",
                 (F.lit(base + damping * dangling / n)
                  + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                  ).alias("rank"))
             new_ranks = _ckpt(new_ranks.repartition(npart, "host"), it)
-            delta = ranks.join(new_ranks.withColumnRenamed("rank", "r2"),
-                               "host").agg(
-                F.sum(F.abs(F.col("rank") - F.col("r2")))).first()[0]
-            ranks = new_ranks
+            # ONE scalar action: convergence delta + next round's dangling
+            # mass, both over the checkpointed blocks (no joins)
+            row = new_ranks.agg(
+                F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
+                F.coalesce(
+                    F.sum(F.when(~F.col("has_out"), F.col("rank"))),
+                    F.lit(0.0)).alias("dangling"),
+            ).first()
+            delta, dangling = row["delta"], row["dangling"]
+            ranks = new_ranks.drop("_prev")
             if checkpoint_dir is not None:
-                # the delta join was the LAST reader of round it-1 — only
-                # now are its files superseded (GraphX-style cleanup)
+                # the fused aggregate was the LAST reader of round it-1's
+                # lineage — only now are its files superseded
                 _rm(it - 1)
             if delta < tol:
                 break
     finally:
-        nodes.unpersist()
+        flagged.unpersist()
         norm_edges.unpersist()
         if checkpoint_dir is not None:
             restore_checkpoint_dir(sc, orig_ckpt_dir)
-    return ranks
+    return ranks.select("host", "rank")
 
 
 def host_rank_priors(

@@ -58,3 +58,52 @@ def test_anchor_plans_cover_the_stock_bank():
     unplanned = [p for _, pats in D.PATTERNS.items() for p in pats
                  if p not in D._ANCHOR_PLANS]
     assert unplanned == [r"\(\d{3}\)\s*\d{3}-\d{4}"]
+
+
+def test_detect_extra_skip_advance_equivalent_and_bounded():
+    # r8: on validator failure the scan resumes after the first separator
+    # group instead of +1. Equivalence oracle: a +1-stepping reimplementation.
+    import re
+    import time
+
+    def ref_detect_extra(text, categories):
+        out = []
+        for cat in categories:
+            validator = D._EXTRA_VALIDATORS.get(cat)
+            conf = D._EXTRA_CONFIDENCE[cat]
+            for pattern in D._EXTRA_COMPILED[cat]:
+                pos = 0
+                while (m := pattern.search(text, pos)) is not None:
+                    g = m.group()
+                    if validator is not None and not validator(g):
+                        for cand in D._shrink_candidates(g):
+                            if pattern.fullmatch(cand) and validator(cand):
+                                g = cand
+                                break
+                        else:
+                            pos = m.start() + 1
+                            continue
+                    out.append(D.SpanEntity(g, cat, m.start(), len(g), conf))
+                    pos = max(m.start() + len(g), m.start() + 1)
+        return out
+
+    import random
+    rng = random.Random(11)
+    pieces = [
+        "4111 1111 1111 1111", "4111 1111 1111 1112", "1234 5678 9012 3456",
+        "DE44 5001 0517 5407 3249 31", "DE44 5001 0517 5407 3249 32 BIC",
+        "GB82 WEST 1234 5698 7654 32", "1111-2222-3333-4444",
+        "5500 0000 0000 0004", "12 34 56 78 90 12 34", "no digits here",
+        "9" * 40, "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6",
+    ]
+    cats = ("CreditCard", "IBAN")
+    for _ in range(3000):
+        t = rng.choice([" ", ", ", " x "]).join(
+            rng.choice(pieces) for _ in range(rng.randint(1, 6)))
+        assert D.detect_extra(t, cats) == ref_detect_extra(t, cats), t
+
+    # bounded: a long adversarial run of non-validating groups stays fast
+    adversarial = "1234 " * 4000  # 20k chars of never-validating groups
+    t0 = time.monotonic()
+    D.detect_extra(adversarial, ("CreditCard",))
+    assert time.monotonic() - t0 < 2.0

@@ -1,0 +1,40 @@
+"""r8: write_training_shards identity shard->partition distribution."""
+
+from pyspark.sql import functions as F
+
+from redactifai_spark.operators.export import (
+    _identity_probe_ints, _murmur3_hash_int32, with_shuffle_order,
+)
+
+
+def test_python_murmur_matches_spark_hash(spark):
+    vals = list(range(200)) + [2**31 - 1, 12345678]
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    got = {r["x"]: r["h"] for r in df.select("x", F.hash("x").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == _murmur3_hash_int32(v), v
+
+
+def test_identity_probes_invert_partitioner():
+    for n in (1, 7, 64, 257):
+        probes = _identity_probe_ints(n)
+        assert len(set(probes)) == n
+        for s, p in enumerate(probes):
+            assert _murmur3_hash_int32(p) % n == s
+
+
+def test_export_parallelism_one_shard_per_task(spark):
+    n_shards = 16
+    df = spark.range(0, 4000).select(F.col("id").alias("doc_id"),
+                                     F.col("id").cast("string").alias("text"))
+    keyed = with_shuffle_order(df, n_shards)
+    from redactifai_spark.operators.export import _identity_probe_ints as pr
+    probes = pr(n_shards)
+    dist = F.element_at(F.array(*[F.lit(p).cast("int") for p in probes]),
+                        F.col("shard") + 1)
+    placed = (keyed.repartition(n_shards, dist)
+              .select("shard", F.spark_partition_id().alias("pid")))
+    rows = placed.distinct().collect()
+    # every shard lands in its own partition: pid == shard, bijection
+    assert sorted((r["shard"], r["pid"]) for r in rows) == \
+        [(s, s) for s in range(n_shards)]
