@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Round-8: per-stage attribution of the 8-vs-32-core raw scaling gap
+(VERDICT r7 "next round" item 1).
+
+Runs the SAME fused redaction job (identical parquet input, taskset-pinned
+like bench.py --scaling) at N and 4N cores with the Spark UI's REST API on,
+and reports, per core count: wall, sum(executorRunTime), sum(executorCpuTime)
+(JVM-on-CPU — the gap to runTime is Python-worker + fetch wait, since the
+JVM task thread blocks while the Arrow batch is in the Python worker),
+jvmGcTime, task count, and the derived occupancy (runTime / (wall*cores)) and
+tail loss. The Spark-free multiprocessing control from bench.py calibrates
+what the MACHINE gives at each core count in the same window.
+
+Usage: python bench_scaling_attrib.py [--docs N]   (writes one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _worker(cores: int, docs: int, input_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from bench import _consume_pipeline, _control_docs_per_sec, _run_redaction
+    from redactifai_spark.kernels.oracle import PipelineConfig
+    from redactifai_spark.operators.pipeline import run_pipeline
+    from redactifai_spark.session import get_spark
+
+    ctl = _control_docs_per_sec(cores, min(docs, cores * 12000))
+    total_bytes = sum(e.stat().st_size for e in os.scandir(input_dir)
+                      if e.name.endswith(".parquet"))
+    split_bytes = min(max(total_bytes // (cores * 3), 1 << 20), 512 << 20)
+    spark = get_spark(
+        app_name=f"attrib-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.files.maxPartitionBytes": str(split_bytes),
+            "spark.sql.files.openCostInBytes": str(512 << 10),
+        },
+    )
+    _run_redaction(spark, 2000, cores, fused=True)  # warm JVM + worker pool
+    inp = spark.read.parquet(input_dir)
+    spark.sparkContext.setJobDescription("attrib-fused")
+    t0 = time.monotonic()
+    _consume_pipeline(run_pipeline(inp, PipelineConfig(), fused=True))
+    wall = time.monotonic() - t0
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete") as r:
+        stages = json.loads(r.read())
+    # only the timed job's stages: description label set above
+    mine = [s for s in stages if "attrib-fused" in (s.get("description") or "")]
+    if not mine:  # fall back: heaviest stages after warmup
+        mine = sorted(stages, key=lambda s: -s["executorRunTime"])[:2]
+    agg = {k: sum(s[k] for s in mine) for k in
+           ("executorRunTime", "executorCpuTime", "jvmGcTime",
+            "numCompleteTasks", "inputBytes", "executorDeserializeTime")}
+    spark.stop()
+    control_post = _control_docs_per_sec(cores, min(docs, cores * 12000))
+    print(json.dumps({
+        "cores": cores, "wall_sec": round(wall, 3),
+        "docs_per_sec": round(docs / wall, 1),
+        "control_docs_per_sec": round(max(ctl, control_post), 1),
+        "stage_ms": {k: int(v) for k, v in agg.items()},
+        "occupancy": round(agg["executorRunTime"] / (wall * 1000 * cores), 3),
+        "jvm_cpu_frac_of_run": round(
+            agg["executorCpuTime"] / 1e6 / max(agg["executorRunTime"], 1), 3),
+        "gc_frac_of_run": round(
+            agg["jvmGcTime"] / max(agg["executorRunTime"], 1), 3),
+    }))
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        _worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3])
+        return
+    docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS",
+                              sys.argv[sys.argv.index("--docs") + 1]
+                              if "--docs" in sys.argv else "600000"))
+    input_dir = os.path.join(tempfile.gettempdir(),
+                             f"rfai_scaling_input_{docs}")
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        from redactifai_spark.session import get_spark
+        from redactifai_spark.sources.pages import generate_pages
+        prep = get_spark(app_name="attrib-prep", master=f"local[{CPUS}]",
+                         shuffle_partitions=CPUS)
+        generate_pages(prep, docs, n_partitions=128).write.mode(
+            "overwrite").parquet(input_dir)
+        prep.stop()
+    results = {}
+    for cores in (max(1, CPUS // 4), CPUS):
+        cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+               os.path.abspath(__file__), "--worker", str(cores), str(docs),
+               input_dir]
+        proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+    small, big = sorted(results)
+    raw = (results[big]["docs_per_sec"] / results[small]["docs_per_sec"]) / (big / small)
+    ctl = (results[big]["control_docs_per_sec"]
+           / results[small]["control_docs_per_sec"]) / (big / small)
+    print(json.dumps({
+        "metric": "scaling_attribution",
+        "raw_efficiency": round(raw, 3),
+        "control_efficiency": round(ctl, 3),
+        "normalized_efficiency": round(raw / ctl, 3),
+        "n_docs": docs,
+        "per_cores": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
