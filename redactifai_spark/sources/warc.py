@@ -20,17 +20,23 @@ feeds the same all-Catalyst/pandas-UDF pipeline as parquet input). Rows
 stream out in bounded chunks so a 1 GB file never materializes as one
 Arrow batch.
 
-Measured memory envelope (bench.py --warc, round 7): 1.09 GB across 24
-gzip archives (~46.5 MB each) through read_warc → fused redaction on
-local[32] ran at 4.5k docs/s / 42 MB/s with a peak JVM heap of 7.7 GB —
-about 7.1× the bytes of the archives concurrently in flight (compressed
-bytes + decompressed records + Arrow batches per task). Provision
-executors accordingly: with Common Crawl's ~1 GB archives budget ~7 GB
-of heap per concurrently-parsed archive, i.e. cap concurrent archive
-tasks per executor (spark.task.cpus or executor core count), not heap
-alone. The per-file unit itself is the correct one — records never cross
-file boundaries and output rows stream in bounded chunks — the envelope
-is the irreducible cost of holding one archive's working set per task.
+Measured memory envelope (bench.py --warc; round-8 re-measure): 1.09 GB
+across 24 gzip archives (~46.5 MB each) through read_warc → fused
+redaction on local[32] runs at 8-11.6k docs/s / 75-108 MB/s (round 7:
+4.5k / 42 — the round-8 kernel optimizations flow through ~2x, and the
+1024-row default output chunk overlaps parse with the downstream
+redaction ~1.3x better than 2048 in interleaved A/B) with a peak JVM
+heap of ~7.2 GB. The peak decomposes as ~24 concurrent tasks × (archive
+content row + the 64 MB arrow.maxBytesPerBatch input bound + output
+chunk) plus ParallelGC accounting — peak-USED heap under a throughput
+collector includes not-yet-collected garbage, so the metric overstates
+live memory; it is insensitive to the output-chunk size (7.25 vs 7.29 GB
+at 2048 vs 1024 rows). Provision executors accordingly: with Common
+Crawl's ~1 GB archives budget ~7 GB of heap per concurrently-parsed
+archive, i.e. cap concurrent archive tasks per executor
+(spark.task.cpus or executor core count), not heap alone. The per-file
+unit itself is the correct one — records never cross file boundaries and
+output rows stream in bounded chunks.
 
 Malformed input follows the engine's per-row isolation rule, at two
 granularities. Broken FRAMING (truncated file, corrupt gzip member,
@@ -260,7 +266,7 @@ def read_warc(
     path: str,
     strict: bool = False,
     keep_error_rows: bool = False,
-    rows_per_chunk: int = 2048,
+    rows_per_chunk: int = 1024,
     observation=None,
 ) -> DataFrame:
     """Read WARC/WET files under ``path`` (glob ok) into the pages-table
@@ -295,7 +301,7 @@ def read_warc_stream(
     path: str,
     strict: bool = False,
     keep_error_rows: bool = False,
-    rows_per_chunk: int = 2048,
+    rows_per_chunk: int = 1024,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`read_warc`: archives that LAND over time are
