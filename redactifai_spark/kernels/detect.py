@@ -16,6 +16,7 @@ registration order (SURVEY.md §7 "What's hard").
 from __future__ import annotations
 
 import re
+from operator import attrgetter
 from typing import NamedTuple
 
 SAFE_HARBOR = "safe_harbor"
@@ -173,6 +174,11 @@ def should_include_category(category: str, masking_level: str,
 
 _DIGIT_RUN_RE = re.compile(r"\d+")
 
+# C-level sort key — identical ordering to SpanEntity.sort_key (the method
+# stays for API compatibility); attrgetter avoids a Python frame per element
+# on the hottest sort in the engine.
+_SORT_KEY = attrgetter("offset", "length", "category", "text")
+
 _EMAIL_LOCAL_CHARS = frozenset(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789._%+-")
 
@@ -300,7 +306,7 @@ def detect_pii(
                         append(SpanEntity(m[0], category, s, me - s, 0.95))
                         last = me
     entities.extend(_detect_names(text, masking_level, custom_categories))
-    entities.sort(key=SpanEntity.sort_key)
+    entities.sort(key=_SORT_KEY)
     return entities
 
 
@@ -325,7 +331,7 @@ def _detect_pii_scan(
                            length=len(g), confidence=0.95)
             )
     entities.extend(_detect_names(text, masking_level, custom_categories))
-    entities.sort(key=SpanEntity.sort_key)
+    entities.sort(key=_SORT_KEY)
     return entities
 
 
